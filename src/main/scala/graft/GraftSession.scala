@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Tuned for the driver's local[32] harness but every knob is the one you
+  * would also set on a real cluster: shuffle partitions sized to cores (not
+  * the 200 default), AQE on (runtime coalescing + skew-join splitting),
+  * UTC session time zone for oracle parity, micros parquet timestamps so
+  * downstream readers (DuckDB/pyarrow) see the same instants.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read it as raw long nanos and convert at the scan (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Get-or-create with defaults; used by tests and the local tools. */
+  def get(master: String = "local[4]"): SparkSession = {
+    val s = builder(master).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,401 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The relational core of the engine's declared query inventory.
+  *
+  * Covers the SURVEY.md §2.6 categories the reference lacks but the engine
+  * ships as first-class operators: aggregation, broadcast + shuffle joins,
+  * window functions, top-k, grouping sets, distinct, set operations,
+  * semi/anti joins, event-time windows, sessionization, JSON extraction,
+  * and an as-of join (composed from a union + running `last_value`, a single
+  * shuffle — the scalable formulation).
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares against
+  * DuckDB):
+  *   - money/quantity aggregation is done in exact DECIMAL, never double
+  *     (double summation order differs across engines → last-ulp drift);
+  *   - averages = exact decimal sum cast to double, divided by the count
+  *     (one deterministic IEEE op, identical in both engines);
+  *   - timestamps are emitted as formatted strings (parquet timestamp
+  *     annotations differ between writers);
+  *   - every top-k has a total-order tie-break.
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private val TS = "%Y-%m-%d %H:%M:%S"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: wide aggregate with map-side combine. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2001-06-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum((dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DecimalType(30, 4))).cast(DoubleType).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Revenue by nation: fact-to-dim joins; both dims are broadcast. */
+  def q02RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DecimalType(30, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  val q02Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: shuffle join orders⨝lineitem (+ broadcast customer
+    * filter), top-10 orders by revenue with total-order tie-break. */
+  def q03TopUnshippedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit("1999-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = t.lineitem
+      .filter(col("l_shipdate") > lit("1999-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    ord
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+        .cast(DecimalType(30, 4))).cast(DoubleType).as("revenue"))
+      .select(col("o_orderkey"), tsFmt(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    s"""SELECT o_orderkey, strftime(o_orderdate, '$TS') AS o_orderdate,
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Latest order per customer — the engine's idiomatic "latest version
+    * wins" operator (SURVEY §2.6 window-function analogue). */
+  def q04LatestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        tsFmt(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q04Sql: String =
+    s"""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '$TS') AS o_orderdate, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Top-k with total order: TakeOrderedAndProject, no full sort at scale. */
+  def q05TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style: selective scan → pushed filters, 2-column read. */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum((dec(col("l_extendedprice")) * dec(col("l_discount"))).cast(DecimalType(30, 4)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q06Sql: String =
+    """SELECT
+      | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Grouping sets via ROLLUP (nation × segment), broadcast dim join. */
+  def q07RollupCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  val q07Sql: String =
+    """SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, c_mktsegment)
+      |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Exact + distinct aggregation per segment. */
+  def q08DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q08Sql: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Set operations: symmetric difference of 1995-active vs 1996-active
+    * customer keys = (A ∪ B) EXCEPT (A ∩ B) — exercises all three set ops. */
+  def q09SetOpsActiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def active(year: Int) = t.orders
+      .filter(col("o_orderdate") >= lit(f"$year%d-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit(f"${year + 1}%d-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_custkey").as("custkey"))
+    val a = active(1995)
+    val b = active(1996)
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy(col("custkey"))
+  }
+
+  val q09Sql: String =
+    """WITH a AS (SELECT o_custkey AS custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |     b AS (SELECT o_custkey AS custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT custkey FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+      |EXCEPT
+      |SELECT custkey FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Left-semi / left-anti joins: customers with vs without orders. */
+  def q10SemiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val ordKeys = t.orders.select(col("o_custkey"))
+    val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with"))
+    val withoutOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without"))
+    withOrders
+      .join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_mktsegment,
+      | COUNT(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+      | COUNT(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Tumbling event-time window (batch form of the streaming hourly agg). */
+  def q11EventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(tsFmt(col("hour")).as("hour"), col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '$TS') AS hour, event_type,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Sessionization: 30-minute inactivity gap, one shuffle by user. */
+  def q12EventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts,
+      |          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |        FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Semi-structured extraction: JSON props → typed column → aggregate. */
+  def q13EventsJsonProps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q13Sql: String =
+    """SELECT event_type,
+      | CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** As-of join (operator Spark lacks natively): for every purchase, the
+    * most recent prior signup by the same user. Composed as
+    * union → single shuffle by user → running last_value(ignoreNulls) —
+    * the scalable one-pass formulation (no per-row subquery, no skewed
+    * range join). Oracle: DuckDB's native ASOF JOIN.
+    */
+  def q14AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("is_left"), lit(null).cast(TimestampType).as("right_ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast(LongType).as("event_id"), col("user_id"), col("ts"), lit(0).as("is_left"), col("ts").as("right_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("last_signup_ts", last(col("right_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+        tsFmt(col("ts")).as("ts"),
+        tsFmt(col("last_signup_ts")).as("last_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT p.event_id, p.user_id, strftime(p.ts, '$TS') AS ts,
+      | strftime(s.ts, '$TS') AS last_signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing_summary"   -> (q01PricingSummary _),
+    "q02_join_broadcast_nation" -> (q02RevenueByNation _),
+    "q03_join_shuffle_top_orders" -> (q03TopUnshippedOrders _),
+    "q04_window_latest_order"   -> (q04LatestOrderPerCustomer _),
+    "q05_topk_orders"           -> (q05TopOrders _),
+    "q06_filter_pushdown_revenue" -> (q06ForecastRevenue _),
+    "q07_rollup_customers"      -> (q07RollupCustomers _),
+    "q08_distinct_counts"       -> (q08DistinctCounts _),
+    "q09_setops_customers"      -> (q09SetOpsActiveCustomers _),
+    "q10_semi_anti_customers"   -> (q10SemiAntiCustomers _),
+    "q11_events_window_hourly"  -> (q11EventsHourly _),
+    "q12_events_sessionize"     -> (q12EventsSessionize _),
+    "q13_events_json_props"     -> (q13EventsJsonProps _),
+    "q14_asof_join"             -> (q14AsOfJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing_summary"   -> q01Sql,
+    "q02_join_broadcast_nation" -> q02Sql,
+    "q03_join_shuffle_top_orders" -> q03Sql,
+    "q04_window_latest_order"   -> q04Sql,
+    "q05_topk_orders"           -> q05Sql,
+    "q06_filter_pushdown_revenue" -> q06Sql,
+    "q07_rollup_customers"      -> q07Sql,
+    "q08_distinct_counts"       -> q08Sql,
+    "q09_setops_customers"      -> q09Sql,
+    "q10_semi_anti_customers"   -> q10Sql,
+    "q11_events_window_hourly"  -> q11Sql,
+    "q12_events_sessionize"     -> q12Sql,
+    "q13_events_json_props"     -> q13Sql,
+    "q14_asof_join"             -> q14Sql)
+}
