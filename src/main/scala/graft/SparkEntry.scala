@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.sql.RelationalQueries.queries
+    graft.sql.RelationalQueries.queries ++
+      graft.text.TextQueries.queries ++
+      graft.dedup.DedupQueries.queries ++
+      graft.sim.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.sql.RelationalQueries.oracleSql
+    graft.sql.RelationalQueries.oracleSql ++
+      graft.text.TextQueries.oracleSql ++
+      graft.dedup.DedupQueries.oracleSql ++
+      graft.sim.SimilarityQueries.oracleSql
 }

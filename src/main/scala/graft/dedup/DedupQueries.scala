@@ -1,0 +1,227 @@
+package graft.dedup
+
+import graft.sql.Tables
+import graft.text.TextOps._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators over the `documents` table: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash — the standard toolkit for
+  * training-corpus dedup.
+  *
+  * Scale design (the 100 TB story):
+  *   - exact dedup is one hash-partitioned groupBy on a 16-byte key —
+  *     shuffle volume is keys, not documents;
+  *   - the exact Jaccard join (q20) is the *verifier*; its candidate
+  *     generator at scale is MinHash LSH (q21), which shuffles
+  *     O(docs × bands) tiny (band, sig) rows instead of O(docs × shingles)
+  *     shingle rows, then verifies only bucket-mates exactly;
+  *   - SimHash (q22/q23) reduces every document to one 60-bit word; the
+  *     banded self-join finds all pairs within Hamming distance 5 with NO
+  *     quadratic pass (pigeonhole over 6 disjoint 10-bit bands).
+  *
+  * All hashes are md5-derived (see [[graft.text.TextOps.hex60]]) so every
+  * stage — including the LSH signatures themselves — is reproducible in the
+  * DuckDB oracle.
+  */
+object DedupQueries {
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), shingles(tokens(normText(col("text")))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  private val toksSql = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+  private val shinglesSqlCte =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |shs AS (SELECT doc_id,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+       |  FROM tk),
+       |sh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0)""".stripMargin
+
+  /** Brute-force pairwise-Jaccard SQL (the oracle for both q20 and q21 —
+    * an inverted-index join, exact, feasible at oracle scale). */
+  private def jaccardSql(threshold: Double): String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT ida, idb, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+       |FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Exact-verify a (ida, idb) candidate DataFrame against shingle sets. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
+    cands
+      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+      .select(col("ida"), col("idb"),
+        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .filter(j >= threshold)
+      .select(col("ida"), col("idb"), j.as("jaccard"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Exact dedup: md5 of normalized content → representative + group size.
+    * One groupBy on the 16-byte digest; at 100 TB the shuffle carries only
+    * (hash, doc_id), never the text. */
+  def q19DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("content_hash"))
+
+  val q19Sql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      | min(doc_id) AS rep_doc_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via an
+    * inverted-index join on shingles — no quadratic cross join. At scale,
+    * cap shingle document-frequency (drop shingles shared by >k docs)
+    * or switch to q21; here the exact form doubles as q21's oracle. */
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val cands = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("ida"), col("idb"))
+    verifyJaccard(cands, sh, 0.5)
+  }
+
+  val q20Sql: String = jaccardSql(0.5)
+
+  // ---------------------------------------------------------------- q21
+  /** MinHash + LSH near-dup pairs (threshold 0.8). 96 md5-seeded min-hashes
+    * per doc, banded 32 × 3: P(candidate | J=0.8) = 1-(1-0.8³)³² ≈ 1-1e-10,
+    * so LSH recall is exact for gate purposes; candidates are then verified
+    * with true Jaccard. The doc→signature pass is one groupBy; the bucket
+    * self-join shuffles only (band, sig, doc_id) rows. */
+  private val NumHashes = 96
+  private val BandRows = 3 // 32 bands × 3 rows
+
+  def q21MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val minAggs = (0 until NumHashes).map(i => min(hex60Seeded(i, col("s"))).as(s"h$i"))
+    val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until NumHashes / BandRows).map { b =>
+      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("sig"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cands, sh, 0.8)
+  }
+
+  val q21Sql: String = jaccardSql(0.8)
+
+  // ---------------------------------------------------------------- q22
+  /** SimHash: 60-bit signature = per-bit majority vote over the md5 hashes
+    * of the token multiset. One narrow pass + one groupBy per doc. */
+  private val Bits = 60
+
+  private def simhashPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val tok = d.select(col("doc_id"), explode(tokens(normText(col("text")))).as("tok"))
+      .select(col("doc_id"), hex60(col("tok")).as("th"))
+    val bitSums = (0 until Bits).map(j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"b$j"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until Bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  private val simhashSqlCte: String = {
+    val bitSums = (0 until Bits)
+      .map(j => s"sum(CASE WHEN ((th >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(", ")
+    val sim = (0 until Bits)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest($toksSql)), 1, 15))::BIGINT AS th
+       |  FROM documents),
+       |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id),
+       |simhash AS (SELECT doc_id, $sim AS simhash FROM bits)""".stripMargin
+  }
+
+  def q22Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPerDoc(spark, dir).orderBy(col("doc_id"))
+
+  val q22Sql: String =
+    s"""$simhashSqlCte
+       |SELECT doc_id, simhash FROM simhash ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** SimHash near-dup pairs within Hamming distance 5, found WITHOUT a
+    * quadratic pass: 6 disjoint 10-bit bands — any pair with ≤5 differing
+    * bits must agree exactly on ≥1 band (pigeonhole), so a self-join on
+    * (band_idx, band_value) finds all of them; bit_count verifies. */
+  private val HammingMax = 5
+  private val NumBands = 6 // 6 bands × 10 bits = 60; complete for distance ≤ 5
+
+  def q23SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sim = simhashPerDoc(spark, dir)
+    val bandW = Bits / NumBands
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until NumBands).map(k =>
+        struct(lit(k).as("k"),
+          shiftright(col("simhash"), k * bandW).bitwiseAND(lit((1L << bandW) - 1)).as("v"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.k").as("k"), col("b.v").as("v"))
+    val hamming = expr("bit_count(sa ^ sb)")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .filter(hamming <= HammingMax)
+      .select(col("ida"), col("idb"), hamming.as("hamming"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val q23Sql: String =
+    s"""$simhashSqlCte
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
+       |ORDER BY ida, idb""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_dedup_exact"         -> (q19DedupExact _),
+    "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
+    "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
+    "q22_dedup_simhash"       -> (q22Simhash _),
+    "q23_dedup_simhash_pairs" -> (q23SimhashPairs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q19_dedup_exact"         -> q19Sql,
+    "q20_dedup_ngram_jaccard" -> q20Sql,
+    "q21_dedup_minhash_lsh"   -> q21Sql,
+    "q22_dedup_simhash"       -> q22Sql,
+    "q23_dedup_simhash_pairs" -> q23Sql)
+}

@@ -1,0 +1,160 @@
+package graft.sim
+
+import graft.sql.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design:
+  *   - q24 is the exact baseline: a broadcast of the (small) query set
+  *     against the full corpus — one narrow pass per corpus partition, then
+  *     a per-query top-k. At 100 TB the corpus never shuffles; only
+  *     (qid, cid, sim) survivors do.
+  *   - q25 is the scale path: random-hyperplane LSH buckets the corpus so
+  *     each query probes L buckets instead of the whole corpus. Hyperplanes
+  *     are md5-seeded literals — fully deterministic, no RNG state.
+  *   - q26 (all-pairs near-dup) is exact here because the oracle must
+  *     reproduce it; at 100 TB the same verify step runs on q25-style
+  *     LSH candidates instead of the full cross product.
+  *
+  * Dot products fold left-to-right in double (float inputs widened
+  * exactly), matching DuckDB's `list_dot_product` on `DOUBLE[]`; emitted
+  * scores are rounded to 4 dp so last-ulp accumulation differences can't
+  * flip the compare, and ranks tie-break on vec_id.
+  */
+object SimilarityQueries {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private val simSqlExpr =
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+
+  // ---------------------------------------------------------------- q24
+  /** Exact cosine top-5 for each of the first 20 vectors as queries:
+    * broadcast queries × corpus scan, per-query top-k window. */
+  private val NumQueries = 20
+  private val TopK = 5
+
+  def q24CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val q24Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT qid, cid, $simSqlExpr AS sim FROM q, c WHERE cid != qid),
+       |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim FROM r WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** LSH-bucketed approximate top-5: L=8 tables × 8 md5-seeded random
+    * hyperplanes. A query only scores corpus vectors sharing a bucket in
+    * ≥1 table. Approximate by construction → rows-only gate; the spec
+    * asserts recall against q24. */
+  private val Tables_ = 8
+  private val BitsPerTable = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * md5("t:b:d") first 8 hex chars as fraction of 2^32. */
+  private[sim] def planeComponent(t: Int, b: Int, d: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$t:$b:$d".getBytes("UTF-8"))
+    val u = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    u.toDouble / 4294967296.0 - 0.5
+  }
+
+  private def sigColumn(v: Column, t: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      val plane = typedLit((0 until Dim).map(d => planeComponent(t, b, d)))
+      when(dot(v, plane) > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    def withBuckets(df: DataFrame, vcol: String): DataFrame =
+      df.select(col("*"), explode(array((0 until Tables_).map(t =>
+        struct(lit(t).as("t"), sigColumn(col(vcol), t).as("sig"))): _*)).as("b"))
+        .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
+    val corpus = withBuckets(
+      e.select(col("vec_id").as("cid"), col("embedding").as("cv")).withColumn("cn", norm(col("cv"))), "cv")
+    val qs = withBuckets(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")).withColumn("qn", norm(col("qv"))), "qv")
+    val cands = corpus.join(broadcast(qs), Seq("t", "sig"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"), col("cv"), col("cn"))
+      .dropDuplicates("qid", "cid")
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    cands
+      .select(col("qid"), col("cid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs (exact,
+    * oracle-reproducible; LSH candidates replace the cross product at
+    * scale). Norms are precomputed per vector so the pairwise stage does
+    * one dot product per pair. */
+  private val NearDupThreshold = 0.4
+
+  def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val v = e.select(col("vec_id"), col("embedding")).withColumn("n", norm(col("embedding")))
+    val a = v.select(col("vec_id").as("ida"), col("embedding").as("va"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("n").as("nb"))
+    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), sim.as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val q26Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |s AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |SELECT ida, idb, round(sim, 4) AS sim FROM s WHERE sim >= $NearDupThreshold
+       |ORDER BY ida, idb""".stripMargin
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_sim_cosine_topk"    -> (q24CosineTopK _),
+    "q25_sim_ann_lsh"        -> (q25AnnLsh _),
+    "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _))
+
+  /** q25 is approximate → rows-only gate (no oracle entry by design). */
+  val oracleSql: Map[String, String] = Map(
+    "q24_sim_cosine_topk"    -> q24Sql,
+    "q26_sim_embedding_neardup" -> q26Sql)
+}

@@ -1,0 +1,186 @@
+package graft.text
+
+import graft.sql.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  *
+  * These are the per-document scalar stages of a training-data pipeline:
+  * embarrassingly parallel, no shuffle (the per-doc outputs are computed in
+  * the scan stage; only the final presentation `orderBy` sorts). At 100 TB
+  * each of these runs as a single narrow pass over the corpus — the plan is
+  * scan → project → sort(doc_id), and the sort exists only because the
+  * correctness harness wants deterministic output order.
+  *
+  * All expressions are Spark built-ins (codegen'd, no UDFs) with exact
+  * DuckDB oracle equivalents (see the *Sql vals).
+  */
+object TextQueries {
+  import TextOps._
+
+  private val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  private def sqlCountIn(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // ---------------------------------------------------------------- q15
+  /** Token counting: whitespace tokens, alpha words, BPE-ish lexer tokens
+    * (letter runs | digit runs | single non-alnum), mean token length. */
+  def q15TextTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_alpha"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
+          regexp_count(col("text"), lit("\\S+"))).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q15Sql: String =
+    """SELECT doc_id,
+      | length(text) AS n_chars,
+      | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      | len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha,
+      | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+      | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |   / len(regexp_extract_all(text, '\S+')) AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Quality scoring: length band, token count, stopword ratio, punctuation
+    * ratio → additive 0..1 score. The classic pre-training corpus filter. */
+  def q16TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val nChars = length(col("text"))
+    val nTokens = size(toks)
+    val stopRatio = (countIn(toks, stopList).cast(DoubleType) / nTokens)
+    val punctRatio = (regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType) / nChars)
+    d.select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nTokens.as("n_tokens"),
+        stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
+        (when(nChars.between(100, 20000), 0.25).otherwise(0.0) +
+          when(nTokens >= 20, 0.25).otherwise(0.0) +
+          when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+          when(punctRatio < 0.1, 0.25).otherwise(0.0)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q16Sql: String = {
+    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    val stop = s"CAST(${sqlCountIn(toks, stopList)} AS DOUBLE) / len($toks)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)"
+    s"""SELECT doc_id,
+       | length(text) AS n_chars,
+       | len($toks) AS n_tokens,
+       | $stop AS stop_ratio,
+       | $punct AS punct_ratio,
+       | (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+       |  + CASE WHEN len($toks) >= 20 THEN 0.25 ELSE 0.0 END
+       |  + CASE WHEN $stop BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+       |  + CASE WHEN $punct < 0.1 THEN 0.25 ELSE 0.0 END) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Language ID: marker-stopword voting with a fixed tie-break priority
+    * (en > de > es > fr > zh). `agree` compares against the dataset's label
+    * column. A real system swaps the marker lists for n-gram profiles; the
+    * plan shape (narrow per-doc scoring) is identical. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "y", "las", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def q17LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val scored = d.select(
+      (col("doc_id") +: col("lang") +:
+        markers.map { case (l, ws) => countIn(toks, ws).as(s"s_$l") } :+
+        regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")).as("s_zh")): _*)
+    val langs = markers.map(_._1) :+ "zh"
+    // first language (in priority order) whose score >= all others
+    val pred = langs.dropRight(1).foldRight(lit(langs.last)) { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+    scored
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q17Sql: String = {
+    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    val scores = markers.map { case (l, ws) => s"${sqlCountIn(toks, ws)} AS s_$l" } :+
+      s"len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh"
+    val langs = markers.map(_._1) :+ "zh"
+    val pred = langs.dropRight(1).foldRight(s"'${langs.last}'") { (l, rest) =>
+      val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+    }
+    s"""SELECT doc_id, lang, pred_lang, CAST(lang = pred_lang AS INT) AS agree
+       |FROM (SELECT doc_id, lang, $pred AS pred_lang
+       |      FROM (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Document fingerprinting: content hash of normalized text, shingle-set
+    * signature (order-independent), shingle count, and min shingle hash
+    * (a 1-permutation MinHash — the building block q21 scales up). */
+  def q18Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val norm = normText(col("text"))
+    val sh = shingles(tokens(norm))
+    d.select(
+        col("doc_id"),
+        md5(norm).as("fp_content"),
+        md5(concat_ws("|", array_sort(sh))).as("fp_shingle_set"),
+        size(sh).as("n_shingles"),
+        array_min(transform(sh, s => hex60(s))).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q18Sql: String = {
+    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    val sh = s"list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
+    s"""WITH s AS (
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm, $sh AS sh
+       |  FROM (SELECT doc_id, text, $toks AS t FROM documents))
+       |SELECT doc_id,
+       | md5(norm) AS fp_content,
+       | md5(array_to_string(list_sort(sh), '|')) AS fp_shingle_set,
+       | len(sh) AS n_shingles,
+       | list_min([('0x' || substr(md5(x), 1, 15))::BIGINT for x in sh]) AS min_shingle_hash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_text_tokens"      -> (q15TextTokens _),
+    "q16_text_quality"     -> (q16TextQuality _),
+    "q17_text_langid"      -> (q17LangId _),
+    "q18_text_fingerprint" -> (q18Fingerprint _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q15_text_tokens"      -> q15Sql,
+    "q16_text_quality"     -> q16Sql,
+    "q17_text_langid"      -> q17Sql,
+    "q18_text_fingerprint" -> q18Sql)
+}
