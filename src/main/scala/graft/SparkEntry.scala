@@ -19,7 +19,11 @@ object SparkEntry {
     graft.sql.RelationalQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.dedup.DedupQueries.queries ++
-      graft.sim.SimilarityQueries.queries
+      graft.sim.SimilarityQueries.queries ++
+      graft.tar.PackageQueries.queries ++
+      graft.ingest.Messages.queries ++
+      graft.ingest.Resolution.queries ++
+      graft.ingest.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +31,9 @@ object SparkEntry {
     graft.sql.RelationalQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
-      graft.sim.SimilarityQueries.oracleSql
+      graft.sim.SimilarityQueries.oracleSql ++
+      graft.tar.PackageQueries.oracleSql ++
+      graft.ingest.Messages.oracleSql ++
+      graft.ingest.Resolution.oracleSql ++
+      graft.ingest.IngestQueries.oracleSql
 }

@@ -1,0 +1,97 @@
+package graft.tar
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.GZIPInputStream
+
+import org.apache.commons.compress.archivers.tar.{
+  TarArchiveEntry,
+  TarArchiveInputStream,
+  TarArchiveOutputStream
+}
+import org.apache.commons.compress.compressors.gzip.{
+  GzipCompressorOutputStream,
+  GzipParameters
+}
+
+/** One member of an exploded archive. */
+final case class TarMember(name: String, size: Long, bytes: Array[Byte])
+
+/** Tar(.gz) pack/explode primitives (SURVEY.md S5/S6).
+  *
+  * The reference opens packages record-at-a-time with Python `tarfile.open
+  * (mode="r")` and rescans the member list for every lookup
+  * (`/root/reference/src/ds_caselaw_ingester/file_helpers.py:27,79,87`).
+  * Here an archive is exploded ONCE into (member, bytes) rows inside the
+  * scan stage — a narrow per-row `flatMap`, so at 100 TB each package is
+  * decompressed exactly once on whichever executor holds its `binaryFile`
+  * split, and no shuffle ever carries archive bytes twice.
+  *
+  * Like `tarfile.open(mode="r")`, [[explode]] auto-detects gzip vs plain
+  * tar by the 2-byte gzip magic (two of the reference's golden fixtures are
+  * uncompressed tars with a `.tar.gz` name).
+  *
+  * [[pack]] is the test/fixture-side inverse; every header field that
+  * varies run-to-run (mtime, uid, gid, gzip OS/mtime) is pinned so packing
+  * the same members always yields byte-identical archives — which is what
+  * lets the DuckDB oracle hash-match md5s of round-tripped members.
+  */
+object TarOps {
+
+  private val GzipMagic0 = 0x1f.toByte
+  private val GzipMagic1 = 0x8b.toByte
+
+  /** Explode a tar or tar.gz byte array into its regular-file members. */
+  def explode(archive: Array[Byte]): Seq[TarMember] = {
+    val raw: InputStream = new ByteArrayInputStream(archive)
+    val in: InputStream =
+      if (archive.length >= 2 && archive(0) == GzipMagic0 && archive(1) == GzipMagic1)
+        new GZIPInputStream(raw)
+      else raw
+    val tar = new TarArchiveInputStream(in)
+    try {
+      val out = Seq.newBuilder[TarMember]
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (entry.isFile) {
+          out += TarMember(entry.getName, entry.getSize, tar.readAllBytes())
+        }
+        entry = tar.getNextEntry
+      }
+      out.result()
+    } finally tar.close()
+  }
+
+  /** Deterministically pack (name, bytes) members into a tar.gz. */
+  def pack(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gzParams = new GzipParameters()
+    gzParams.setModificationTime(0L)
+    gzParams.setOperatingSystem(255)
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(bos, gzParams))
+    tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    try {
+      members.foreach { case (name, bytes) =>
+        val e = new TarArchiveEntry(name)
+        e.setSize(bytes.length.toLong)
+        e.setModTime(0L)
+        e.setUserId(0)
+        e.setGroupId(0)
+        tar.putArchiveEntry(e)
+        tar.write(bytes)
+        tar.closeArchiveEntry()
+      }
+    } finally tar.close()
+    bos.toByteArray
+  }
+
+  def packStrings(members: Seq[(String, String)]): Array[Byte] =
+    pack(members.map { case (n, s) => (n, s.getBytes(UTF_8)) })
+
+  /** First member whose name contains `needle`, if any — the reference's
+    * substring-match lookup (`file_helpers.py:27-29,79-81,87-89`). The
+    * reference keeps the LAST match (its loop overwrites); so do we. */
+  def findMember(members: Seq[TarMember], needle: String): Option[TarMember] =
+    if (needle == null || needle.isEmpty) None
+    else members.filter(_.name.contains(needle)).lastOption
+}
