@@ -69,12 +69,16 @@ object SimilarityQueries {
        |ORDER BY qid, rank""".stripMargin
 
   // ---------------------------------------------------------------- q25
-  /** LSH-bucketed approximate top-5: L=8 tables × 8 md5-seeded random
-    * hyperplanes. A query only scores corpus vectors sharing a bucket in
-    * ≥1 table. Approximate by construction → rows-only gate; the spec
-    * asserts recall against q24. */
-  private val Tables_ = 8
-  private val BitsPerTable = 8
+  /** LSH-bucketed approximate top-5: L=16 tables × 6 md5-seeded random
+    * hyperplanes, with distance-1 MULTIPROBE on the query side — each
+    * query also probes the 6 buckets one sign-flip away, which buys the
+    * recall of ~7× more tables while the CORPUS still stores exactly one
+    * bucket row per table (n×L rows — the side that matters at 100 TB;
+    * the probe fan-out rides on the tiny broadcast query set).
+    * Approximate by construction → rows-only correctness gate; the
+    * SimilarityRecallSpec asserts recall@5 ≥ 0.9 against exact q24. */
+  private val Tables_ = 16
+  private val BitsPerTable = 6
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
@@ -95,13 +99,26 @@ object SimilarityQueries {
 
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
+    // corpus: exactly one (table, sig) bucket row per table
     def withBuckets(df: DataFrame, vcol: String): DataFrame =
       df.select(col("*"), explode(array((0 until Tables_).map(t =>
         struct(lit(t).as("t"), sigColumn(col(vcol), t).as("sig"))): _*)).as("b"))
         .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
+    // queries: the exact bucket plus every bucket one sign-flip away
+    def withProbes(df: DataFrame, vcol: String): DataFrame = {
+      val probes = (0 until Tables_).flatMap { t =>
+        val sig = sigColumn(col(vcol), t)
+        (-1 until BitsPerTable).map { b =>
+          val probed = if (b < 0) sig else sig.bitwiseXOR(lit(1 << b))
+          struct(lit(t).as("t"), probed.as("sig"))
+        }
+      }
+      df.select(col("*"), explode(array(probes: _*)).as("b"))
+        .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
+    }
     val corpus = withBuckets(
       e.select(col("vec_id").as("cid"), col("embedding").as("cv")).withColumn("cn", norm(col("cv"))), "cv")
-    val qs = withBuckets(
+    val qs = withProbes(
       e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv")).withColumn("qn", norm(col("qv"))), "qv")
     val cands = corpus.join(broadcast(qs), Seq("t", "sig"))
