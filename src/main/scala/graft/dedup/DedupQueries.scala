@@ -13,10 +13,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Scale design (the 100 TB story):
   *   - exact dedup is one hash-partitioned groupBy on a 16-byte key —
   *     shuffle volume is keys, not documents;
-  *   - the exact Jaccard join (q20) is the *verifier*; its candidate
-  *     generator at scale is MinHash LSH (q21), which shuffles
-  *     O(docs × bands) tiny (band, sig) rows instead of O(docs × shingles)
-  *     shingle rows, then verifies only bucket-mates exactly;
+  *   - the inverted-index pair generator (q20) caps shingle document
+  *     frequency at [[DfCap]]: a shingle shared by d documents otherwise
+  *     yields d² candidates, so one boilerplate phrase melts the shuffle
+  *     at scale. Capped buckets emit pairs from a collected id array —
+  *     bounded fan-out, no exploded self-join;
+  *   - MinHash LSH (q21) shuffles O(docs × bands) tiny (band, sig) rows;
+  *     its 96-hash signature costs ONE md5 per shingle (affine
+  *     Carter–Wegman family, [[graft.text.TextOps.minhashFamily]]), not 96;
   *   - SimHash (q22/q23) reduces every document to one 60-bit word; the
   *     banded self-join finds all pairs within Hamming distance 5 with NO
   *     quadratic pass (pigeonhole over 6 disjoint 10-bit bands).
@@ -32,27 +36,13 @@ object DedupQueries {
       .select(col("doc_id"), shingles(tokens(normText(col("text")))).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  private val toksSql = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+  private val toksSql = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
   private val shinglesSqlCte =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
        |shs AS (SELECT doc_id,
        |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
        |  FROM tk),
        |sh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0)""".stripMargin
-
-  /** Brute-force pairwise-Jaccard SQL (the oracle for both q20 and q21 —
-    * an inverted-index join, exact, feasible at oracle scale). */
-  private def jaccardSql(threshold: Double): String =
-    s"""$shinglesSqlCte,
-       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
-       |SELECT ida, idb, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
-       |FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-       |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $threshold
-       |ORDER BY ida, idb""".stripMargin
 
   /** Exact-verify a (ida, idb) candidate DataFrame against shingle sets. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -80,41 +70,70 @@ object DedupQueries {
       .orderBy(col("content_hash"))
 
   val q19Sql: String =
-    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
-      | min(doc_id) AS rep_doc_id, count(*) AS n_docs
-      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+    s"""SELECT md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS content_hash,
+       | min(doc_id) AS rep_doc_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   // ---------------------------------------------------------------- q20
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via an
-    * inverted-index join on shingles — no quadratic cross join. At scale,
-    * cap shingle document-frequency (drop shingles shared by >k docs)
-    * or switch to q21; here the exact form doubles as q21's oracle. */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
+    * df-capped inverted index: shingles shared by more than [[DfCap]]
+    * documents are dropped from CANDIDATE GENERATION (they are
+    * boilerplate, and each contributes df² pair rows); verification still
+    * uses the full shingle sets. One shuffle groups doc ids per shingle;
+    * pair fan-out per shingle is then bounded by DfCap²/2. */
+  private val DfCap = 32
+
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cands = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("common"))
-      .select(col("ida"), col("idb"))
+    val buckets = ex.groupBy(col("s"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+    // all ordered pairs from each bucket's (sorted, bounded) id array
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ids"))),
+        j => struct(element_at(col("ids"), i).as("ida"), element_at(col("ids"), j).as("idb")))))
+    val cands = buckets
+      .select(explode(pairList).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .distinct()
     verifyJaccard(cands, sh, 0.5)
   }
 
-  val q20Sql: String = jaccardSql(0.5)
+  val q20Sql: String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |dfok AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND $DfCap),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      WHERE a.s IN (SELECT s FROM dfok)),
+       |v AS (SELECT ida, idb,
+       |        len(list_intersect(ca.sh, cb.sh)) AS common, len(ca.sh) AS na, len(cb.sh) AS nb
+       |      FROM p JOIN sh ca ON ida = ca.doc_id JOIN sh cb ON idb = cb.doc_id)
+       |SELECT ida, idb, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |FROM v WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+       |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** MinHash + LSH near-dup pairs (threshold 0.8). 96 md5-seeded min-hashes
-    * per doc, banded 32 × 3: P(candidate | J=0.8) = 1-(1-0.8³)³² ≈ 1-1e-10,
-    * so LSH recall is exact for gate purposes; candidates are then verified
-    * with true Jaccard. The doc→signature pass is one groupBy; the bucket
-    * self-join shuffles only (band, sig, doc_id) rows. */
+  /** MinHash + LSH near-dup pairs (threshold 0.8). 96 min-hashes per doc
+    * from ONE md5 per shingle + the affine Carter–Wegman family, banded
+    * 32 × 3: P(candidate | J=0.8) = 1-(1-0.8³)³² ≈ 1-6e-10, so LSH recall
+    * is exact for gate purposes (the oracle is the full exact Jaccard);
+    * candidates are verified with true Jaccard. The doc→signature pass is
+    * one groupBy; the bucket self-join shuffles only (band, sig, doc_id)
+    * rows. */
   private val NumHashes = 96
   private val BandRows = 3 // 32 bands × 3 rows
 
   def q21MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minAggs = (0 until NumHashes).map(i => min(hex60Seeded(i, col("s"))).as(s"h$i"))
+      .withColumn("bh", hex32Mod(col("s")))
+    val hs = minhashFamily(NumHashes, col("bh"))
+    val minAggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"h$i") }
     val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
     val bandCols = (0 until NumHashes / BandRows).map { b =>
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
@@ -132,7 +151,19 @@ object DedupQueries {
     verifyJaccard(cands, sh, 0.8)
   }
 
-  val q21Sql: String = jaccardSql(0.8)
+  /** Oracle: brute-force pairwise Jaccard at 0.8 (exact; LSH recall at
+    * this threshold is 1 − 6e-10 so the hash compare is safe). */
+  val q21Sql: String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT ida, idb, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+       |FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
+       |ORDER BY ida, idb""".stripMargin
 
   // ---------------------------------------------------------------- q22
   /** SimHash: 60-bit signature = per-bit majority vote over the md5 hashes

@@ -27,10 +27,9 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SimilarityQueries {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product (see [[graft.expr.VecDot]]) — same
+    * double-widening left-fold as DuckDB `list_dot_product`. */
+  private def dot(a: Column, b: Column): Column = graft.expr.VecDot.dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -136,18 +135,28 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q26
-  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs (exact,
-    * oracle-reproducible; LSH candidates replace the cross product at
-    * scale). Norms are precomputed per vector so the pairwise stage does
-    * one dot product per pair. */
+  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs.
+    *
+    * Exact by design: on THIS corpus the true pairs sit at 0.40–0.48
+    * cosine with background pairs just below — a sign-LSH candidate
+    * front-end cannot separate them (p_bit ≈ 0.64 vs 0.5 baseline), so
+    * any bucketing either loses recall or degenerates to all pairs.
+    * The scale posture is therefore: (a) the O(n²) kernel itself is a
+    * single codegen'd primitive loop per pair ([[graft.expr.VecDot]]) over
+    * PRE-NORMALIZED vectors (norms divided out once per vector, not per
+    * pair); (b) at the high-similarity regimes where near-dup dedup
+    * actually operates (≥ 0.7), the q23-style banding / q25 ANN path
+    * replaces the cross product. */
   private val NearDupThreshold = 0.4
 
   def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val v = e.select(col("vec_id"), col("embedding")).withColumn("n", norm(col("embedding")))
-    val a = v.select(col("vec_id").as("ida"), col("embedding").as("va"), col("n").as("na"))
-    val b = v.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("n").as("nb"))
-    val sim = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    // unit-normalize once per vector → the pairwise stage is ONE dot
+    val v = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nn"))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType) / col("nn")).as("u"))
+    val a = v.select(col("vec_id").as("ida"), col("u").as("ua"))
+    val b = v.select(col("vec_id").as("idb"), col("u").as("ub"))
+    val sim = dot(col("ua"), col("ub"))
     a.join(b, col("ida") < col("idb"))
       .select(col("ida"), col("idb"), sim.as("sim"))
       .filter(col("sim") >= NearDupThreshold)
@@ -155,10 +164,14 @@ object SimilarityQueries {
       .orderBy(col("ida"), col("idb"))
   }
 
+  /** Mirrors the engine's normalize-then-dot order exactly (unit vectors
+    * first, one dot per pair) so border-line rounding agrees. */
   val q26Sql: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-       |s AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-       |  list_dot_product(a.ev, b.ev) / (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+    s"""WITH v AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[],
+       |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS u
+       |  FROM embeddings),
+       |s AS (SELECT a.vec_id AS ida, b.vec_id AS idb, list_dot_product(a.u, b.u) AS sim
        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
        |SELECT ida, idb, round(sim, 4) AS sim FROM s WHERE sim >= $NearDupThreshold
        |ORDER BY ida, idb""".stripMargin

@@ -37,22 +37,22 @@ object TextQueries {
     d.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+        regexp_count(col("text"), lit(NotWs + "+")).as("n_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_alpha"),
-        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).as("n_bpe"),
-        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
-          regexp_count(col("text"), lit("\\S+"))).as("mean_token_len"))
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9" + WsChars + "]")).as("n_bpe"),
+        (length(regexp_replace(col("text"), Ws + "+", "")).cast(DoubleType) /
+          nullif(regexp_count(col("text"), lit(NotWs + "+")), lit(0))).as("mean_token_len"))
       .orderBy(col("doc_id"))
   }
 
   val q15Sql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       | length(text) AS n_chars,
-      | len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      | len(regexp_extract_all(text, '$NotWsSql+')) AS n_tokens,
       | len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha,
-      | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
-      | CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-      |   / len(regexp_extract_all(text, '\S+')) AS mean_token_len
+      | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$WsChars]')) AS n_bpe,
+      | CAST(length(regexp_replace(text, '$WsSql+', '', 'g')) AS DOUBLE)
+      |   / nullif(len(regexp_extract_all(text, '$NotWsSql+')), 0) AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q16
@@ -63,8 +63,9 @@ object TextQueries {
     val toks = tokens(normText(col("text")))
     val nChars = length(col("text"))
     val nTokens = size(toks)
-    val stopRatio = (countIn(toks, stopList).cast(DoubleType) / nTokens)
-    val punctRatio = (regexp_count(col("text"), lit("[^a-zA-Z0-9\\s]")).cast(DoubleType) / nChars)
+    val stopRatio = (countIn(toks, stopList).cast(DoubleType) / nullif(nTokens, lit(0)))
+    val punctRatio = (regexp_count(col("text"), lit("[^a-zA-Z0-9" + WsChars + "]")).cast(DoubleType) /
+      nullif(nChars, lit(0)))
     d.select(
         col("doc_id"),
         nChars.as("n_chars"),
@@ -79,9 +80,9 @@ object TextQueries {
   }
 
   val q16Sql: String = {
-    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
-    val stop = s"CAST(${sqlCountIn(toks, stopList)} AS DOUBLE) / len($toks)"
-    val punct = s"CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)"
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    val stop = s"CAST(${sqlCountIn(toks, stopList)} AS DOUBLE) / nullif(len($toks), 0)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9$WsChars]')) AS DOUBLE) / nullif(length(text), 0)"
     s"""SELECT doc_id,
        | length(text) AS n_chars,
        | len($toks) AS n_tokens,
@@ -125,7 +126,7 @@ object TextQueries {
   }
 
   val q17Sql: String = {
-    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     val scores = markers.map { case (l, ws) => s"${sqlCountIn(toks, ws)} AS s_$l" } :+
       s"len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh"
     val langs = markers.map(_._1) :+ "zh"
@@ -157,10 +158,10 @@ object TextQueries {
   }
 
   val q18Sql: String = {
-    val toks = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     val sh = s"list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)])"
     s"""WITH s AS (
-       |  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm, $sh AS sh
+       |  SELECT doc_id, lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))) AS norm, $sh AS sh
        |  FROM (SELECT doc_id, text, $toks AS t FROM documents))
        |SELECT doc_id,
        | md5(norm) AS fp_content,
