@@ -23,7 +23,9 @@ object SparkEntry {
       graft.tar.PackageQueries.queries ++
       graft.ingest.Messages.queries ++
       graft.ingest.Resolution.queries ++
-      graft.ingest.IngestQueries.queries
+      graft.ingest.IngestQueries.queries ++
+      graft.store.UpsertQueries.queries ++
+      graft.media.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +37,7 @@ object SparkEntry {
       graft.tar.PackageQueries.oracleSql ++
       graft.ingest.Messages.oracleSql ++
       graft.ingest.Resolution.oracleSql ++
-      graft.ingest.IngestQueries.oracleSql
+      graft.ingest.IngestQueries.oracleSql ++
+      graft.store.UpsertQueries.oracleSql ++
+      graft.media.MediaQueries.oracleSql
 }

@@ -1,0 +1,132 @@
+package graft.media
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sql.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw media payload row: opaque binary + typed metadata — the multimodal
+  * column pattern (image/audio/video as `binary` with a media_type tag). */
+final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+
+/** Decoded/feature row produced by the per-partition media kernel. */
+final case class MediaFeatures(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    sampled_frames: Int,
+    content_fp: String)
+
+/** Multimodal-column processing (image/audio/video as opaque binary +
+  * typed metadata), Spark-side plumbing made real, codec stubbed.
+  *
+  * Pipeline shape is the one a production multimodal pipeline uses:
+  * binary payloads travel as `BinaryType` rows; decode/feature-extract
+  * runs batched per partition via a typed `mapPartitions` kernel (the
+  * Scala analogue of `mapInPandas` — one iterator of rows per partition,
+  * vectorizable, no per-row driver involvement, narrow: the 100 TB scan
+  * never shuffles). The actual image/audio codec is STUBBED — this
+  * container has no imaging libraries — behind [[MediaKernel.decodeStub]],
+  * which "decodes" the deterministic 16-byte header the synthesizer wrote
+  * (magic, width, height, frame count). Every surrounding piece — binary
+  * encode, schema, partition batching, feature columns — is real and
+  * oracle-checked (q37).
+  */
+object MediaQueries {
+
+  /** Header: magic "GRFT" + width + height + n_frames (big-endian ints). */
+  private[media] val Magic = 0x47524654
+
+  object MediaKernel {
+    /** STUB: a real implementation hands `payload` to an image/audio
+      * decoder (JPEG/PNG/PCM). Here the "decode" reads the synthetic
+      * header — deterministic and environment-free. */
+    def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
+      val bb = ByteBuffer.wrap(media)
+      require(bb.getInt() == Magic, "not a graft media payload")
+      (bb.getInt(), bb.getInt(), bb.getInt())
+    }
+
+    /** Batched per-partition featurize — the mapInPandas-shaped kernel.
+      * The content fingerprint is md5 of the payload BODY (after the
+      * 16-byte header). */
+    def featurize(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val (w, h, frames) = decodeStub(r.media)
+        md.reset()
+        md.update(r.media, 16, r.media.length - 16)
+        val fp = md.digest().map(b => f"$b%02x").mkString
+        MediaFeatures(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = r.media.length.toLong,
+          width = w,
+          height = h,
+          n_frames = frames,
+          sampled_frames = math.min(8, frames),
+          content_fp = fp)
+      }
+    }
+  }
+
+  /** Build the synthetic media payload for a document: 16-byte header +
+    * UTF-8 text body. Width/height/frames are deterministic functions of
+    * doc_id so the oracle can recompute them without decoding. */
+  private[media] def encode(docId: Long, text: String): Array[Byte] = {
+    val body = text.getBytes(UTF_8)
+    val bb = ByteBuffer.allocate(16 + body.length)
+    bb.putInt(Magic)
+    bb.putInt(64 + (docId % 512).toInt)
+    bb.putInt(64 + (docId % 256).toInt)
+    bb.putInt(1 + (docId % 24).toInt)
+    bb.put(body)
+    bb.array()
+  }
+
+  // ---------------------------------------------------------------- q37
+  /** Binary encode → partition-batched decode/featurize → typed feature
+    * columns. The oracle recomputes width/height/frames from doc_id and
+    * the fingerprint/size from the text — only a byte-faithful binary
+    * round-trip plus correct header parsing can match. */
+  def q37MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val mt = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        MediaRow(id, mt, encode(id, text))
+      }
+    media
+      .mapPartitions(MediaKernel.featurize _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q37Sql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) + 16 AS n_bytes,
+      |  CAST(64 + doc_id % 512 AS INT) AS width,
+      |  CAST(64 + doc_id % 256 AS INT) AS height,
+      |  CAST(1 + doc_id % 24 AS INT) AS n_frames,
+      |  CAST(least(8, 1 + doc_id % 24) AS INT) AS sampled_frames,
+      |  md5(text) AS content_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_media_features" -> (q37MediaFeatures _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q37_media_features" -> q37Sql)
+}

@@ -1,0 +1,113 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed document store — the engine's stand-in for the
+  * reference's MarkLogic + S3 sinks (SURVEY.md W1–W8/J4; the reference's
+  * write surface is `/root/reference/src/ds_caselaw_ingester/ingester.py:
+  * 225-284,327-418,459-483`). Tables:
+  *
+  *   - `documents`   (uri, xml, doc_type, annotation_message, automated,
+  *                    upload_state, version) — MERGE on uri; updates bump
+  *                    `version` (MarkLogic keeps version history; the
+  *                    store keeps the head + a monotone counter);
+  *   - `identifiers` (document_uri, id_kind, id_value, id_type) — append
+  *                    (W2), also the dimension J1–J3 joins against;
+  *   - `properties`  (uri, name, value) — upsert on (uri, name) (W3/W4);
+  *   - `assets`      (uri, asset_type, dest_filename) — append (W5–W8);
+  *   - `notifications` (uri, action, payload) — append (W9);
+  *   - `failures`    (msg_id, error, terminal) — the partial-batch /
+  *                    DLQ table (W11).
+  *
+  * MERGE here is read-join-overwrite on the small head table: the engine's
+  * request batches join against store state ONCE per micro-batch (the
+  * reference does one MarkLogic round-trip per record). On a cluster this
+  * becomes a Delta/Iceberg MERGE INTO; the logical plan — updates
+  * left-join current head — is identical.
+  */
+final case class LocalStore(spark: SparkSession, base: String) {
+
+  Files.createDirectories(Paths.get(base))
+
+  private def path(t: String) = s"$base/$t"
+  private def exists(t: String) = Files.exists(Paths.get(path(t)))
+
+  def read(t: String): Option[DataFrame] =
+    if (exists(t)) Some(spark.read.parquet(path(t))) else None
+
+  private def write(t: String, df: DataFrame): Unit = {
+    // write via temp + swap so a MERGE can read its own previous state
+    val tmp = s"$base/.tmp_$t"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val materialized = spark.read.parquet(tmp)
+    materialized.write.mode(SaveMode.Overwrite).parquet(path(t))
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  private def append(t: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(t))
+
+  /** W1/J4: MERGE the batch into `documents` on uri. New URIs insert at
+    * version 1; existing ones take the new XML/annotation and bump the
+    * version counter. */
+  def upsertDocuments(updates: DataFrame): Unit = {
+    // one row per uri per batch (duplicate deliveries within a batch pick
+    // a deterministic winner; callers with a real order pre-dedup)
+    val u = updates
+      .select("uri", "xml", "doc_type", "annotation_message", "automated", "upload_state")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val merged = read("documents") match {
+      case None => u.withColumn("version", lit(1))
+      case Some(cur) =>
+        val updated = u.as("u")
+          .join(cur.select(col("uri"), col("version")).as("c"), Seq("uri"), "left")
+          .select(col("uri"), col("xml"), col("doc_type"), col("annotation_message"),
+            col("automated"), col("upload_state"),
+            (coalesce(col("version"), lit(0)) + 1).as("version"))
+        val untouched = cur.join(u.select("uri"), Seq("uri"), "left_anti")
+        untouched.unionByName(updated)
+    }
+    write("documents", merged)
+  }
+
+  /** W2: append identifier rows (document_uri, id_kind, id_value, id_type). */
+  def appendIdentifiers(rows: DataFrame): Unit = append("identifiers", rows)
+
+  /** W3/W4: upsert properties on (uri, name) — reference `set_property`
+    * overwrites. */
+  def upsertProperties(rows: DataFrame): Unit = {
+    val u = rows.select("uri", "name", "value").dropDuplicates("uri", "name")
+    val merged = read("properties") match {
+      case None => u
+      case Some(cur) => cur.join(u, Seq("uri", "name"), "left_anti").unionByName(u)
+    }
+    write("properties", merged)
+  }
+
+  /** W5–W8: append asset-copy records. */
+  def appendAssets(rows: DataFrame): Unit = append("assets", rows)
+
+  /** W9: append notification records. */
+  def appendNotifications(rows: DataFrame): Unit = append("notifications", rows)
+
+  /** W11: append per-message failures (the DLQ table). */
+  def appendFailures(rows: DataFrame): Unit = append("failures", rows)
+
+  def documents: DataFrame = read("documents").getOrElse(emptyDocs)
+  def failures: DataFrame = read("failures").getOrElse {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean)].toDF("msg_id", "error", "terminal")
+  }
+
+  private def emptyDocs: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String, Boolean, String, Int)]
+      .toDF("uri", "xml", "doc_type", "annotation_message", "automated", "upload_state", "version")
+  }
+}
