@@ -44,12 +44,23 @@ object DedupQueries {
        |  FROM tk),
        |sh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0)""".stripMargin
 
-  /** Exact-verify a (ida, idb) candidate DataFrame against shingle sets. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  /** Hashed shingle sets: one 60-bit hash per shingle. Every downstream
+    * shuffle/join/intersect then carries 8-byte longs instead of ~25-byte
+    * strings (3× smaller shuffles, primitive compares in the intersect).
+    * Within-pair hash collisions would perturb the Jaccard estimate with
+    * probability ~ |sh|²/2⁶⁰ per pair — immaterial. */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), shingleHashes(tokens(normText(col("text")))).as("shh"))
+      .filter(size(col("shh")) > 0)
+
+  /** Exact-verify a (ida, idb) candidate DataFrame against hashed shingle
+    * sets. */
+  private def verifyJaccard(cands: DataFrame, shh: DataFrame, threshold: Double): DataFrame = {
     val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
     cands
-      .join(sh.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
-      .join(sh.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+      .join(shh.select(col("doc_id").as("ida"), col("shh").as("sha")), "ida")
+      .join(shh.select(col("doc_id").as("idb"), col("shh").as("shb")), "idb")
       .select(col("ida"), col("idb"),
         size(array_intersect(col("sha"), col("shb"))).as("common"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
@@ -84,9 +95,9 @@ object DedupQueries {
   private val DfCap = 32
 
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val buckets = ex.groupBy(col("s"))
+    val shh = docShingleHashes(spark, dir)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val buckets = ex.groupBy(col("h"))
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
     // all ordered pairs from each bucket's (sorted, bounded) id array
@@ -99,7 +110,7 @@ object DedupQueries {
       .select(explode(pairList).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .distinct()
-    verifyJaccard(cands, sh, 0.5)
+    verifyJaccard(cands, shh, 0.5)
   }
 
   val q20Sql: String =
@@ -129,9 +140,11 @@ object DedupQueries {
   private val BandRows = 3 // 32 bands × 3 rows
 
   def q21MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("bh", hex32Mod(col("s")))
+    val shh = docShingleHashes(spark, dir)
+    // base hash = top 32 bits of the shared 60-bit md5 hash (the first 8
+    // hex chars of the same digest) — zero extra md5 work
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
+      .withColumn("bh", shiftright(col("h"), 28) % MinHashPrime)
     val hs = minhashFamily(NumHashes, col("bh"))
     val minAggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"h$i") }
     val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -148,7 +161,7 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    verifyJaccard(cands, sh, 0.8)
+    verifyJaccard(cands, shh, 0.8)
   }
 
   /** Oracle: brute-force pairwise Jaccard at 0.8 (exact; LSH recall at

@@ -6,29 +6,34 @@ import org.apache.spark.sql.{Column, GraftExprBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word k-shingles of a token array, as one tight loop.
+/** Distinct word k-shingles of a token array, as one tight loop — plain
+  * (`array<string>`) or pre-hashed (`array<bigint>`, 60-bit md5 prefix per
+  * shingle, identical to [[graft.text.TextOps.hex60]]).
   *
   * The built-in formulation —
   * `array_distinct(transform(sequence(1, n-k+1), i -> concat_ws(' ',
-  * tokens[i], …, tokens[i+k-1])))` — evaluates four nested higher-order /
-  * collection expressions PER ELEMENT in interpreted mode (HOFs are
-  * CodegenFallback); on the dedup pipeline that chain alone dominated the
-  * bench. This expression does one pass with a linked hash set (first-
-  * occurrence order, matching both `array_distinct` and DuckDB
-  * `list_distinct`) and `UTF8String.concat` for zero-copy joins.
+  * tokens[i], …, tokens[i+k-1])))`, optionally followed by
+  * `transform(sh, s -> conv(substring(md5(s),1,15),16,10))` — evaluates
+  * several higher-order expressions PER ELEMENT in interpreted mode (HOFs
+  * are CodegenFallback); on the dedup pipeline that chain alone dominated
+  * the bench. This expression does one pass with a linked hash set
+  * (first-occurrence order, matching both `array_distinct` and DuckDB
+  * `list_distinct`) and, in hashed mode, one md5 per shingle inside the
+  * same loop.
   *
   * Fewer than k tokens → empty array (the `sequence()` guard case).
   * Null tokens inside the array are treated as empty strings (they do not
   * occur after `normText` splitting, but the expression must not NPE).
   */
-case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, k: Int, hashed: Boolean) extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (hashed) LongType else StringType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -40,6 +45,18 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     }
 
   private val space = UTF8String.fromString(" ")
+
+  /** First 60 bits of md5(s) — `('0x'||substr(md5(s),1,15))::BIGINT`. */
+  private def hex60(md: java.security.MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    val u64 =
+      ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
+        ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
+        ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+        ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+    u64 >>> 4
+  }
 
   /** Row-level kernel (also called from generated code). */
   def shingle(arr: ArrayData): ArrayData = {
@@ -58,7 +75,9 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
       seen += s
       i += 1
     }
-    new GenericArrayData(seen.toArray[Any])
+    if (!hashed) return new GenericArrayData(seen.toArray[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    new GenericArrayData(seen.iterator.map(s => hex60(md, s): Any).toArray)
   }
 
   override def nullSafeEval(input: Any): Any = shingle(input.asInstanceOf[ArrayData])
@@ -71,10 +90,14 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String = if (hashed) "word_shingle_hashes" else "word_shingles"
 }
 
 object WordShingles {
   def of(tokens: Column, k: Int): Column =
-    GraftExprBridge.column(WordShingles(GraftExprBridge.expression(tokens), k))
+    GraftExprBridge.column(WordShingles(GraftExprBridge.expression(tokens), k, hashed = false))
+
+  /** Hashed variant: distinct shingles already reduced to hex60 longs. */
+  def hashedOf(tokens: Column, k: Int): Column =
+    GraftExprBridge.column(WordShingles(GraftExprBridge.expression(tokens), k, hashed = true))
 }

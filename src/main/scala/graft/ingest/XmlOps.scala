@@ -42,17 +42,24 @@ object XmlOps {
     regexp_replace(lt, ">", "&gt;")
   }
 
-  /** Clark-notation root tag `{ns}local` (lxml's `Element.tag` format), or
-    * plain local name when the root has no namespace; null when the input
-    * is null or not well-formed XML. */
-  def parseRootTag(xml: String): String = {
-    if (xml == null) return null
+  /** One secured factory per thread — `SAXParserFactory.newInstance()` is
+    * a service-loader lookup and dominated the per-row parse cost. */
+  private val factories = ThreadLocal.withInitial[SAXParserFactory] { () =>
     val factory = SAXParserFactory.newInstance()
     factory.setNamespaceAware(true)
     factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
     factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     factory.setFeature("http://xml.org/sax/features/external-general-entities", false)
     factory.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    factory
+  }
+
+  /** Clark-notation root tag `{ns}local` (lxml's `Element.tag` format), or
+    * plain local name when the root has no namespace; null when the input
+    * is null or not well-formed XML. */
+  def parseRootTag(xml: String): String = {
+    if (xml == null) return null
+    val factory = factories.get()
     var root: String = null
     var rootNameAttr: String = null
     val handler = new DefaultHandler {
@@ -71,10 +78,7 @@ object XmlOps {
   /** Root `name` attribute (the press-summary discriminator), or null. */
   def parseRootNameAttr(xml: String): String = {
     if (xml == null) return null
-    val factory = SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
-    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val factory = factories.get()
     var attr: String = null
     var seen = false
     val handler = new DefaultHandler {
@@ -92,10 +96,7 @@ object XmlOps {
     * one level in. Null on parse failure. */
   def parseFirstChildTag(xml: String): String = {
     if (xml == null) return null
-    val factory = SAXParserFactory.newInstance()
-    factory.setNamespaceAware(true)
-    factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
-    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    val factory = factories.get()
     var depth = 0
     var child: String = null
     var childName: String = null

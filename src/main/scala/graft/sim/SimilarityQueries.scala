@@ -115,15 +115,21 @@ object SimilarityQueries {
       df.select(col("*"), explode(array(probes: _*)).as("b"))
         .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
     }
-    val corpus = withBuckets(
-      e.select(col("vec_id").as("cid"), col("embedding").as("cv")).withColumn("cn", norm(col("cv"))), "cv")
-    val qs = withProbes(
-      e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")).withColumn("qn", norm(col("qv"))), "qv")
+    val corpusBase = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val queryBase = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val corpus = withBuckets(corpusBase.select("cid", "cv"), "cv").select("cid", "t", "sig")
+    val qs = withProbes(queryBase.select("qid", "qv"), "qv").select("qid", "t", "sig")
+    // dedup candidate IDs first — the shuffle carries (qid, cid) pairs,
+    // never vectors; vectors re-attach once per surviving candidate
     val cands = corpus.join(broadcast(qs), Seq("t", "sig"))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("qn"), col("cid"), col("cv"), col("cn"))
+      .select(col("qid"), col("cid"))
       .dropDuplicates("qid", "cid")
+      .join(corpusBase, "cid")
+      .join(broadcast(queryBase), "qid")
     val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     cands

@@ -92,4 +92,9 @@ object TextOps {
     * (`array_distinct(transform(sequence…))`) was the bench bottleneck. */
   def shingles(toks: Column, k: Int = 3): Column =
     graft.expr.WordShingles.of(toks, k)
+
+  /** Distinct word k-shingles pre-hashed to hex60 longs in the same
+    * kernel pass (≡ `transform(shingles(toks), hex60)`). */
+  def shingleHashes(toks: Column, k: Int = 3): Column =
+    graft.expr.WordShingles.hashedOf(toks, k)
 }

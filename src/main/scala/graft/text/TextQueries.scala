@@ -153,7 +153,7 @@ object TextQueries {
         md5(norm).as("fp_content"),
         md5(concat_ws("|", array_sort(sh))).as("fp_shingle_set"),
         size(sh).as("n_shingles"),
-        array_min(transform(sh, s => hex60(s))).as("min_shingle_hash"))
+        array_min(shingleHashes(tokens(norm))).as("min_shingle_hash"))
       .orderBy(col("doc_id"))
   }
 
