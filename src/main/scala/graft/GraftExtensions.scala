@@ -1,0 +1,46 @@
+package graft
+
+import graft.expr.{VecDot, WordShingles}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom codegen expressions as
+  * SQL functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works
+  * anywhere the library is on the classpath. Activated via
+  * `spark.sql.extensions=graft.GraftExtensions` (GraftSession sets it).
+  *
+  * This is the `SparkSessionExtensions` integration point SURVEY.md §7.4
+  * reserves for operators the built-in surface can't express efficiently;
+  * the expressions themselves live in `graft/expr/`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes exactly 2 array arguments")
+        VecDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(tokens, k) takes 2 arguments")
+        WordShingles(args.head, intLit(args(1), "k"), hashed = false)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingle_hashes(tokens, k) takes 2 arguments")
+        WordShingles(args.head, intLit(args(1), "k"), hashed = true)
+      }))
+  }
+}

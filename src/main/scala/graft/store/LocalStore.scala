@@ -76,8 +76,17 @@ final case class LocalStore(spark: SparkSession, base: String) {
     write("documents", merged)
   }
 
-  /** W2: append identifier rows (document_uri, id_kind, id_value, id_type). */
-  def appendIdentifiers(rows: DataFrame): Unit = append("identifiers", rows)
+  /** W2: add identifier rows (document_uri, id_kind, id_value, id_type).
+    * Idempotent: a redelivered package must not duplicate its identifier
+    * (the reference adds to a set and warns — `ingester.py:267-279`). */
+  def appendIdentifiers(rows: DataFrame): Unit = {
+    val u = rows.dropDuplicates("document_uri", "id_kind", "id_value")
+    val fresh = read("identifiers") match {
+      case None => u
+      case Some(cur) => u.join(cur, Seq("document_uri", "id_kind", "id_value"), "left_anti")
+    }
+    append("identifiers", fresh)
+  }
 
   /** W3/W4: upsert properties on (uri, name) — reference `set_property`
     * overwrites. */
@@ -90,8 +99,16 @@ final case class LocalStore(spark: SparkSession, base: String) {
     write("properties", merged)
   }
 
-  /** W5–W8: append asset-copy records. */
-  def appendAssets(rows: DataFrame): Unit = append("assets", rows)
+  /** W5–W8: add asset-copy records. Idempotent on the destination key —
+    * the reference overwrites the same S3 keys on redelivery. */
+  def appendAssets(rows: DataFrame): Unit = {
+    val u = rows.dropDuplicates("uri", "asset_type", "dest_filename")
+    val fresh = read("assets") match {
+      case None => u
+      case Some(cur) => u.join(cur, Seq("uri", "asset_type", "dest_filename"), "left_anti")
+    }
+    append("assets", fresh)
+  }
 
   /** W9: append notification records. */
   def appendNotifications(rows: DataFrame): Unit = append("notifications", rows)
