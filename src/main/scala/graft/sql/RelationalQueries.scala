@@ -365,6 +365,114 @@ object RelationalQueries {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** CUBE over (mktsegment, nation): all four grouping combinations in
+    * one pass — the full grouping-sets surface beyond q07's rollup.
+    * `grouping()` flags disambiguate real NULLs from subtotal rows. */
+  def q38CubeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("sum_acctbal"),
+        grouping(col("c_mktsegment")).as("g_seg"),
+        grouping(col("n_name")).as("g_nat"))
+      .orderBy(col("g_seg"), col("g_nat"), col("c_mktsegment"), col("n_name"))
+  }
+
+  val q38Sql: String =
+    """SELECT c_mktsegment, n_name, count(*) AS n_customers,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+      | CAST(grouping(c_mktsegment) AS TINYINT) AS g_seg,
+      | CAST(grouping(n_name) AS TINYINT) AS g_nat
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (c_mktsegment, n_name)
+      |ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Distribution stats per returnflag: exact DISCRETE percentiles
+    * (median/p90) — `percentile_disc` returns an actual data value, so
+    * both engines emit bit-identical doubles (continuous interpolation
+    * differs in the last ulp across engines). At scale the same query
+    * swaps in `approx_percentile` with a documented error bound. */
+  def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90_price"),
+        min(dec(col("l_extendedprice"))).cast(DoubleType).as("min_price"),
+        max(dec(col("l_extendedprice"))).cast(DoubleType).as("max_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q39Sql: String =
+    """SELECT l_returnflag,
+      | CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p50_price,
+      | CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS p90_price,
+      | CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      | CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Pivot: order counts + total value per customer segment (rows) by
+    * order status (columns). Spark `pivot` with explicit values keeps the
+    * plan a single aggregate; the oracle spells the same contract with
+    * conditional aggregation. */
+  def q40PivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("c_mktsegment"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q40Sql: String =
+    """SELECT c_mktsegment,
+      | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Correlated-subquery shape: customers whose account balance exceeds
+    * the average of their nation (decorrelates to an aggregate + join —
+    * Catalyst and DuckDB both rewrite it; the declared form is the
+    * correlated predicate). */
+  def q41AboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val natAvg = t.customer.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(dec(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("nation_avg"))
+    t.customer
+      .join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal").cast(DoubleType) > col("nation_avg"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast(DoubleType).as("acctbal"),
+        col("nation_avg"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q41Sql: String =
+    """WITH na AS (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS nation_avg
+      |  FROM customer GROUP BY 1)
+      |SELECT c_custkey, c_name,
+      | CAST(c_acctbal AS DOUBLE) AS acctbal,
+      | nation_avg
+      |FROM customer JOIN na ON c_nationkey = nk
+      |WHERE CAST(c_acctbal AS DOUBLE) > nation_avg
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -381,7 +489,11 @@ object RelationalQueries {
     "q11_events_window_hourly"  -> (q11EventsHourly _),
     "q12_events_sessionize"     -> (q12EventsSessionize _),
     "q13_events_json_props"     -> (q13EventsJsonProps _),
-    "q14_asof_join"             -> (q14AsOfJoin _))
+    "q14_asof_join"             -> (q14AsOfJoin _),
+    "q38_cube_customers"        -> (q38CubeCustomers _),
+    "q39_percentiles"           -> (q39Percentiles _),
+    "q40_pivot_status"          -> (q40PivotStatus _),
+    "q41_above_nation_avg"      -> (q41AboveNationAvg _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary"   -> q01Sql,
@@ -397,5 +509,9 @@ object RelationalQueries {
     "q11_events_window_hourly"  -> q11Sql,
     "q12_events_sessionize"     -> q12Sql,
     "q13_events_json_props"     -> q13Sql,
-    "q14_asof_join"             -> q14Sql)
+    "q14_asof_join"             -> q14Sql,
+    "q38_cube_customers"        -> q38Sql,
+    "q39_percentiles"           -> q39Sql,
+    "q40_pivot_status"          -> q40Sql,
+    "q41_above_nation_avg"      -> q41Sql)
 }
