@@ -181,9 +181,35 @@ object Messages {
       |       WHEN doc_id % 3 = 0 AND doc_id % 10 = 6 THEN 'InvalidMessageException' END AS error
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** W11 batch-failure report over the q29 event mix: only failed records
+    * that arrived via SQS carry a reportable id (`batchItemFailures`,
+    * `lambda_function.py:131-137`); SNS failures vanish (at-most-once).
+    * The `terminal` flag is the O3 taxonomy routing
+    * ([[graft.model.IngestError]]) as a column — terminal errors go to
+    * the DLQ once, retryables are eligible for redelivery. */
+  def q42FailureReport(spark: SparkSession, dir: String): DataFrame = {
+    val decoded = q29MessageDecode(spark, dir)
+    val terminalNames = graft.model.IngestError.all.filter(_.terminal).map(_.name)
+    decoded
+      .filter(col("error").isNotNull && col("msg_id").isNotNull)
+      .select(col("doc_id"), col("msg_id"), col("error"),
+        col("error").isin(terminalNames: _*).as("terminal"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id, 'msg-' || doc_id AS msg_id,
+      | 'InvalidMessageException' AS error, true AS terminal
+      |FROM documents
+      |WHERE doc_id % 3 = 2 OR (doc_id % 3 = 0 AND doc_id % 10 = 6)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_message_decode" -> (q29MessageDecode _))
+    "q29_message_decode" -> (q29MessageDecode _),
+    "q42_failure_report" -> (q42FailureReport _))
 
   val oracleSql: Map[String, String] = Map(
-    "q29_message_decode" -> q29Sql)
+    "q29_message_decode" -> q29Sql,
+    "q42_failure_report" -> q42Sql)
 }

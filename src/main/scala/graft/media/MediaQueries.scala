@@ -124,9 +124,58 @@ object MediaQueries {
       |  md5(text) AS content_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Frame sampling: video payloads explode to one row per sampled frame
+    * with REAL byte accounting — each frame is a [[FrameBytes]]-byte slice
+    * of the payload body, offsets/lengths computed in the kernel from the
+    * actual binary and verified by the oracle's octet_length arithmetic.
+    * The frame "decode" (pixels) stays stubbed like q37's codec; the
+    * Spark-side plumbing (binary rows → per-partition slicing → explode)
+    * is the real multimodal shape. */
+  private val FrameBytes = 97
+
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Int, frame_off: Long, frame_len: Long, frame_tag: String)
+
+  def q43MediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2) // the "video" rows of q37's cycle
+      .as[(Long, String)]
+      .map { case (id, text) => MediaRow(id, "video", encode(id, text)) }
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val (_, _, frames) = MediaKernel.decodeStub(r.media)
+        val sampled = math.min(8, frames)
+        val bodyLen = r.media.length - 16
+        (0 until sampled).iterator.map { i =>
+          val off = i.toLong * FrameBytes
+          val len = math.max(0L, math.min(FrameBytes.toLong, bodyLen - off))
+          md.reset()
+          val tag = md.digest(s"${r.doc_id}:$i".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          FrameRow(r.doc_id, i, off, len, tag)
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val q43Sql: String =
+    s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       |  i * $FrameBytes AS frame_off,
+       |  greatest(0, least($FrameBytes, octet_length(encode(text)) - i * $FrameBytes)) AS frame_len,
+       |  md5(doc_id || ':' || i) AS frame_tag
+       |FROM documents, unnest(range(least(8, 1 + doc_id % 24))) AS t(i)
+       |WHERE doc_id % 3 = 2
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_media_features" -> (q37MediaFeatures _))
+    "q37_media_features" -> (q37MediaFeatures _),
+    "q43_media_frames"   -> (q43MediaFrames _))
 
   val oracleSql: Map[String, String] = Map(
-    "q37_media_features" -> q37Sql)
+    "q37_media_features" -> q37Sql,
+    "q43_media_frames"   -> q43Sql)
 }
