@@ -256,9 +256,50 @@ object DedupQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Dedup representative selection — the decision a training-corpus
+    * pipeline actually makes: within each exact-duplicate cluster keep
+    * the HIGHEST-QUALITY copy (ties → lowest doc_id), emit the keep id,
+    * cluster size, and how many rows get dropped. One narrow scoring pass
+    * + one window over the 16-byte content hash (same shuffle key as
+    * q19 — at scale the two dedup stages share a partitioning). */
+  def q44DedupSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(normText(col("text"))).as("content_hash"),
+        graft.text.TextQueries.qualityScore(col("text")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+      .orderBy(col("q").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+      .filter(col("rn") === 1)
+      .select(col("content_hash"), col("doc_id").as("keep_doc_id"),
+        col("q").as("keep_quality"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy(col("content_hash"))
+  }
+
+  val q44Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS content_hash,
+       |    ${graft.text.TextQueries.qualityScoreSql} AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY content_hash ORDER BY q DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY content_hash) AS n_docs
+       |  FROM scored)
+       |SELECT content_hash, doc_id AS keep_doc_id, q AS keep_quality, n_docs,
+       |  n_docs - 1 AS n_dropped
+       |FROM r WHERE rn = 1 ORDER BY content_hash""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_dedup_select"        -> (q44DedupSelect _),
     "q19_dedup_exact"         -> (q19DedupExact _),
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
@@ -266,6 +307,7 @@ object DedupQueries {
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q44_dedup_select"        -> q44Sql,
     "q19_dedup_exact"         -> q19Sql,
     "q20_dedup_ngram_jaccard" -> q20Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,

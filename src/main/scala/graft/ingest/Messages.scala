@@ -192,6 +192,11 @@ object Messages {
     val decoded = q29MessageDecode(spark, dir)
     val terminalNames = graft.model.IngestError.all.filter(_.terminal).map(_.name)
     decoded
+      // barrier: predicate pushdown would substitute the full double-JSON
+      // decode chain into the filter condition (re-evaluating it per row on
+      // top of the projection's copy — measured ~9x slower); a
+      // non-deterministic column pins the filter above the decode Project
+      .withColumn("_barrier", monotonically_increasing_id())
       .filter(col("error").isNotNull && col("msg_id").isNotNull)
       .select(col("doc_id"), col("msg_id"), col("error"),
         col("error").isin(terminalNames: _*).as("terminal"))

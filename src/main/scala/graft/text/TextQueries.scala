@@ -56,6 +56,32 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q16
+  /** The 0..1 additive quality score of a text column (shared with q44's
+    * dedup representative selection). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(normText(text))
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val stopRatio = (countIn(toks, stopList).cast(DoubleType) / nullif(nTokens, lit(0)))
+    val punctRatio = (regexp_count(text, lit("[^a-zA-Z0-9" + WsChars + "]")).cast(DoubleType) /
+      nullif(nChars, lit(0)))
+    when(nChars.between(100, 20000), 0.25).otherwise(0.0) +
+      when(nTokens >= 20, 0.25).otherwise(0.0) +
+      when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
+      when(punctRatio < 0.1, 0.25).otherwise(0.0)
+  }
+
+  /** The same score as a DuckDB SQL expression over a column named `text`. */
+  val qualityScoreSql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    val stop = s"CAST(${sqlCountIn(toks, stopList)} AS DOUBLE) / nullif(len($toks), 0)"
+    val punct = s"CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9$WsChars]')) AS DOUBLE) / nullif(length(text), 0)"
+    s"""(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN len($toks) >= 20 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN $stop BETWEEN 0.01 AND 0.5 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN $punct < 0.1 THEN 0.25 ELSE 0.0 END)""".stripMargin
+  }
+
   /** Quality scoring: length band, token count, stopword ratio, punctuation
     * ratio → additive 0..1 score. The classic pre-training corpus filter. */
   def q16TextQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -72,10 +98,7 @@ object TextQueries {
         nTokens.as("n_tokens"),
         stopRatio.as("stop_ratio"),
         punctRatio.as("punct_ratio"),
-        (when(nChars.between(100, 20000), 0.25).otherwise(0.0) +
-          when(nTokens >= 20, 0.25).otherwise(0.0) +
-          when(stopRatio.between(0.01, 0.5), 0.25).otherwise(0.0) +
-          when(punctRatio < 0.1, 0.25).otherwise(0.0)).as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
