@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * column pattern (image/audio/video as `binary` with a media_type tag). */
 final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
 
-/** Decoded/feature row produced by the per-partition media kernel. */
+/** Decoded/feature row produced by the per-partition media kernel.
+  * `resized_w/h` = fit-within-224×224 aspect-preserving resize plan. */
 final case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
     width: Int,
     height: Int,
+    resized_w: Int,
+    resized_h: Int,
     n_frames: Int,
     sampled_frames: Int,
     content_fp: String)
@@ -62,12 +65,17 @@ object MediaQueries {
         md.reset()
         md.update(r.media, 16, r.media.length - 16)
         val fp = md.digest().map(b => f"$b%02x").mkString
+        // resize plan: fit within 224×224 preserving aspect (never scale
+        // up); the pixel resample itself is the stubbed codec's job
+        val scale = math.min(1.0, math.min(224.0 / w, 224.0 / h))
         MediaFeatures(
           doc_id = r.doc_id,
           media_type = r.media_type,
           n_bytes = r.media.length.toLong,
           width = w,
           height = h,
+          resized_w = math.floor(w * scale).toInt,
+          resized_h = math.floor(h * scale).toInt,
           n_frames = frames,
           sampled_frames = math.min(8, frames),
           content_fp = fp)
@@ -114,15 +122,24 @@ object MediaQueries {
   }
 
   val q37Sql: String =
-    """SELECT doc_id,
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    CAST(64 + doc_id % 512 AS INT) AS width,
+      |    CAST(64 + doc_id % 256 AS INT) AS height
+      |  FROM documents),
+      |s AS (SELECT *, least(CAST(1.0 AS DOUBLE),
+      |        least(CAST(224.0 AS DOUBLE) / width, CAST(224.0 AS DOUBLE) / height)) AS scale
+      |      FROM m)
+      |SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
       |  octet_length(encode(text)) + 16 AS n_bytes,
-      |  CAST(64 + doc_id % 512 AS INT) AS width,
-      |  CAST(64 + doc_id % 256 AS INT) AS height,
+      |  width, height,
+      |  CAST(floor(width * scale) AS INT) AS resized_w,
+      |  CAST(floor(height * scale) AS INT) AS resized_h,
       |  CAST(1 + doc_id % 24 AS INT) AS n_frames,
       |  CAST(least(8, 1 + doc_id % 24) AS INT) AS sampled_frames,
       |  md5(text) AS content_fp
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM s ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q43
   /** Frame sampling: video payloads explode to one row per sampled frame

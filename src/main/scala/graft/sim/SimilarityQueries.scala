@@ -164,12 +164,95 @@ object SimilarityQueries {
        |SELECT ida, idb, round(sim, 4) AS sim FROM s WHERE sim >= $NearDupThreshold
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest of [[IvfLists]] centroid lists; a query scores
+    * only the [[IvfProbes]] lists whose centroids are closest (classic
+    * IVF-Flat). Centroids are deterministic — the first K corpus vectors
+    * refined by two Lloyd iterations computed ONCE driver-side on a tiny
+    * sample — so the partition layout is reproducible run to run.
+    *
+    * Scale shape: corpus assignment is one narrow pass (K small dots per
+    * row via [[graft.expr.VecDot]]); each list is a hash-partition key, so
+    * at 100 TB the inverted file IS the partitioning and a query touches
+    * probes/K of the data. Approximate → rows-only gate;
+    * SimilarityRecallSpec pins recall@5 ≥ 0.9 against exact q24. */
+  private val IvfLists = 16
+  // these embeddings are near-uniform (little cluster structure), so IVF
+  // needs half the lists probed for recall ≥ 0.9; on genuinely clustered
+  // embeddings probes << lists is the norm and the ratio is the speedup
+  private val IvfProbes = 8
+  private val IvfSample = 512
+
+  def q45SimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+
+    // deterministic coarse quantizer: seed with the first K vectors, then
+    // two Lloyd iterations over a bounded sample (driver-side, tiny)
+    val sample = e.filter(col("vec_id") < IvfSample)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = sample.take(IvfLists)
+    for (_ <- 0 until 2) {
+      val assign = sample.map { v =>
+        centroids.zipWithIndex.minBy { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          (d, i)
+        }._2
+      }
+      centroids = (0 until IvfLists).map { k =>
+        val members = sample.zip(assign).collect { case (v, a) if a == k => v }
+        if (members.isEmpty) centroids(k)
+        else {
+          val acc = new Array[Double](members.head.length)
+          members.foreach(v => { var j = 0; while (j < v.length) { acc(j) += v(j); j += 1 } })
+          acc.map(_ / members.length)
+        }
+      }.toArray
+    }
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+
+    def nearestLists(v: Column, n: Int): Column = {
+      // ||v−c||² ordered per row: v·v is constant across centroids so
+      // d = c·c − 2·v·c ranks identically; c·c is a plan-time constant
+      val dists = array(cents.map { case (i, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(
+          (lit(cc) - lit(2.0) * dot(v, typedLit(c))).as("d"),
+          lit(i).as("i"))
+      }: _*)
+      slice(transform(array_sort(dists), s => s.getField("i")), 1, n)
+    }
+
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list_id", element_at(nearestLists(col("cv"), 1), 1))
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(nearestLists(col("qv"), IvfProbes)).as("list_id"))
+
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    corpus.join(broadcast(qs), Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_sim_cosine_topk"    -> (q24CosineTopK _),
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
-    "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _))
+    "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
+    "q45_sim_ivf"            -> (q45SimIvf _))
 
   /** q25 is approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
