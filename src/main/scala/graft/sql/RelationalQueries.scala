@@ -220,7 +220,14 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q09
   /** Set operations: symmetric difference of 1995-active vs 1996-active
-    * customer keys = (A ∪ B) EXCEPT (A ∩ B) — exercises all three set ops. */
+    * customer keys = (A ∪ B) EXCEPT (A ∩ B) — exercises all three set ops.
+    *
+    * Deliberate non-optimality, kept to declare the operator surface: the
+    * two year slices are scanned twice (union + intersect have no subplan
+    * sharing). The production formulation of symmetric difference is one
+    * scan + one groupBy over per-year presence flags
+    * (`HAVING max(y1995) != max(y1996)`); at 0.3 s / sf0.1 the showcase
+    * form is the better trade here. */
   def q09SetOpsActiveCustomers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     def active(year: Int) = t.orders
