@@ -127,36 +127,42 @@ object Messages {
     * doc_id % 3: 0 → V2 via SQS, 1 → S3 via direct SNS, 2 → invalid via
     * SQS; doc_id % 10 = 6 V2 messages have an empty reference (the
     * malformed-message case of `tests/test_main.py:24-29`). */
+  /** JSON string-escape for embedding one JSON document as a string field
+    * of another (backslashes first, then quotes). */
+  private def jsonEscape(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
   def q29MessageDecode(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"))
     val id = col("doc_id").cast("string")
 
-    val v2Inner = to_json(struct(
-      struct(
-        lit("JUDGMENT_PARSE_NO_ERRORS").as("status"),
-        when(col("doc_id") % 10 === 6, lit("")).otherwise(concat(lit("TDR-2024-"), id)).as("reference"),
-        when(col("doc_id") % 2 === 0, lit("TDR")).otherwise(lit("FCL")).as("originator"),
-        lit("tre-court-document-pack-out").as("s3Bucket"),
-        concat(lit("QX/exec-"), id, lit("/QX-"), id, lit(".tar.gz")).as("s3Key")).as("parameters")))
-    val s3Inner = to_json(struct(
-      array(struct(
-        lit("aws:s3").as("eventSource"),
-        struct(
-          struct(lit("bulk-inbound-bucket").as("name")).as("bucket"),
-          struct(concat(lit("2010+Reported/%5B2010%5D/BULK-"), id, lit(".tar.gz")).as("key"))
-            .as("object")).as("s3"))).as("Records")))
+    // fixture construction is plain string concat — the nested to_json
+    // evaluator tree the DECODE side then has to chew through made the
+    // generated code pathologically large (JIT-bimodal timings); the
+    // operator under test is the from_json decode, not the synthesis
+    val v2Ref = when(col("doc_id") % 10 === 6, lit("")).otherwise(concat(lit("TDR-2024-"), id))
+    val v2Orig = when(col("doc_id") % 2 === 0, lit("TDR")).otherwise(lit("FCL"))
+    val v2Inner = concat(
+      lit("""{"parameters": {"status": "JUDGMENT_PARSE_NO_ERRORS", "reference": """"), v2Ref,
+      lit("""", "originator": """"), v2Orig,
+      lit("""", "s3Bucket": "tre-court-document-pack-out", "s3Key": "QX/exec-"""), id,
+      lit("/QX-"), id, lit(""".tar.gz"}}"""))
+    val s3Inner = concat(
+      lit("""{"Records": [{"eventSource": "aws:s3", "s3": {"bucket": {"name": "bulk-inbound-bucket"}, "object": {"key": "2010+Reported/%5B2010%5D/BULK-"""),
+      id, lit(""".tar.gz"}}}]}"""))
     val invalidInner = lit("""{"something-unexpected": "???"}""")
 
     val inner = when(col("doc_id") % 3 === 0, v2Inner)
       .when(col("doc_id") % 3 === 1, s3Inner)
       .otherwise(invalidInner)
-    val snsEnvelope = to_json(struct(lit("Notification").as("Type"), inner.as("Message")))
-    val recordJson = when(col("doc_id") % 3 === 1,
-        to_json(struct(struct(inner.as("Message")).as("Sns"))))
-      .otherwise(to_json(struct(
-        concat(lit("msg-"), id).as("messageId"),
-        snsEnvelope.as("body"),
-        lit("aws:sqs").as("eventSource"))))
+    val snsEnvelope = concat(
+      lit("""{"Type": "Notification", "Message": """"), jsonEscape(inner), lit(""""}"""))
+    val sqsRecord = concat(
+      lit("""{"messageId": "msg-"""), id,
+      lit("""", "eventSource": "aws:sqs", "body": """"), jsonEscape(snsEnvelope), lit(""""}"""))
+    val snsRecord = concat(
+      lit("""{"Sns": {"Message": """"), jsonEscape(inner), lit(""""}}"""))
+    val recordJson = when(col("doc_id") % 3 === 1, snsRecord).otherwise(sqsRecord)
 
     val events = d
       .withColumn("kind", when(col("doc_id") % 3 === 1, "sns").otherwise("sqs"))
