@@ -177,15 +177,22 @@ object PackageIngest {
         explode(coalesce(col("params.TRE.payload.images"), array())).as("dest_filename"))
       store.appendAssets(tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows))
 
-      // 6. publish decision (W10) — returned, not side-effected.
+      // 6. publish decision (W10) — returned, not side-effected; gather
+      //    failures stay in the outcome with their error (the per-record
+      //    isolation of W11 — a broken package reports, others proceed).
       //    localCheckpoint pins the outcome: the lineage reads store
       //    tables this very method just mutated, so a lazy re-execution
       //    after unpersist would resolve against post-effect state.
+      val failedGather = gathered.filter(col("error").isNotNull)
+        .select(col("consignment_ref"), lit(null).cast("string").as("uri"),
+          col("doc_type"), lit(null).cast("boolean").as("exists_in_db"),
+          lit(null).cast("boolean").as("will_publish"), col("error"))
       resolved.select(
           col("consignment_ref"), col("uri"), col("doc_type"), col("exists_in_db"),
           IngestQueries.willPublish(col("originator"), col("auto_publish"),
             col("exists_in_db"), lit(false)).as("will_publish"),
           col("error"))
+        .unionByName(failedGather)
         .localCheckpoint(true)
     } finally resolved.unpersist()
   }

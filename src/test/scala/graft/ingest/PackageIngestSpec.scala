@@ -107,6 +107,58 @@ class PackageIngestSpec extends SparkSpec {
     assert(assets.exists(a => a._1 == "source" && a._2.endsWith(".docx")))
   }
 
+  test("golden press-summary package classifies as pressSummary with summary identifier") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val storeDir = Files.createTempDirectory("graft-ps-store").toString
+    val store = LocalStore(spark, storeDir)
+
+    val outcome = PackageIngest.ingest(spark,
+      Seq(pkg("TDR-2023-2M3", "TDR", "press-summary.tar.gz")), store).collect().head
+    assert(outcome.getAs[String]("error") == null)
+    assert(outcome.getAs[String]("doc_type") == "pressSummary")
+
+    val ids = store.read("identifiers").get.collect()
+    // press summaries carry the related-NCN identifier type (W2 routing)
+    assert(ids.forall(_.getAs[String]("id_type") == "ukncn-summary"))
+  }
+
+  test("golden bulk package (test3): INGESTER_OPTIONS auto_publish → publish, no email") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val storeDir = Files.createTempDirectory("graft-bulk-store").toString
+    val store = LocalStore(spark, storeDir)
+
+    val outcome = PackageIngest.ingest(spark,
+      Seq(pkg("BULK-0", "FCL S3", "test3.tar.gz")), store).collect().head
+    assert(outcome.getAs[String]("error") == null)
+    assert(outcome.getAs[String]("doc_type") == "judgment")
+    assert(outcome.getAs[Boolean]("will_publish") == true) // FCL S3 + auto_publish
+
+    // auto-publishing bulk ingest sends NO email (ingester.py:447-448)
+    assert(store.read("notifications").isEmpty ||
+      store.read("notifications").get.count() == 0)
+    // no TDR section in bulk metadata → no TDR property rows
+    assert(store.read("properties").isEmpty ||
+      store.read("properties").get.count() == 0)
+  }
+
+  test("legacy package without '-metadata.json' member → FileNotFoundException error") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    // ewca_civ_2021_1881.tar.gz names its metadata 'metadata.json', which
+    // the reference's substring match ('-metadata.json') does NOT find
+    val raw = pkg("ewca_civ_2021_1881", "FCL", "ewca_civ_2021_1881.tar.gz")
+    val gathered = PackageIngest.gather(raw)
+    assert(gathered.error != null && gathered.error.startsWith("FileNotFoundException"))
+    // ... and the pipeline surfaces it as a failed outcome row (W11
+    // per-record isolation), writing nothing to the store
+    val storeDir = Files.createTempDirectory("graft-legacy-store").toString
+    val store = LocalStore(spark, storeDir)
+    val outcome = PackageIngest.ingest(spark, Seq(raw), store).collect()
+    assert(outcome.length == 1)
+    assert(outcome.head.getAs[String]("error").startsWith("FileNotFoundException"))
+    assert(outcome.head.getAs[String]("uri") == null)
+    assert(store.documents.count() == 0)
+  }
+
   test("re-ingest with identifier present resolves to same uri (update path)") {
     assume(Files.exists(fixtures), "reference fixtures not present")
     val storeDir = Files.createTempDirectory("graft-reingest-store").toString
