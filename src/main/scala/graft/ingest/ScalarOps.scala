@@ -67,6 +67,12 @@ object ScalarOps {
   /** P7: URI path flattened for use as a filename ('/' → '_'). */
   def flatUri(uri: Column): Column = translate(uri, "/", "_")
 
+  /** P9: flatten a list of single-entry maps into (key, value) structs —
+    * `extract_lambda_versions` (`lambda_function.py:90-95`; vestigial in
+    * the reference, kept for surface completeness). */
+  def flattenVersions(versions: Column): Column =
+    flatten(transform(versions, m => map_entries(m)))
+
   /** P4 helper: one `json.dumps(..., indent=2)` key line. `value` must be
     * a string column (or null); emits `"key": "value"` / `"key": null`. */
   def prettyJsonLine(key: String, value: Column): Column =

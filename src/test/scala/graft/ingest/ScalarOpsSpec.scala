@@ -68,6 +68,14 @@ class ScalarOpsSpec extends SparkSpec {
     assert(out == golden)
   }
 
+  test("flattenVersions: list of single-entry maps → (k,v) tuples (P9)") {
+    val out = Seq(Seq(Map("a" -> "1"), Map("b" -> "2"), Map("c" -> "3")))
+      .toDF("v")
+      .select(ScalarOps.flattenVersions(col("v")))
+      .as[Seq[(String, String)]].head()
+    assert(out == Seq(("a", "1"), ("b", "2"), ("c", "3")))
+  }
+
   test("submitterLine golden + unknown defaults (test_notifications.py:33-40)") {
     val out = Seq(
       (Option("Tom King"), Option("Ministry of Justice"), Option("someone@example.com")),
