@@ -49,10 +49,17 @@ object DedupQueries {
     * strings (3× smaller shuffles, primitive compares in the intersect).
     * Within-pair hash collisions would perturb the Jaccard estimate with
     * probability ~ |sh|²/2⁶⁰ per pair — immaterial. */
+  /** Materialized (localCheckpoint) because every pair query references it
+    * three times — candidate generation plus both verify sides — and Spark
+    * has no cross-subplan reuse short of an identical exchange: without
+    * this the shingle kernel runs 3× per query (measured ~40% of q20).
+    * The checkpoint blocks are freed by the ContextCleaner once the query
+    * result is dropped. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), shingleHashes(tokens(normText(col("text")))).as("shh"))
       .filter(size(col("shh")) > 0)
+      .localCheckpoint(true)
 
   /** Exact-verify a (ida, idb) candidate DataFrame against hashed shingle
     * sets. */
@@ -195,7 +202,9 @@ object DedupQueries {
     val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until Bits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
+    // q23 self-joins this on both sides — materialize once (see
+    // docShingleHashes for the rationale)
+    agg.select(col("doc_id"), sim.as("simhash")).localCheckpoint(true)
   }
 
   private val simhashSqlCte: String = {
