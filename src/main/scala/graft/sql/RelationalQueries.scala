@@ -480,6 +480,42 @@ object RelationalQueries {
       |WHERE CAST(c_acctbal AS DOUBLE) > nation_avg
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Salted skew join: revenue per order-priority via lineitem ⋈ orders.
+    *
+    * The declared skew-mitigation operator: the fact side appends a salt
+    * in [0, Salt) derived from a stable hash of its row, the dim side
+    * replicates each row Salt× (`explode(sequence)`), and the join key
+    * becomes (key, salt) — a hot key's rows now spread over Salt reducer
+    * partitions instead of one straggler. The RESULT is identical to the
+    * plain join (the oracle is the unsalted SQL); only the shuffle layout
+    * changes. AQE's skew-join split handles many cases automatically —
+    * salting is the explicit form for when the skew is in the DATA, known
+    * ahead, and the dim side is small enough to replicate. */
+  private val Salt = 8
+
+  def q46SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fact = t.lineitem
+      .select(col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("price")), lit(Salt)))
+    val dim = t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(Salt - 1))))
+    fact
+      .join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price")).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q46Sql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -500,7 +536,8 @@ object RelationalQueries {
     "q38_cube_customers"        -> (q38CubeCustomers _),
     "q39_percentiles"           -> (q39Percentiles _),
     "q40_pivot_status"          -> (q40PivotStatus _),
-    "q41_above_nation_avg"      -> (q41AboveNationAvg _))
+    "q41_above_nation_avg"      -> (q41AboveNationAvg _),
+    "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_agg_pricing_summary"   -> q01Sql,
@@ -520,5 +557,6 @@ object RelationalQueries {
     "q38_cube_customers"        -> q38Sql,
     "q39_percentiles"           -> q39Sql,
     "q40_pivot_status"          -> q40Sql,
-    "q41_above_nation_avg"      -> q41Sql)
+    "q41_above_nation_avg"      -> q41Sql,
+    "q46_salted_join"           -> q46Sql)
 }
