@@ -51,13 +51,19 @@ case class HyperplaneSigs(child: Expression, tables: Int, bits: Int, dim: Int)
     case _ => false
   }
 
-  /** Row kernel (also called from generated code). */
+  /** Row kernel (also called from generated code). Null elements count as
+    * 0.0 — for a bucketing signature a deterministic convention beats
+    * propagating null (a null sig would silently drop the row from every
+    * candidate bucket). */
   def sigs(arr: ArrayData): ArrayData = {
     val n = math.min(arr.numElements(), dim)
     val v = new Array[Double](n)
     var d = 0
     while (d < n) {
-      v(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      v(d) =
+        if (arr.isNullAt(d)) 0.0
+        else if (isFloat) arr.getFloat(d).toDouble
+        else arr.getDouble(d)
       d += 1
     }
     val out = new Array[Any](tables)

@@ -39,6 +39,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def containsNull(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  // A null ELEMENT nulls the whole product (DuckDB `list_dot_product` and
+  // the zip_with/aggregate formulation both propagate NULL) — without this
+  // the oracle compare would silently diverge on corpora with null
+  // components.
+  override def nullable: Boolean =
+    left.nullable || right.nullable || containsNull(left) || containsNull(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -48,6 +58,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -59,14 +70,23 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val yGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    // only pay the per-element null branch when the schema admits nulls —
+    // the pre-normalized dedup/similarity kernels declare containsNull=false
+    // and keep the tight loop
+    val checkNulls = containsNull(left) || containsNull(right)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (checkNulls)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $x.$xGet($i)) * ((double) $y.$yGet($i));
          |}
          |${ev.value} = $acc;

@@ -124,8 +124,12 @@ object PackageIngest {
         .toDF("document_uri", "id_kind", "id_value", "id_type")
     }
 
+    // eager localCheckpoint (not cache): step 2 below mutates the very
+    // identifiers table this lineage reads, and cache() is best-effort —
+    // an eviction would silently recompute resolution against post-append
+    // store state mid-effect-sequence
     val resolved = Resolution.resolve(
-      gathered.filter(col("error").isNull), identifiers).cache()
+      gathered.filter(col("error").isNull), identifiers).localCheckpoint(true)
 
     try {
       val ok = resolved.filter(col("error").isNull)
@@ -194,6 +198,6 @@ object PackageIngest {
           col("error"))
         .unionByName(failedGather)
         .localCheckpoint(true)
-    } finally resolved.unpersist()
+    } finally resolved.unpersist() // drop the checkpoint blocks once the outcome is pinned
   }
 }

@@ -141,17 +141,13 @@ object XmlOps {
 
   // ---- column-level API (register UDFs once per session) ----
 
-  private val registered = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
-
-  /** Register the XML UDFs on this session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    registered.computeIfAbsent(
-      System.identityHashCode(spark).toString,
-      _ => {
-        spark.udf.register("graft_xml_root", (s: String) => parseRootTag(s))
-        spark.udf.register("graft_doc_type", (s: String) => classifyDocumentType(s))
-        true
-      })
+  /** Register the XML UDFs on this session. `spark.udf.register` is itself
+    * idempotent and cheap, so no memoization (an identity-hash-keyed cache
+    * here could silently skip a second session on hash collision). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("graft_xml_root", (s: String) => parseRootTag(s))
+    spark.udf.register("graft_doc_type", (s: String) => classifyDocumentType(s))
+  }
 
   /** Root tag of `c` if well-formed, else null (`try_parse_xml`). */
   def tryParseRoot(c: Column): Column = call_function("graft_xml_root", c)

@@ -89,9 +89,11 @@ object IngestStream {
       val failures = failedDecode.select(col("msg_id"), col("error"))
         .unionByName(failedResolve)
         .filter(col("msg_id").isNotNull)
-      val isTerminal = udf((e: String) => IngestError.isTerminal(e))
+      // taxonomy routing stays codegen'd: IngestError.all is a 12-element
+      // static list, so `isin` beats a Scala UDF here
+      val terminalNames = IngestError.all.filter(_.terminal).map(_.name)
       store.appendFailures(failures
-        .withColumn("terminal", isTerminal(col("error")))
+        .withColumn("terminal", col("error").isin(terminalNames: _*))
         .select("msg_id", "error", "terminal"))
     } finally good.unpersist()
   }

@@ -112,12 +112,24 @@ object PackageQueries {
           lit("</body></judgment>")))
     val parserLog = when(col("doc_id") % 11 === 0, lit(null))
       .otherwise(concat(lit("log for "), col("doc_id").cast("string"), lit(": <oops> & \"done\"")))
-    val best = XmlOps.bestXml(xmlContent, parserLog)
-    d.select(
+    // ONE SAX parse per row: the fallback chain's output root is always
+    // `error` by construction (escaped log content cannot introduce tags),
+    // so root-of-best and used-fallback both derive from the single parse
+    // of the member XML. (Previously tryParseRoot ran on both `best` and
+    // `xmlContent` → up to 3 parses/row.) The root0 projection is a
+    // separate Project from its three consumers; CollapseProject does not
+    // inline a non-cheap (UDF) expression with multiple references, so the
+    // parse stays single in the physical plan.
+    d.select(col("doc_id"), xmlContent.as("xml_content"), parserLog.as("parser_log"))
+      .withColumn("root0", XmlOps.tryParseRoot(col("xml_content")))
+      .select(
         col("doc_id"),
-        XmlOps.tryParseRoot(best).as("root_tag"),
-        XmlOps.tryParseRoot(xmlContent).isNull.as("used_fallback"),
-        md5(best).as("best_md5"))
+        coalesce(col("root0"), lit("error")).as("root_tag"),
+        col("root0").isNull.as("used_fallback"),
+        md5(when(col("root0").isNotNull, col("xml_content"))
+          .when(col("parser_log").isNotNull,
+            concat(lit("<error>"), XmlOps.xmlEscape(col("parser_log")), lit("</error>")))
+          .otherwise(lit("<error>parser.log not found</error>"))).as("best_md5"))
       .orderBy(col("doc_id"))
   }
 
