@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ingest.Resolution.queries ++
       graft.ingest.IngestQueries.queries ++
       graft.store.UpsertQueries.queries ++
+      graft.store.PublishQueries.queries ++
       graft.media.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.ingest.Resolution.oracleSql ++
       graft.ingest.IngestQueries.oracleSql ++
       graft.store.UpsertQueries.oracleSql ++
+      graft.store.PublishQueries.oracleSql ++
       graft.media.MediaQueries.oracleSql
 }

@@ -262,13 +262,23 @@ object IngestQueries {
         concat(lit("  "), prettyJsonLine("Judgment-Reference", lit(null)))),
       lit("\n}"))
 
+    // P3: the same rows also pin the full version-annotation payload
+    // (`VersionPayloadDict`, ingester.py:76-97) — raw metadata + lambda
+    // context always, tdr_reference + submitter only for TDR packages
+    // (with null-valued TDR fields rendered as JSON nulls)
+    val rawMetadata = concat(
+      lit("{\"parameters\": {\"TRE\": {\"reference\": \"TRE-"),
+      coalesce(sender, lit("X")), lit("\"}}}"))
+
     d.select(
         col("doc_id"),
         concat(lit("https://editor.example/detail?judgment_uri="), uri).as("url"),
         coalesce(sender, lit("unknown")).as("consignment"),
         submitterLine(contactName, org, email).as("submitter"),
         coalesce(completed, lit("unknown")).as("submitted_at"),
-        updateMetadata.as("update_metadata"))
+        updateMetadata.as("update_metadata"),
+        versionPayload(rawMetadata, isTdr, sender, contactName, email,
+          concat(lit("req-"), id)).as("version_payload"))
       .orderBy(col("doc_id"))
   }
 
@@ -296,7 +306,78 @@ object IngestQueries {
       |    || ',' || chr(10) || '  "Judgment-Update-Details": null'
       |    || ',' || chr(10) || '  "Judgment-Neutral-Citation": null'
       |    || ',' || chr(10) || '  "Judgment-No-Neutral-Citation": null'
-      |    || ',' || chr(10) || '  "Judgment-Reference": null' || chr(10) || '}' AS update_metadata
+      |    || ',' || chr(10) || '  "Judgment-Reference": null' || chr(10) || '}' AS update_metadata,
+      |  '{"tre_raw_metadata": {"parameters": {"TRE": {"reference": "TRE-'
+      |    || coalesce(sender, 'X')
+      |    || '"}}}, "aws_lambda_context": {"aws_request_id": "req-' || doc_id || '"}'
+      |    || CASE WHEN is_tdr THEN ', "tdr_reference": "' || sender
+      |         || '", "submitter": {"name": ' || coalesce('"' || contact_name || '"', 'null')
+      |         || ', "email": ' || coalesce('"' || email || '"', 'null') || '}'
+      |       ELSE '' END
+      |    || '}' AS version_payload
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** W9 completion: the two notify template BODIES
+    * (`/root/reference/notify_templates/email/new_judgment.md` and
+    * `updated_judgment.md` — GOV.UK-Notify `((key))` placeholders)
+    * rendered with q34's personalisation. The reference's bulk
+    * notification is an explicit no-op (`ingester.py:323-325`), so only
+    * the TDR new/updated actions produce bodies; the `new` path also
+    * carries the extra `doctype` personalisation (`ingester.py:306`).
+    * Rendering is pure string concat over the q34 projection — narrow,
+    * codegen'd, rides the same scan. */
+  def q49EmailBodies(spark: SparkSession, dir: String): DataFrame = {
+    val p = q34EmailPersonalisation(spark, dir)
+      .filter(col("doc_id") % 2 === 0) // TDR rows: the only email senders
+    val action = when(col("doc_id") % 4 === 0, lit("new")).otherwise(lit("updated"))
+    val doctype = when(action === "new",
+        when(col("doc_id") % 8 === 0, lit("press summary")).otherwise(lit("judgment")))
+      .otherwise(lit(null))
+    val bodyNew = concat(
+      lit("A new judgment has been submitted for review; see "), col("url"),
+      lit("\n\n- TDR Consignment Number: "), col("consignment"),
+      lit("\n- Submitter: "), col("submitter"),
+      lit("\n- Submitted at: "), col("submitted_at"))
+    val bodyUpdated = concat(
+      lit("A new version of the judgment at "), col("url"), lit(" has been submitted!"),
+      lit("\n\n- TDR Consignment Number: "), col("consignment"),
+      lit("\n- Submitter: "), col("submitter"),
+      lit("\n- Submitted at: "), col("submitted_at"))
+    p.select(
+        col("doc_id"),
+        action.as("action"),
+        doctype.as("doctype"),
+        when(action === "new", bodyNew).otherwise(bodyUpdated).as("body"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    'https://editor.example/detail?judgment_uri=doc/' || doc_id AS url,
+      |    'TDR-2021-' || doc_id AS consignment,
+      |    coalesce(CASE WHEN doc_id % 5 != 0 THEN 'Contact ' || doc_id END, 'unknown')
+      |      || ', ' || 'Org ' || doc_id
+      |      || ' <' || coalesce(CASE WHEN doc_id % 7 != 0 THEN 'user' || doc_id || '@example.com' END,
+      |                          'unknown') || '>' AS submitter,
+      |    '2021-12-16T14:54:06Z' AS submitted_at,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'new' ELSE 'updated' END AS action
+      |  FROM documents WHERE doc_id % 2 = 0)
+      |SELECT doc_id, action,
+      |  CASE WHEN action = 'new'
+      |       THEN (CASE WHEN doc_id % 8 = 0 THEN 'press summary' ELSE 'judgment' END)
+      |       END AS doctype,
+      |  CASE WHEN action = 'new'
+      |    THEN 'A new judgment has been submitted for review; see ' || url
+      |      || chr(10) || chr(10) || '- TDR Consignment Number: ' || consignment
+      |      || chr(10) || '- Submitter: ' || submitter
+      |      || chr(10) || '- Submitted at: ' || submitted_at
+      |    ELSE 'A new version of the judgment at ' || url || ' has been submitted!'
+      |      || chr(10) || chr(10) || '- TDR Consignment Number: ' || consignment
+      |      || chr(10) || '- Submitter: ' || submitter
+      |      || chr(10) || '- Submitted at: ' || submitted_at
+      |  END AS body
       |FROM g ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q35
@@ -372,12 +453,14 @@ object IngestQueries {
     "q32_routing_matrix"        -> (q32RoutingMatrix _),
     "q33_property_store"        -> (q33PropertyStore _),
     "q34_email_personalisation" -> (q34EmailPersonalisation _),
-    "q35_asset_plan"            -> (q35AssetPlan _))
+    "q35_asset_plan"            -> (q35AssetPlan _),
+    "q49_email_bodies"          -> (q49EmailBodies _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_scalar_pack"           -> q31Sql,
     "q32_routing_matrix"        -> q32Sql,
     "q33_property_store"        -> q33Sql,
     "q34_email_personalisation" -> q34Sql,
-    "q35_asset_plan"            -> q35Sql)
+    "q35_asset_plan"            -> q35Sql,
+    "q49_email_bodies"          -> q49Sql)
 }

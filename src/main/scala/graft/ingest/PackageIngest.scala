@@ -100,7 +100,7 @@ object PackageIngest {
     val meta = from_json(col("metadata_json"), MetadataSchema.root)
     df.select(
         col("consignment_ref"), col("originator"), col("tar_name"),
-        col("member_names"), col("error"),
+        col("member_names"), col("error"), col("metadata_json"),
         col("source_filename"), col("source_filename_present"),
         meta.getField("parameters").as("params"),
         XmlOps.bestXml(col("xml_content"), col("parser_log")).as("best_xml"))
@@ -110,13 +110,24 @@ object PackageIngest {
       .withColumn("ncn", col("params.PARSER.cite"))
       .withColumn("auto_publish", coalesce(col("params.INGESTER_OPTIONS.auto_publish"), lit(false)))
       .withColumn("tre_reference", col("params.TRE.reference"))
+      // S4: S3-dialect messages take their consignment reference from
+      // `parameters.TRE.reference` AFTER metadata extraction
+      // (messages.py:92-93 via ingester.py:204-206); V2 messages ignore the
+      // in-metadata reference. The member lookups in gather() above already
+      // ran with the ORIGINAL stem — the ordering trap SURVEY §7.5 pins:
+      // tar paths keep the old reference, downstream consumers see the new.
+      .withColumn("original_ref", col("consignment_ref"))
+      .withColumn("consignment_ref",
+        when(col("originator") === "FCL S3" && col("tre_reference").isNotNull,
+          col("tre_reference")).otherwise(col("consignment_ref")))
   }
 
   /** The act phase (O2) for gathered packages: resolve URIs against the
     * store's identifiers, then the reference's ordered effects
     * (`perform_ingest`, ingester.py:542-575). Returns the per-package
     * outcome table (uri, exists, will_publish, error). */
-  def ingest(spark: SparkSession, packages: Seq[RawPackage], store: LocalStore): DataFrame = {
+  def ingest(spark: SparkSession, packages: Seq[RawPackage], store: LocalStore,
+      requestId: String = "graft-local-request"): DataFrame = {
     val gathered = gatherAll(spark, packages)
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
@@ -124,30 +135,57 @@ object PackageIngest {
         .toDF("document_uri", "id_kind", "id_value", "id_type")
     }
 
+    // pre-effect publish state (W10): the reference consults
+    // `api_client.get_published` for FCL reparse packages
+    // (ingester.py:435-439); the guard below needs it too
+    val pubDim = store.documents.select(col("uri").as("pub_uri"), col("is_published"))
+
     // eager localCheckpoint (not cache): step 2 below mutates the very
     // identifiers table this lineage reads, and cache() is best-effort —
     // an eviction would silently recompute resolution against post-append
     // store state mid-effect-sequence
     val resolved = Resolution.resolve(
-      gathered.filter(col("error").isNull), identifiers).localCheckpoint(true)
+        gathered.filter(col("error").isNull), identifiers)
+      .join(broadcast(pubDim), col("uri") === col("pub_uri"), "left")
+      .withColumn("published", coalesce(col("is_published"), lit(false)))
+      .drop("pub_uri", "is_published")
+      // W10 guard: an error-log package must not clobber a published
+      // document (exceptions.py:26) — it fails terminally instead, before
+      // any effect runs
+      .withColumn("error",
+        when(col("error").isNull && col("doc_type") === "parserLog" &&
+            col("exists_in_db") && col("published"),
+          lit("ErrorLogWouldOverwritePublishedDocument")).otherwise(col("error")))
+      .localCheckpoint(true)
 
     try {
       val ok = resolved.filter(col("error").isNull)
 
-      // 1. document MERGE (W1/J4)
+      // 1. document MERGE (W1/J4) with the full P3 version-annotation
+      //    payload (ingester.py:76-97)
       store.upsertDocuments(ok.select(
         col("uri"), col("best_xml").as("xml"), col("doc_type"),
         IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
+        ScalarOps.versionPayload(col("metadata_json"), col("is_tdr"),
+          col("params.TDR")("Internal-Sender-Identifier"),
+          col("params.TDR")("Contact-Name"), col("params.TDR")("Contact-Email"),
+          lit(requestId)).as("annotation_payload"),
         col("auto_publish").as("automated"),
         when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state")))
 
-      // 2. identifiers (W2): judgments/press summaries with an NCN
-      store.appendIdentifiers(ok
+      // 2. identifiers (W2): judgments/press summaries with an NCN, plus
+      //    each document's own URI as a slug row — the J1 substrate
+      //    MarkLogic provides implicitly (a document is addressable by its
+      //    URI slug), which lets a parser-URI reparse find its document
+      val ncnRows = ok
         .filter(col("ncn").isNotNull && col("doc_type").isin("judgment", "pressSummary"))
         .select(col("uri").as("document_uri"), lit("value").as("id_kind"),
           col("ncn").as("id_value"),
           when(col("doc_type") === "judgment", lit("ukncn")).otherwise(lit("ukncn-summary"))
-            .as("id_type")))
+            .as("id_type"))
+      val slugRows = ok.select(col("uri").as("document_uri"), lit("slug").as("id_kind"),
+        col("uri").as("id_value"), lit(null).cast("string").as("id_type"))
+      store.appendIdentifiers(ncnRows.unionByName(slugRows))
 
       // 3. notifications (W9)
       store.appendNotifications(ok
@@ -167,35 +205,59 @@ object PackageIngest {
         col("params.PARSER.parser_run_id").as("parser_run_id"))))
 
       // 5. asset plan (W5–W8): tarball (+_nodocx), source doc (flattened
-      //    uri + preserved extension), parser.log, images
+      //    uri + preserved extension), parser.log, images. Member SOURCE
+      //    paths (`src_member`) are keyed by the ORIGINAL consignment ref —
+      //    the tar's internal folder predates the S4 rewrite
+      //    (ingester.py:389,400,413 use the pre-update reference)
       val tarRow = ok.select(col("uri"), lit("tarball").as("asset_type"),
         when(col("source_filename").isNull, ScalarOps.modifyFilename(col("tar_name"), "_nodocx"))
-          .otherwise(col("tar_name")).as("dest_filename"))
+          .otherwise(col("tar_name")).as("dest_filename"),
+        lit(null).cast("string").as("src_member")) // local tar file, not a member
       val srcRow = ok.filter(col("source_filename").isNotNull)
         .select(col("uri"), lit("source").as("asset_type"),
           concat(ScalarOps.flatUri(col("uri")), lit("."),
-            ScalarOps.extension(col("source_filename"))).as("dest_filename"))
+            ScalarOps.extension(col("source_filename"))).as("dest_filename"),
+          concat(col("original_ref"), lit("/"), col("source_filename")).as("src_member"))
       val logRow = ok.filter(exists(col("member_names"), n => n.contains("parser.log")))
-        .select(col("uri"), lit("parser_log").as("asset_type"), lit("parser.log").as("dest_filename"))
-      val imgRows = ok.select(col("uri"), lit("image").as("asset_type"),
-        explode(coalesce(col("params.TRE.payload.images"), array())).as("dest_filename"))
+        .select(col("uri"), lit("parser_log").as("asset_type"),
+          lit("parser.log").as("dest_filename"),
+          concat(col("original_ref"), lit("/parser.log")).as("src_member"))
+      val imgRows = ok
+        .select(col("uri"), lit("image").as("asset_type"), col("original_ref"),
+          explode(coalesce(col("params.TRE.payload.images"), array())).as("dest_filename"))
+        .select(col("uri"), col("asset_type"), col("dest_filename"),
+          concat(col("original_ref"), lit("/"), col("dest_filename")).as("src_member"))
       store.appendAssets(tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows))
 
-      // 6. publish decision (W10) — returned, not side-effected; gather
-      //    failures stay in the outcome with their error (the per-record
-      //    isolation of W11 — a broken package reports, others proceed).
-      //    localCheckpoint pins the outcome: the lineage reads store
-      //    tables this very method just mutated, so a lazy re-execution
-      //    after unpersist would resolve against post-effect state.
+      // 6. publish/unpublish effect (W10): every successful ingest ends by
+      //    either publishing or unpublishing its document
+      //    (ingester.py:565-575); the FCL-reparse branch consults the
+      //    PRE-batch published state joined in above. Publishing an
+      //    unpublishable document raises CannotPublishException AFTER the
+      //    write effects ran (ingester.py:568-570) — the engine models
+      //    parserLog documents as unpublishable; a null decision leaves
+      //    the stored flag untouched (publish failed, unpublish not run).
+      val willPublish = IngestQueries.willPublish(col("originator"), col("auto_publish"),
+        col("exists_in_db"), col("published"))
+      val cannotPublish = willPublish && col("doc_type") === "parserLog"
+      store.setPublished(ok.select(col("uri"),
+        when(cannotPublish, lit(null).cast("boolean")).otherwise(willPublish).as("will_publish")))
+
+      // 7. outcome (O2/W11): gather failures stay in the outcome with
+      //    their error (per-record isolation — a broken package reports,
+      //    others proceed). localCheckpoint pins the outcome: the lineage
+      //    reads store tables this very method just mutated, so a lazy
+      //    re-execution after unpersist would resolve against post-effect
+      //    state.
       val failedGather = gathered.filter(col("error").isNotNull)
         .select(col("consignment_ref"), lit(null).cast("string").as("uri"),
           col("doc_type"), lit(null).cast("boolean").as("exists_in_db"),
           lit(null).cast("boolean").as("will_publish"), col("error"))
       resolved.select(
           col("consignment_ref"), col("uri"), col("doc_type"), col("exists_in_db"),
-          IngestQueries.willPublish(col("originator"), col("auto_publish"),
-            col("exists_in_db"), lit(false)).as("will_publish"),
-          col("error"))
+          when(col("error").isNull, willPublish).as("will_publish"),
+          when(col("error").isNull && cannotPublish, lit("CannotPublishException"))
+            .otherwise(col("error")).as("error"))
         .unionByName(failedGather)
         .localCheckpoint(true)
     } finally resolved.unpersist() // drop the checkpoint blocks once the outcome is pinned

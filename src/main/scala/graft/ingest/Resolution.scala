@@ -195,9 +195,99 @@ object Resolution {
       |       THEN 'MultipleResolutionsFoundError' END AS error
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** W2 identifier assignment post-state (reference `ingester.py:263-284`,
+    * pinned by `tests/test_identifier_assignment.py`): after a batch of
+    * ingests, which identifier rows exist.
+    *
+    *   - doc_id % 3 cycles the doc type: judgment → `ukncn`, pressSummary
+    *     → `ukncn-summary`, parserLog → NO identifier class (no-op);
+    *   - doc_id % 4 = 0 docs extracted no NCN → nothing to assign;
+    *   - doc_id % 5 = 0 docs already carry an identifier before ingest —
+    *     the reference WARNS but still assigns (`:267-270`), surfaced as
+    *     the `warned` flag on the ingest-origin rows;
+    *   - doc_id % 10 = 0 docs' preexisting identifier IS the incoming NCN
+    *     — the idempotent-append anti-join drops the duplicate;
+    *   - doc_id % 7 = 0 docs are delivered twice — the second delivery
+    *     must not duplicate the row (the same dedup
+    *     `LocalStore.appendIdentifiers` applies).
+    *
+    * The fold is one dropDuplicates + one anti-join on the identifier key
+    * — at scale a single hash shuffle on (document_uri, id_kind,
+    * id_value), the same plan a Delta MERGE on that key produces. */
+  def q48IdentifierAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"))
+    val n = col("doc_id")
+    val id = n.cast("string")
+    val uri = concat(lit("doc/"), id)
+    val docType = when(n % 3 === 0, lit("judgment"))
+      .when(n % 3 === 1, lit("pressSummary")).otherwise(lit("parserLog"))
+    val ncn = when(n % 4 =!= 0, concat(lit("[2024] TEST "), id)).otherwise(lit(null))
+    val idType = when(docType === "judgment", lit("ukncn"))
+      .when(docType === "pressSummary", lit("ukncn-summary")).otherwise(lit(null))
+
+    val preexisting = d.filter(n % 5 === 0).select(
+      n.as("doc_id"), uri.as("document_uri"), lit("value").as("id_kind"),
+      when(n % 10 === 0 && n % 4 =!= 0, concat(lit("[2024] TEST "), id))
+        .otherwise(concat(lit("[2020] OLD "), id)).as("id_value"),
+      when(n % 10 === 0 && n % 4 =!= 0,
+          when(n % 3 === 0, lit("ukncn")).otherwise(lit("ukncn-summary")))
+        .otherwise(lit("fclid")).as("id_type"),
+      lit("preexisting").as("origin"))
+
+    val assigned = d
+      .filter(ncn.isNotNull && docType.isin("judgment", "pressSummary"))
+      .select(n.as("doc_id"), uri.as("document_uri"), lit("value").as("id_kind"),
+        ncn.as("id_value"), idType.as("id_type"), lit("ingest").as("origin"))
+    // second delivery of every 7th doc — must collapse in the dedup
+    val redelivered = assigned.filter(col("doc_id") % 7 === 0)
+    val additions = assigned.unionByName(redelivered)
+      .dropDuplicates("document_uri", "id_kind", "id_value")
+      .join(preexisting.select("document_uri", "id_kind", "id_value"),
+        Seq("document_uri", "id_kind", "id_value"), "left_anti")
+
+    val hadIdentifiers = preexisting.select(col("document_uri").as("warn_uri")).distinct()
+    val post = preexisting.unionByName(additions)
+      .join(broadcast(hadIdentifiers), col("document_uri") === col("warn_uri"), "left")
+      .withColumn("warned", col("origin") === "ingest" && col("warn_uri").isNotNull)
+      .drop("warn_uri")
+    post.select("doc_id", "document_uri", "id_kind", "id_value", "id_type", "origin", "warned")
+      .orderBy(col("doc_id"), col("origin"), col("id_value"))
+  }
+
+  val q48Sql: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |pre AS (
+      |  SELECT doc_id, 'doc/' || doc_id AS document_uri, 'value' AS id_kind,
+      |    CASE WHEN doc_id % 10 = 0 AND doc_id % 4 != 0 THEN '[2024] TEST ' || doc_id
+      |         ELSE '[2020] OLD ' || doc_id END AS id_value,
+      |    CASE WHEN doc_id % 10 = 0 AND doc_id % 4 != 0
+      |         THEN (CASE WHEN doc_id % 3 = 0 THEN 'ukncn' ELSE 'ukncn-summary' END)
+      |         ELSE 'fclid' END AS id_type,
+      |    'preexisting' AS origin
+      |  FROM d WHERE doc_id % 5 = 0),
+      |assigned AS (
+      |  SELECT doc_id, 'doc/' || doc_id AS document_uri, 'value' AS id_kind,
+      |    '[2024] TEST ' || doc_id AS id_value,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'ukncn' ELSE 'ukncn-summary' END AS id_type,
+      |    'ingest' AS origin
+      |  FROM d WHERE doc_id % 4 != 0 AND doc_id % 3 != 2),
+      |adds AS (
+      |  SELECT a.* FROM assigned a
+      |  WHERE NOT EXISTS (SELECT 1 FROM pre p
+      |    WHERE p.document_uri = a.document_uri AND p.id_kind = a.id_kind
+      |      AND p.id_value = a.id_value)),
+      |post AS (SELECT * FROM pre UNION ALL SELECT * FROM adds)
+      |SELECT post.doc_id, document_uri, id_kind, id_value, id_type, origin,
+      |  origin = 'ingest' AND EXISTS (SELECT 1 FROM pre p
+      |    WHERE p.document_uri = post.document_uri) AS warned
+      |FROM post ORDER BY doc_id, origin, id_value""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q30_uri_resolution" -> (q30UriResolution _))
+    "q30_uri_resolution" -> (q30UriResolution _),
+    "q48_identifier_assignment" -> (q48IdentifierAssignment _))
 
   val oracleSql: Map[String, String] = Map(
-    "q30_uri_resolution" -> q30Sql)
+    "q30_uri_resolution" -> q30Sql,
+    "q48_identifier_assignment" -> q48Sql)
 }

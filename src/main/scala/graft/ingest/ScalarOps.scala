@@ -100,4 +100,28 @@ object ScalarOps {
       coalesce(name, lit("unknown")), lit(", "),
       coalesce(org, lit("unknown")), lit(" <"),
       coalesce(email, lit("unknown")), lit(">"))
+
+  /** Render a string column as a JSON string token (escaped + quoted);
+    * null → `null`. */
+  def jsonStr(v: Column): Column =
+    when(v.isNull, lit("null")).otherwise(concat(lit("\""),
+      regexp_replace(regexp_replace(v, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), lit("\"")))
+
+  /** P3: the full version-annotation payload (`VersionPayloadDict`,
+    * `ingester.py:76-97`): always `tre_raw_metadata` (the raw parsed
+    * metadata document, spliced verbatim) + `aws_lambda_context`; when the
+    * TDR section is present, also `tdr_reference`
+    * (`Internal-Sender-Identifier`) and the `submitter` name/email pair.
+    * Key order is the reference's dict insertion order. */
+  def versionPayload(rawMetadata: Column, isTdr: Column, tdrRef: Column,
+      submitterName: Column, submitterEmail: Column, requestId: Column): Column =
+    concat(
+      lit("{\"tre_raw_metadata\": "), coalesce(rawMetadata, lit("null")),
+      lit(", \"aws_lambda_context\": {\"aws_request_id\": "), jsonStr(requestId), lit("}"),
+      when(isTdr, concat(
+          lit(", \"tdr_reference\": "), jsonStr(tdrRef),
+          lit(", \"submitter\": {\"name\": "), jsonStr(submitterName),
+          lit(", \"email\": "), jsonStr(submitterEmail), lit("}")))
+        .otherwise(lit("")),
+      lit("}"))
 }

@@ -123,34 +123,24 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------- q26
-  /** Embedding near-duplicate pairs: cosine ≥ 0.4 over all pairs.
+  /** Embedding near-duplicate pairs: cosine ≥ 0.4, via [[NearDup.pairs]]'s
+    * threshold-dispatched strategy.
     *
-    * Exact by design: on THIS corpus the true pairs sit at 0.40–0.48
-    * cosine with background pairs just below — a sign-LSH candidate
-    * front-end cannot separate them (p_bit ≈ 0.64 vs 0.5 baseline), so
-    * any bucketing either loses recall or degenerates to all pairs.
-    * The scale posture is therefore: (a) the O(n²) kernel itself is a
-    * single codegen'd primitive loop per pair ([[graft.expr.VecDot]]) over
-    * PRE-NORMALIZED vectors (norms divided out once per vector, not per
-    * pair); (b) at the high-similarity regimes where near-dup dedup
-    * actually operates (≥ 0.7), the q23-style banding / q25 ANN path
-    * replaces the cross product. */
+    * This query's 0.4 threshold selects the EXACT all-pairs fallback —
+    * deliberately: on THIS corpus the true pairs sit at 0.40–0.48 cosine
+    * with background pairs just below, where a sign-LSH candidate
+    * front-end cannot separate (p_bit ≈ 0.64 vs 0.5 baseline) and the
+    * oracle must be reproduced exactly. At the thresholds real near-dup
+    * dedup operates (≥ [[NearDup.DispatchThreshold]]) the SAME entry point
+    * routes to LSH-banded candidates + exact verify — no cross product —
+    * pinned by `NearDupDispatchSpec` on a synthesized high-similarity
+    * corpus. */
   private val NearDupThreshold = 0.4
 
-  def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    // unit-normalize once per vector → the pairwise stage is ONE dot
-    val v = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nn"))
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType) / col("nn")).as("u"))
-    val a = v.select(col("vec_id").as("ida"), col("u").as("ua"))
-    val b = v.select(col("vec_id").as("idb"), col("u").as("ub"))
-    val sim = dot(col("ua"), col("ub"))
-    a.join(b, col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), sim.as("sim"))
-      .filter(col("sim") >= NearDupThreshold)
-      .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
-      .orderBy(col("ida"), col("idb"))
-  }
+  def q26EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.pairs(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+      NearDupThreshold)
 
   /** Mirrors the engine's normalize-then-dot order exactly (unit vectors
     * first, one dot per pair) so border-line rounding agrees. */

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * write surface is `/root/reference/src/ds_caselaw_ingester/ingester.py:
   * 225-284,327-418,459-483`). Tables:
   *
-  *   - `documents`   (uri, xml, doc_type, annotation_message, automated,
-  *                    upload_state, version) — MERGE on uri; updates bump
-  *                    `version` (MarkLogic keeps version history; the
-  *                    store keeps the head + a monotone counter);
+  *   - `documents`   (uri, xml, doc_type, annotation_message,
+  *                    annotation_payload, automated, upload_state, version,
+  *                    is_published) — MERGE on uri; updates bump `version`
+  *                    (MarkLogic keeps version history; the store keeps the
+  *                    head + a monotone counter); `is_published` is the W10
+  *                    publish state, set via [[setPublished]] as the act
+  *                    phase's final effect (`ingester.py:565-575`);
   *   - `identifiers` (document_uri, id_kind, id_value, id_type) — append
   *                    (W2), also the dimension J1–J3 joins against;
   *   - `properties`  (uri, name, value) — upsert on (uri, name) (W3/W4);
@@ -58,21 +61,39 @@ final case class LocalStore(spark: SparkSession, base: String) {
     // one row per uri per batch (duplicate deliveries within a batch pick
     // a deterministic winner; callers with a real order pre-dedup)
     val u = updates
-      .select("uri", "xml", "doc_type", "annotation_message", "automated", "upload_state")
+      .select("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
+        "automated", "upload_state")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
       .filter(col("rn") === 1).drop("rn")
     val merged = read("documents") match {
-      case None => u.withColumn("version", lit(1))
+      case None => u.withColumn("version", lit(1)).withColumn("is_published", lit(false))
       case Some(cur) =>
+        // updating the XML does not change publish state — only the W10
+        // publish/unpublish effect ([[setPublished]]) flips the flag
         val updated = u.as("u")
-          .join(cur.select(col("uri"), col("version")).as("c"), Seq("uri"), "left")
+          .join(cur.select(col("uri"), col("version"), col("is_published")).as("c"),
+            Seq("uri"), "left")
           .select(col("uri"), col("xml"), col("doc_type"), col("annotation_message"),
-            col("automated"), col("upload_state"),
-            (coalesce(col("version"), lit(0)) + 1).as("version"))
+            col("annotation_payload"), col("automated"), col("upload_state"),
+            (coalesce(col("version"), lit(0)) + 1).as("version"),
+            coalesce(col("is_published"), lit(false)).as("is_published"))
         val untouched = cur.join(u.select("uri"), Seq("uri"), "left_anti")
         untouched.unionByName(updated)
     }
+    write("documents", merged)
+  }
+
+  /** W10 effect: the act phase's closing publish/unpublish
+    * (`ingester.py:565-575` — every successful ingest ends by either
+    * publishing or unpublishing its document). `decisions` is
+    * (uri, will_publish); URIs absent from the batch keep their state,
+    * a null decision (unknown originator) leaves the flag untouched. */
+  def setPublished(decisions: DataFrame): Unit = read("documents").foreach { cur =>
+    val d = decisions.select(col("uri"), col("will_publish")).dropDuplicates("uri")
+    val merged = cur.join(d, Seq("uri"), "left")
+      .withColumn("is_published", coalesce(col("will_publish"), col("is_published")))
+      .drop("will_publish")
     write("documents", merged)
   }
 
@@ -124,7 +145,8 @@ final case class LocalStore(spark: SparkSession, base: String) {
 
   private def emptyDocs: DataFrame = {
     import spark.implicits._
-    Seq.empty[(String, String, String, String, Boolean, String, Int)]
-      .toDF("uri", "xml", "doc_type", "annotation_message", "automated", "upload_state", "version")
+    Seq.empty[(String, String, String, String, String, Boolean, String, Int, Boolean)]
+      .toDF("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
+        "automated", "upload_state", "version", "is_published")
   }
 }

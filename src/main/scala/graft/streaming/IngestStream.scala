@@ -56,9 +56,13 @@ object IngestStream {
         "trimmed_uri", "ncn", "doc_type"),
       identifiers)
 
+    val pubDim = store.documents.select(col("uri").as("pub_uri"), col("is_published"))
     val enriched = resolved
       .withColumn("uri", coalesce(col("uri"),
         concat(lit("d-"), substring(md5(concat(lit("uri:"), col("consignment_ref"))), 1, 12))))
+      .join(broadcast(pubDim), col("uri") === col("pub_uri"), "left")
+      .withColumn("published", coalesce(col("is_published"), lit(false)))
+      .drop("pub_uri", "is_published")
       .withColumn("is_tdr", col("originator") === "TDR")
       .withColumn("auto_publish", lit(false))
       .withColumn("xml", concat(lit("<judgment><ref>"), col("consignment_ref"), lit("</ref></judgment>")))
@@ -69,6 +73,7 @@ object IngestStream {
       store.upsertDocuments(good.select(
         col("uri"), col("xml"), col("doc_type"),
         IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
+        lit(null).cast("string").as("annotation_payload"), // no metadata pre-download
         col("auto_publish").as("automated"),
         when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state")))
 
@@ -81,6 +86,11 @@ object IngestStream {
       store.upsertProperties(good.filter(col("is_tdr"))
         .select(col("uri"), lit("transfer-consignment-reference").as("name"),
           col("consignment_ref").as("value")))
+
+      // W10: the closing publish/unpublish effect (ingester.py:565-575)
+      store.setPublished(good.select(col("uri"),
+        IngestQueries.willPublish(col("originator"), col("auto_publish"),
+          col("exists_in_db"), col("published")).as("will_publish")))
 
       // ---- failure report (W11): SQS ids only; SNS failures vanish ----
       val failedDecode = decoded.filter(col("error").isNotNull)

@@ -42,11 +42,24 @@ class PackageIngestSpec extends SparkSpec {
     assert(doc.getAs[String]("annotation_message") == "New document submitted by TDR user")
     assert(doc.getAs[String]("xml").contains("akomaNtoso"))
 
-    // W2: the NCN identifier row ([2022] EWCA Civ 111 per the metadata)
+    // W2: the NCN identifier row ([2022] EWCA Civ 111 per the metadata),
+    // plus the document's own URI slug (the J1 substrate)
     val ids = store.read("identifiers").get.collect()
-    assert(ids.length == 1)
-    assert(ids.head.getAs[String]("id_value") == "[2022] EWCA Civ 111")
-    assert(ids.head.getAs[String]("id_type") == "ukncn")
+    val ncnIds = ids.filter(_.getAs[String]("id_kind") == "value")
+    assert(ncnIds.length == 1)
+    assert(ncnIds.head.getAs[String]("id_value") == "[2022] EWCA Civ 111")
+    assert(ncnIds.head.getAs[String]("id_type") == "ukncn")
+    assert(ids.exists(r => r.getAs[String]("id_kind") == "slug" &&
+      r.getAs[String]("id_value") == uri))
+
+    // P3: the version-annotation payload carries the raw metadata, the
+    // lambda context, and the TDR reference + submitter (ingester.py:76-97)
+    val payload = doc.getAs[String]("annotation_payload")
+    assert(payload.contains("\"tre_raw_metadata\": {"))
+    assert(payload.contains("\"aws_request_id\": \"graft-local-request\""))
+    assert(payload.contains("\"tdr_reference\": \"TDR-2021-CF6L\""))
+    assert(payload.contains("\"submitter\": {\"name\": \"Tom King\", \"email\": \"someone@example.com\"}"))
+    assert(!doc.getAs[Boolean]("is_published")) // TDR never publishes
 
     // W3: the exact 5 TDR property keys (test_metadata_storage.py:29-52)
     val props = store.read("properties").get.collect()
@@ -91,9 +104,10 @@ class PackageIngestSpec extends SparkSpec {
     // no TDR section in the error metadata → FCL annotation wording
     assert(doc.getAs[String]("annotation_message") == "New document uploaded by Find Case Law")
 
-    // parserLog has no identifier class → no identifier rows
-    assert(store.read("identifiers").isEmpty ||
-      store.read("identifiers").get.count() == 0)
+    // parserLog has no identifier class → no NCN identifier rows (the
+    // document's own URI slug row is store plumbing, not a W2 identifier)
+    assert(store.read("identifiers").get.collect()
+      .count(_.getAs[String]("id_kind") == "value") == 0)
 
     // no TDR section → no property rows
     assert(store.read("properties").isEmpty ||
@@ -117,9 +131,12 @@ class PackageIngestSpec extends SparkSpec {
     assert(outcome.getAs[String]("error") == null)
     assert(outcome.getAs[String]("doc_type") == "pressSummary")
 
+    // this press summary's metadata has cite=null → no NCN identifier row
+    // (the W2 routing to ukncn-summary for cite-bearing press summaries is
+    // oracle-checked by q30/q48); only the URI slug row lands
     val ids = store.read("identifiers").get.collect()
-    // press summaries carry the related-NCN identifier type (W2 routing)
-    assert(ids.forall(_.getAs[String]("id_type") == "ukncn-summary"))
+    assert(ids.count(_.getAs[String]("id_kind") == "value") == 0)
+    assert(ids.exists(_.getAs[String]("id_kind") == "slug"))
   }
 
   test("golden bulk package (test3): INGESTER_OPTIONS auto_publish → publish, no email") {
@@ -132,6 +149,9 @@ class PackageIngestSpec extends SparkSpec {
     assert(outcome.getAs[String]("error") == null)
     assert(outcome.getAs[String]("doc_type") == "judgment")
     assert(outcome.getAs[Boolean]("will_publish") == true) // FCL S3 + auto_publish
+
+    // W10 effect: the publish decision is realized in the store
+    assert(store.documents.collect().head.getAs[Boolean]("is_published"))
 
     // auto-publishing bulk ingest sends NO email (ingester.py:447-448)
     assert(store.read("notifications").isEmpty ||
@@ -157,6 +177,114 @@ class PackageIngestSpec extends SparkSpec {
     assert(outcome.head.getAs[String]("error").startsWith("FileNotFoundException"))
     assert(outcome.head.getAs[String]("uri") == null)
     assert(store.documents.count() == 0)
+  }
+
+  test("S4: S3-dialect package rewrites consignment_ref from TRE metadata; member paths keep old stem") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val storeDir = Files.createTempDirectory("graft-s4-store").toString
+    val store = LocalStore(spark, storeDir)
+
+    // CN7V's tar folder is 'TDR-2025-CN7V' (the message-level stem) but its
+    // metadata says TRE.reference = 'TRE-TDR-2025-CN7V' — delivered as a
+    // bulk/S3 message, the reference is rewritten AFTER metadata extraction
+    // (ingester.py:204-206, messages.py:92-93; test_handler.py:189)
+    val outcome = PackageIngest.ingest(spark,
+      Seq(pkg("TDR-2025-CN7V", "FCL S3", "TDR-2025-CN7V.tar.gz")), store).collect().head
+    assert(outcome.getAs[String]("error") == null)
+    assert(outcome.getAs[String]("consignment_ref") == "TRE-TDR-2025-CN7V")
+
+    // ...but the tar member SOURCE paths are keyed by the OLD stem — the
+    // ordering trap of SURVEY §7.5 (the tar's folder predates the rewrite)
+    val srcMembers = store.read("assets").get.collect()
+      .flatMap(r => Option(r.getAs[String]("src_member")))
+    assert(srcMembers.nonEmpty)
+    assert(srcMembers.forall(_.startsWith("TDR-2025-CN7V/")))
+
+    // the bulk (non-auto-publish) notification carries the NEW reference
+    val notes = store.read("notifications").get.collect()
+    assert(notes.map(_.getAs[String]("action")).toSeq == Seq("bulk"))
+    assert(notes.head.getAs[String]("payload") == "TRE-TDR-2025-CN7V")
+
+    // V2 counter-case: the same file delivered as TDR keeps its reference
+    val store2 = LocalStore(spark, Files.createTempDirectory("graft-s4b-store").toString)
+    val o2 = PackageIngest.ingest(spark,
+      Seq(pkg("TDR-2025-CN7V", "TDR", "TDR-2025-CN7V.tar.gz")), store2).collect().head
+    assert(o2.getAs[String]("consignment_ref") == "TDR-2025-CN7V")
+  }
+
+  test("W10 lifecycle: bulk auto-publish → FCL reparse keeps published → TDR update unpublishes") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val storeDir = Files.createTempDirectory("graft-pub-store").toString
+    val store = LocalStore(spark, storeDir)
+
+    // 1. bulk auto-publish: published
+    val o1 = PackageIngest.ingest(spark,
+      Seq(pkg("BULK-0", "FCL S3", "test3.tar.gz")), store).collect().head
+    assert(o1.getAs[Boolean]("will_publish"))
+    val uri = o1.getAs[String]("uri")
+    assert(store.documents.collect().head.getAs[Boolean]("is_published"))
+
+    // 2. FCL reparse of the same document: exists && published → stays
+    //    published (ingester.py:435-439 — the api_client.get_published
+    //    consultation the store's is_published flag now backs)
+    val o2 = PackageIngest.ingest(spark,
+      Seq(pkg("BULK-0", "FCL", "test3.tar.gz")), store).collect().head
+    assert(o2.getAs[String]("uri") == uri) // NCN resolution
+    assert(o2.getAs[Boolean]("exists_in_db"))
+    assert(o2.getAs[Boolean]("will_publish")) // consults stored publish state
+    assert(store.documents.collect().head.getAs[Boolean]("is_published"))
+
+    // 3. TDR update of the same document: TDR never publishes → the act
+    //    phase's closing unpublish flips the flag (ingester.py:571-573)
+    val o3 = PackageIngest.ingest(spark,
+      Seq(pkg("BULK-0", "TDR", "test3.tar.gz")), store).collect().head
+    assert(o3.getAs[String]("uri") == uri)
+    assert(!o3.getAs[Boolean]("will_publish"))
+    val doc = store.documents.collect().head
+    assert(!doc.getAs[Boolean]("is_published"))
+    assert(doc.getAs[Int]("version") == 3)
+  }
+
+  test("W10 guard: error-log package over a published document fails terminally, store untouched") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val storeDir = Files.createTempDirectory("graft-guard-store").toString
+    val store = LocalStore(spark, storeDir)
+
+    // publish a document via the bulk path
+    val o1 = PackageIngest.ingest(spark,
+      Seq(pkg("BULK-0", "FCL S3", "test3.tar.gz")), store).collect().head
+    val uri = o1.getAs[String]("uri")
+    assert(store.documents.collect().head.getAs[Boolean]("is_published"))
+    val xmlBefore = store.documents.collect().head.getAs[String]("xml")
+
+    // synthesize an error-log package (no xml, parser.log fallback) whose
+    // parser URI points at the published document — a failed reparse
+    val metadata =
+      s"""{"parameters": {"TRE": {"reference": "TRE-GUARD-1", "payload": {
+         |  "filename": null, "xml": null, "metadata": "TRE-GUARD-1-metadata.json",
+         |  "images": [], "log": "parser.log"}},
+         |  "PARSER": {"uri": "https://caselaw.nationalarchives.gov.uk/id/$uri", "cite": null}}}""".stripMargin
+    val errPkg = RawPackage("GUARD-1", "FCL",
+      "GUARD-1.tar.gz", graft.tar.TarOps.packStrings(Seq(
+        "GUARD-1/TRE-GUARD-1-metadata.json" -> metadata,
+        "GUARD-1/parser.log" -> "parse failed")))
+
+    val o2 = PackageIngest.ingest(spark, Seq(errPkg), store).collect().head
+    assert(o2.getAs[String]("doc_type") == "parserLog")
+    assert(o2.getAs[String]("error") == "ErrorLogWouldOverwritePublishedDocument")
+
+    // ...and NO effect ran: same xml, version 1, still published
+    val doc = store.documents.collect().head
+    assert(doc.getAs[String]("xml") == xmlBefore)
+    assert(doc.getAs[Int]("version") == 1)
+    assert(doc.getAs[Boolean]("is_published"))
+
+    // counter-case: unpublish first (TDR update), then the same error-log
+    // package lands as a normal parserLog update
+    PackageIngest.ingest(spark, Seq(pkg("BULK-0", "TDR", "test3.tar.gz")), store)
+    val o3 = PackageIngest.ingest(spark, Seq(errPkg), store).collect().head
+    assert(o3.getAs[String]("error") == null)
+    assert(store.documents.collect().head.getAs[Int]("version") == 3)
   }
 
   test("re-ingest with identifier present resolves to same uri (update path)") {
