@@ -57,12 +57,16 @@ object DedupQueries {
     * result is dropped. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), shingleHashes(tokens(normText(col("text")))).as("shh"))
+      // sorted ONCE per document so every candidate pair's intersection is
+      // an allocation-free two-pointer merge (SortedIntersectCount below)
+      .select(col("doc_id"), array_sort(shingleHashes(tokens(normText(col("text"))))).as("shh"))
       .filter(size(col("shh")) > 0)
       .localCheckpoint(true)
 
   /** Exact-verify a (ida, idb) candidate DataFrame against hashed shingle
-    * sets. */
+    * sets (sorted; see [[graft.expr.SortedIntersectCount]] — the
+    * `size(array_intersect(...))` spelling allocates a hash set + result
+    * array per candidate pair). */
   private def verifyJaccard(cands: DataFrame, shh: DataFrame, threshold: Double): DataFrame = {
     val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
     // NOTE: do NOT broadcast-hint these joins — the explicit hint defeats
@@ -72,7 +76,7 @@ object DedupQueries {
       .join(shh.select(col("doc_id").as("ida"), col("shh").as("sha")), "ida")
       .join(shh.select(col("doc_id").as("idb"), col("shh").as("shb")), "idb")
       .select(col("ida"), col("idb"),
-        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        graft.expr.SortedIntersectCount.of(col("sha"), col("shb")).as("common"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .filter(j >= threshold)
       .select(col("ida"), col("idb"), j.as("jaccard"))

@@ -41,14 +41,26 @@ final case class LocalStore(spark: SparkSession, base: String) {
   def read(t: String): Option[DataFrame] =
     if (exists(t)) Some(spark.read.parquet(path(t))) else None
 
-  private def write(t: String, df: DataFrame): Unit = {
-    // write via temp + swap so a MERGE can read its own previous state
-    val tmp = s"$base/.tmp_$t"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val materialized = spark.read.parquet(tmp)
-    materialized.write.mode(SaveMode.Overwrite).parquet(path(t))
+  private def delete(p: java.nio.file.Path): Unit =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      .delete(new org.apache.hadoop.fs.Path(p.toString), true)
+
+  private def write(t: String, df: DataFrame): Unit = {
+    // stage the new state in a sibling dir (the MERGE lineage reads the
+    // live table, so the write cannot target it), then swap via renames:
+    // a crash at ANY point leaves either the old or the new state intact
+    // on disk — a direct Overwrite of the live path would destroy the
+    // previous state the moment it starts. On a cluster store this swap
+    // is the transaction-log commit Delta/Iceberg provide natively.
+    val next = Paths.get(s"$base/.next_$t")
+    val old = Paths.get(s"$base/.old_$t")
+    val live = Paths.get(path(t))
+    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    if (Files.exists(old)) delete(old) // leftover from a crashed swap
+    if (Files.exists(live))
+      Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(next, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) delete(old)
   }
 
   private def append(t: String, df: DataFrame): Unit =

@@ -77,4 +77,59 @@ class IngestStreamSpec extends SparkSpec {
     assert(docs2.length == 1)
     assert(docs2.head.getAs[Int]("version") == 2) // same deterministic URI → upsert
   }
+
+  test("crash recovery: uncommitted batch is redelivered, effects converge, committed batches are not replayed") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("graft-crash-store").toString
+    val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
+    val store = LocalStore(spark, storeDir)
+
+    val source = MemoryStream[(String, String)]
+    val events = source.toDS().toDF("kind", "record_json")
+    source.addData(sqs("msg-101", v2Inner("REF-X")), sqs("msg-102", v2Inner("REF-Y")))
+
+    // CRASH mid-stream: the batch's effects run, then the query dies
+    // before the offset commit — the visibility-timeout analogue (an SQS
+    // worker that processed the message but never deleted it)
+    val crashing = events.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        IngestStream.processBatch(store)(b, id)
+        throw new RuntimeException("injected crash after effects, before commit")
+      }
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.awaitTermination()
+    }
+    assert(store.documents.count() == 2) // effects DID run before the crash
+
+    // RESTART on the same checkpoint: the uncommitted batch is redelivered
+    // (at-least-once), and every keyed effect converges — the MERGE bumps
+    // versions exactly like an SQS redelivery re-running perform_ingest
+    // (same semantics the re-ingest golden test pins), identifiers dedup
+    val q2 = IngestStream.start(events, store, ckpt)
+    q2.awaitTermination()
+    val docs = store.documents.collect()
+    assert(docs.length == 2)
+    assert(docs.forall(_.getAs[Int]("version") == 2)) // one crash replay, not N
+    // properties upsert on (uri, name) → converges to one row per doc
+    val props = store.read("properties").get.collect()
+    assert(props.length == 2)
+    // append-only notifications dup on redelivery — the reference resends
+    // the email on SQS redelivery too; the keyed tables are what converge
+    val notes = store.read("notifications").get.collect()
+    assert(notes.length == 4)
+    assert(notes.map(r => (r.getAs[String]("uri"), r.getAs[String]("action"))).distinct.length == 2)
+
+    // a THIRD restart with new data must NOT replay the committed batch
+    source.addData(sqs("msg-103", v2Inner("REF-Z")))
+    val q3 = IngestStream.start(events, store, ckpt)
+    q3.awaitTermination()
+    val byRef = store.documents.collect()
+      .map(r => r.getAs[String]("xml") -> r.getAs[Int]("version")).toMap
+    assert(byRef.size == 3)
+    assert(byRef.count(_._2 == 2) == 2) // X/Y untouched by the third run
+    assert(byRef.count(_._2 == 1) == 1) // Z processed exactly once
+  }
 }
