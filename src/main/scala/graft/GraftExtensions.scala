@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{VecDot, WordShingles}
+import graft.expr.{SortedIntersectCount, VecDot, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "word_shingle_hashes(tokens, k) takes 2 arguments")
         WordShingles(args.head, intLit(args(1), "k"), hashed = true)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b) takes exactly 2 sorted array<bigint> arguments")
+        SortedIntersectCount(args.head, args(1))
       }))
   }
 }

@@ -92,8 +92,21 @@ object PackageIngest {
 
   /** Gathered packages as a DataFrame with the column-level decisions
     * applied: metadata decode (`MetadataSchema`), best-XML fallback,
-    * doc-type classification, facet projection. */
+    * doc-type classification, facet projection.
+    *
+    * Driver-side convenience overload for small batches (specs, the
+    * Lambda-sized unit of the reference); the Dataset form below is the
+    * scale path — archives never leave their executors. */
   def gatherAll(spark: SparkSession, packages: Seq[RawPackage]): DataFrame = {
+    import spark.implicits._
+    gatherAllDs(spark, spark.createDataset(packages))
+  }
+
+  /** Distributed gather: the per-package kernel runs as a narrow `map` on
+    * whichever executor holds the archive bytes (e.g. straight off a
+    * `binaryFile` scan — [[graft.tar.PackageSource]]); only the gathered
+    * projection (strings, not archives) flows on. */
+  def gatherAllDs(spark: SparkSession, packages: org.apache.spark.sql.Dataset[RawPackage]): DataFrame = {
     import spark.implicits._
     XmlOps.register(spark)
     val df = packages.map(gather).toDF()
@@ -128,7 +141,15 @@ object PackageIngest {
     * outcome table (uri, exists, will_publish, error). */
   def ingest(spark: SparkSession, packages: Seq[RawPackage], store: LocalStore,
       requestId: String = "graft-local-request"): DataFrame = {
-    val gathered = gatherAll(spark, packages)
+    import spark.implicits._
+    ingestDs(spark, spark.createDataset(packages), store, requestId)
+  }
+
+  /** Distributed act phase over a package Dataset (the 100 TB shape:
+    * `binaryFile` scan → gather map → broadcast resolution → effects). */
+  def ingestDs(spark: SparkSession, packages: org.apache.spark.sql.Dataset[RawPackage],
+      store: LocalStore, requestId: String = "graft-local-request"): DataFrame = {
+    val gathered = gatherAllDs(spark, packages)
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
       Seq.empty[(String, String, String, Option[String])]

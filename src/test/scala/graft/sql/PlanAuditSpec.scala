@@ -1,0 +1,43 @@
+package graft.sql
+
+import graft.SparkSpec
+
+/** Plan-shape audits for the round-4 queries — the properties that matter
+  * at 100 TB, asserted on the optimized/physical plan rather than eyeballed
+  * once: truth-table projections must stay single-pass narrow (no shuffle
+  * except the presentation sort), and scans must prune to the columns the
+  * query reads. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    graft.SparkEntry.queries(name)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q47/q49 publish/email truth tables plan as one narrow pass + sort (no hash shuffle)") {
+    for (q <- Seq("q47_publish_poststate", "q49_email_bodies")) {
+      val plan = physical(q)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q: unexpected hash shuffle\n$plan")
+      // exactly the sort's range exchange
+      assert(countOccurrences(plan, "Exchange ") == 1, s"$q: expected only the sort exchange\n$plan")
+    }
+  }
+
+  test("q47 scan prunes to doc_id only") {
+    val plan = graft.SparkEntry.queries("q47_publish_poststate")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // documents has (doc_id, url, title, text, lang, published_at, ...);
+    // the truth table derives everything from doc_id — reading more is a
+    // pruning regression
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
+
+  test("q48 identifier fold plans broadcast for the warn dimension (no extra shuffle on the probe side)") {
+    val plan = physical("q48_identifier_assignment")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the warn-dimension broadcast\n$plan")
+  }
+}
