@@ -158,7 +158,10 @@ object PackageIngest {
 
     // pre-effect publish state (W10): the reference consults
     // `api_client.get_published` for FCL reparse packages
-    // (ingester.py:435-439); the guard below needs it too
+    // (ingester.py:435-439); the guard below needs it too. The broadcast
+    // hint (like Resolution's) assumes the store dimension fits the 64 MB
+    // threshold — true for this store at any caselaw-like cardinality; a
+    // store past that would drop the hint and shuffle-join on uri.
     val pubDim = store.documents.select(col("uri").as("pub_uri"), col("is_published"))
 
     // eager localCheckpoint (not cache): step 2 below mutates the very

@@ -287,6 +287,34 @@ class PackageIngestSpec extends SparkSpec {
     assert(store.documents.collect().head.getAs[Int]("version") == 3)
   }
 
+  test("W10 cannot-publish: auto-publish error-log package ingests but fails to publish") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val store = LocalStore(spark, Files.createTempDirectory("graft-cp-store").toString)
+
+    // a bulk error-log package whose INGESTER_OPTIONS demand auto-publish:
+    // the write effects run, then publish() raises (parserLog documents
+    // are unpublishable) — CannotPublishException AFTER the effects
+    // (ingester.py:565-570, tests/test_ingester.py:18-19)
+    val metadata =
+      """{"parameters": {"TRE": {"reference": "TRE-CP-1", "payload": {
+        |  "filename": null, "xml": null, "metadata": "TRE-CP-1-metadata.json",
+        |  "images": [], "log": "parser.log"}},
+        |  "INGESTER_OPTIONS": {"auto_publish": true}}}""".stripMargin
+    val pkgCp = RawPackage("CP-1", "FCL S3", "CP-1.tar.gz",
+      graft.tar.TarOps.packStrings(Seq(
+        "CP-1/TRE-CP-1-metadata.json" -> metadata,
+        "CP-1/parser.log" -> "parse failed")))
+
+    val o = PackageIngest.ingest(spark, Seq(pkgCp), store).collect().head
+    assert(o.getAs[String]("doc_type") == "parserLog")
+    assert(o.getAs[Boolean]("will_publish")) // the decision said publish...
+    assert(o.getAs[String]("error") == "CannotPublishException") // ...the effect refused
+
+    val doc = store.documents.collect().head
+    assert(doc.getAs[Int]("version") == 1) // write effects DID run
+    assert(!doc.getAs[Boolean]("is_published")) // publish failed, no unpublish either
+  }
+
   test("re-ingest with identifier present resolves to same uri (update path)") {
     assume(Files.exists(fixtures), "reference fixtures not present")
     val storeDir = Files.createTempDirectory("graft-reingest-store").toString
