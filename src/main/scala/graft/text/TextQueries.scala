@@ -194,17 +194,96 @@ object TextQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every POSITIONAL token 3-gram (ordered, not the
+    * distinct set), take the minimum of each sliding window of
+    * [[WinnowWindow]] consecutive gram hashes, and keep the distinct
+    * minima as the document's fingerprint. Guarantees any shared run of
+    * ≥ (window + gram − 1) tokens contributes a common fingerprint —
+    * the position-robust containment detector that set-based shingles
+    * (q18/q20) can't give.
+    *
+    * One narrow pass per document (the HOF chain is per-row, no shuffle
+    * except the presentation sort); emitted as scalar columns (count,
+    * digest, extrema) so the oracle hash-compares exactly. */
+  private val WinnowWindow = 4
+
+  def q50TextWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables(spark, dir).documents)
+
+  /** The winnowing core over any (doc_id, text) DataFrame: sorted distinct
+    * window minima as an array column — public so `WinnowSpec` can pin the
+    * shared-run containment guarantee by set intersection. */
+  def winnowFingerprintSets(d: DataFrame): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val n = size(toks)
+    val grams = when(n >= 3,
+        transform(sequence(lit(1), n - 2), i =>
+          hex60(concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+
+    val w = WinnowWindow
+    val m = size(col("hs"))
+    val mins = when(m >= w,
+        transform(sequence(lit(1), m - (w - 1)), j => array_min(slice(col("hs"), j, lit(w)))))
+      .when(m >= 1, array(array_min(col("hs"))))
+      .otherwise(array().cast("array<bigint>"))
+
+    d.select(col("doc_id"), grams.as("hs"))
+      .select(col("doc_id"), m.as("n_grams"), mins.as("mins"))
+      .select(col("doc_id"), col("n_grams"),
+        array_sort(array_distinct(col("mins"))).as("fp"))
+  }
+
+  /** Scalar projection of [[winnowFingerprintSets]] for the oracle gate. */
+  def winnowFingerprints(d: DataFrame): DataFrame =
+    winnowFingerprintSets(d)
+      .select(
+        col("doc_id"), col("n_grams"),
+        size(col("fp")).as("n_fp"),
+        md5(concat_ws(",", transform(col("fp"), x => x.cast("string")))).as("fp_digest"),
+        try_element_at(col("fp"), lit(1)).as("fp_min"),
+        try_element_at(col("fp"), lit(-1)).as("fp_max"))
+      .orderBy(col("doc_id"))
+
+  val q50Sql: String = {
+    val w = WinnowWindow
+    val toksSql = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3
+       |       THEN list_transform(range(1, len(t)-1),
+       |              i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT)
+       |       ELSE []::BIGINT[] END AS hs
+       |  FROM tk),
+       |m AS (SELECT doc_id, len(hs) AS n_grams,
+       |  CASE WHEN len(hs) >= $w
+       |       THEN list_transform(range(1, len(hs) - ${w - 2}), j -> list_min(hs[j:j+${w - 1}]))
+       |       WHEN len(hs) >= 1 THEN [list_min(hs)]
+       |       ELSE []::BIGINT[] END AS mins
+       |  FROM g),
+       |f AS (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS fp FROM m)
+       |SELECT doc_id, n_grams, len(fp) AS n_fp,
+       |  md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest,
+       |  fp[1] AS fp_min, fp[-1] AS fp_max
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_text_tokens"      -> (q15TextTokens _),
     "q16_text_quality"     -> (q16TextQuality _),
     "q17_text_langid"      -> (q17LangId _),
-    "q18_text_fingerprint" -> (q18Fingerprint _))
+    "q18_text_fingerprint" -> (q18Fingerprint _),
+    "q50_text_winnow"      -> (q50TextWinnow _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_text_tokens"      -> q15Sql,
     "q16_text_quality"     -> q16Sql,
     "q17_text_langid"      -> q17Sql,
-    "q18_text_fingerprint" -> q18Sql)
+    "q18_text_fingerprint" -> q18Sql,
+    "q50_text_winnow"      -> q50Sql)
 }
