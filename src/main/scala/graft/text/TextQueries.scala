@@ -213,28 +213,16 @@ object TextQueries {
     winnowFingerprints(Tables(spark, dir).documents)
 
   /** The winnowing core over any (doc_id, text) DataFrame: sorted distinct
-    * window minima as an array column — public so `WinnowSpec` can pin the
+    * window minima as an array column ([[graft.expr.WinnowMinima]], one
+    * codegen'd kernel pass — the HOF chain was 22 s at sf0.1, see the
+    * expression's scaladoc) — public so `WinnowSpec` can pin the
     * shared-run containment guarantee by set intersection. */
   def winnowFingerprintSets(d: DataFrame): DataFrame = {
     val toks = tokens(normText(col("text")))
     val n = size(toks)
-    val grams = when(n >= 3,
-        transform(sequence(lit(1), n - 2), i =>
-          hex60(concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<bigint>"))
-
-    val w = WinnowWindow
-    val m = size(col("hs"))
-    val mins = when(m >= w,
-        transform(sequence(lit(1), m - (w - 1)), j => array_min(slice(col("hs"), j, lit(w)))))
-      .when(m >= 1, array(array_min(col("hs"))))
-      .otherwise(array().cast("array<bigint>"))
-
-    d.select(col("doc_id"), grams.as("hs"))
-      .select(col("doc_id"), m.as("n_grams"), mins.as("mins"))
-      .select(col("doc_id"), col("n_grams"),
-        array_sort(array_distinct(col("mins"))).as("fp"))
+    d.select(col("doc_id"),
+      greatest(n - 2, lit(0)).as("n_grams"),
+      graft.expr.WinnowMinima.of(toks, 3, WinnowWindow).as("fp"))
   }
 
   /** Scalar projection of [[winnowFingerprintSets]] for the oracle gate. */
