@@ -265,7 +265,8 @@ object PackageIngest {
         col("exists_in_db"), col("published"))
       val cannotPublish = willPublish && col("doc_type") === "parserLog"
       store.setPublished(ok.select(col("uri"),
-        when(cannotPublish, lit(null).cast("boolean")).otherwise(willPublish).as("will_publish")))
+        when(cannotPublish, lit(null).cast("boolean")).otherwise(willPublish).as("will_publish"),
+        col("best_xml").as("xml")))
 
       // 7. outcome (O2/W11): gather failures stay in the outcome with
       //    their error (per-record isolation — a broken package reports,

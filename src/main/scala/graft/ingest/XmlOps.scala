@@ -162,7 +162,14 @@ object XmlOps {
     * (the reference returns the parsed element; serialized comparison is
     * what the oracle can hash). */
   def bestXml(xmlContent: Column, parserLog: Column): Column =
-    when(tryParseRoot(xmlContent).isNotNull, xmlContent)
+    bestXmlGiven(tryParseRoot(xmlContent), xmlContent, parserLog)
+
+  /** [[bestXml]] with the member XML's parse result already computed —
+    * for callers that project `tryParseRoot` ONCE and reuse it (q28's
+    * single-parse optimization); keeping the chain here means the gate and
+    * the production path cannot drift. */
+  def bestXmlGiven(root0: Column, xmlContent: Column, parserLog: Column): Column =
+    when(root0.isNotNull, xmlContent)
       .otherwise(
         when(parserLog.isNotNull, concat(lit("<error>"), xmlEscape(parserLog), lit("</error>")))
           .otherwise(lit("<error>parser.log not found</error>")))

@@ -36,7 +36,7 @@ final case class LocalStore(spark: SparkSession, base: String) {
   Files.createDirectories(Paths.get(base))
 
   private def path(t: String) = s"$base/$t"
-  private def exists(t: String) = Files.exists(Paths.get(path(t)))
+  private def exists(t: String) = { recover(t); Files.exists(Paths.get(path(t))) }
 
   def read(t: String): Option[DataFrame] =
     if (exists(t)) Some(spark.read.parquet(path(t))) else None
@@ -45,22 +45,37 @@ final case class LocalStore(spark: SparkSession, base: String) {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(p.toString), true)
 
+  /** Roll back a swap that crashed between its two renames: the live dir
+    * is gone but `.old_t` still holds the pre-swap state — restore it (the
+    * staged `.next_t`, never having been committed, is discarded by the
+    * next write's Overwrite). Called before every read/write so a crashed
+    * store heals on first touch. */
+  private def recover(t: String): Unit = {
+    val old = Paths.get(s"$base/.old_$t")
+    if (!Files.exists(Paths.get(path(t))) && Files.exists(old))
+      Files.move(old, Paths.get(path(t)), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def write(t: String, df: DataFrame): Unit = {
     // stage the new state in a sibling dir (the MERGE lineage reads the
     // live table, so the write cannot target it), then swap via renames:
-    // a crash at ANY point leaves either the old or the new state intact
-    // on disk — a direct Overwrite of the live path would destroy the
-    // previous state the moment it starts. On a cluster store this swap
-    // is the transaction-log commit Delta/Iceberg provide natively.
+    // a crash at ANY point leaves either the live state or `.old_t`
+    // intact, and [[recover]] restores the latter on the next touch — a
+    // direct Overwrite of the live path would destroy the previous state
+    // the moment it starts. On a cluster store this swap is the
+    // transaction-log commit Delta/Iceberg provide natively.
+    recover(t)
     val next = Paths.get(s"$base/.next_$t")
     val old = Paths.get(s"$base/.old_$t")
     val live = Paths.get(path(t))
     df.write.mode(SaveMode.Overwrite).parquet(next.toString)
-    if (Files.exists(old)) delete(old) // leftover from a crashed swap
+    // a crash AFTER a completed swap but before its cleanup leaves a
+    // committed-over leftover .old_t next to a live dir — safe to drop
+    if (Files.exists(old)) delete(old)
     if (Files.exists(live))
       Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Files.move(next, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) delete(old)
+    if (Files.exists(old)) delete(old) // commit: drop the pre-swap state
   }
 
   private def append(t: String, df: DataFrame): Unit =
@@ -99,10 +114,17 @@ final case class LocalStore(spark: SparkSession, base: String) {
   /** W10 effect: the act phase's closing publish/unpublish
     * (`ingester.py:565-575` — every successful ingest ends by either
     * publishing or unpublishing its document). `decisions` is
-    * (uri, will_publish); URIs absent from the batch keep their state,
-    * a null decision (unknown originator) leaves the flag untouched. */
+    * (uri, will_publish, xml); URIs absent from the batch keep their
+    * state, a null decision (unknown originator / failed publish) leaves
+    * the flag untouched. Duplicate-URI batches pick the SAME
+    * deterministic winner as [[upsertDocuments]] (xml desc) so the stored
+    * document and its publish flag always come from one package. */
   def setPublished(decisions: DataFrame): Unit = read("documents").foreach { cur =>
-    val d = decisions.select(col("uri"), col("will_publish")).dropDuplicates("uri")
+    val d = decisions.select(col("uri"), col("will_publish"), col("xml"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
+      .filter(col("rn") === 1)
+      .select("uri", "will_publish")
     val merged = cur.join(d, Seq("uri"), "left")
       .withColumn("is_published", coalesce(col("will_publish"), col("is_published")))
       .drop("will_publish")

@@ -68,7 +68,11 @@ object IngestStream {
       .withColumn("xml", concat(lit("<judgment><ref>"), col("consignment_ref"), lit("</ref></judgment>")))
 
     // ---- act phase (O2): fixed effect order ----
-    val good = enriched.filter(col("error").isNull).cache()
+    // eager localCheckpoint, NOT cache: the lineage reads the documents
+    // parquet this very batch's first effect swaps out — an evicted cache
+    // partition would recompute against deleted files mid-effect-sequence
+    // (the same hazard PackageIngest.ingestDs pins)
+    val good = enriched.filter(col("error").isNull).localCheckpoint(true)
     try {
       store.upsertDocuments(good.select(
         col("uri"), col("xml"), col("doc_type"),
@@ -90,7 +94,8 @@ object IngestStream {
       // W10: the closing publish/unpublish effect (ingester.py:565-575)
       store.setPublished(good.select(col("uri"),
         IngestQueries.willPublish(col("originator"), col("auto_publish"),
-          col("exists_in_db"), col("published")).as("will_publish")))
+          col("exists_in_db"), col("published")).as("will_publish"),
+        col("xml")))
 
       // ---- failure report (W11): SQS ids only; SNS failures vanish ----
       val failedDecode = decoded.filter(col("error").isNotNull)

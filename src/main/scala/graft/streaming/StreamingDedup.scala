@@ -6,8 +6,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Incoming document (streaming dedup input). */
 final case class StreamDoc(doc_id: Long, content_hash: String)
 
-/** First-seen emission (streaming dedup output): the kept document plus
-  * how many duplicates had arrived for its hash when it was admitted. */
+/** First-seen emission (streaming dedup output): the admitted document
+  * for a content hash (within-batch ties → lowest doc_id). */
 final case class KeptDoc(content_hash: String, doc_id: Long)
 
 /** Streaming exact deduplication — q19's batch groupBy as a continuous

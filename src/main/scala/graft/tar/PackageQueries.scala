@@ -126,10 +126,8 @@ object PackageQueries {
         col("doc_id"),
         coalesce(col("root0"), lit("error")).as("root_tag"),
         col("root0").isNull.as("used_fallback"),
-        md5(when(col("root0").isNotNull, col("xml_content"))
-          .when(col("parser_log").isNotNull,
-            concat(lit("<error>"), XmlOps.xmlEscape(col("parser_log")), lit("</error>")))
-          .otherwise(lit("<error>parser.log not found</error>"))).as("best_md5"))
+        md5(XmlOps.bestXmlGiven(col("root0"), col("xml_content"), col("parser_log")))
+          .as("best_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -27,8 +27,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q47 scan prunes to doc_id only") {
-    val plan = graft.SparkEntry.queries("q47_publish_poststate")(spark, Sf0001)
-      .queryExecution.executedPlan.toString
+    val plan = physical("q47_publish_poststate")
     // documents has (doc_id, url, title, text, lang, published_at, ...);
     // the truth table derives everything from doc_id — reading more is a
     // pruning regression
