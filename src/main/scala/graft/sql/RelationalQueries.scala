@@ -518,7 +518,61 @@ object RelationalQueries {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q51
+  /** Range (interval-containment) join WITHOUT an equi key, as a
+    * bin-bucketed equi-join: every high-value error event opens a 1-hour
+    * "incident window"; count the events (and distinct users) falling in
+    * each window.
+    *
+    * The naive plan for `point BETWEEN start AND end` with no equality
+    * conjunct is a BroadcastNestedLoopJoin — O(|windows|·|events|), the
+    * classic range-join scale killer. The engine instead quantizes time
+    * into 1-hour bins: each window explodes to the 1–2 bins it covers,
+    * each event maps to its single bin, and the join becomes a plain hash
+    * equi-join on `bin` followed by the exact containment filter. A point
+    * has exactly one bin, so each (window, event) pair meets at most once
+    * — no post-join dedup. At 100 TB the bin IS the shuffle key (bounded
+    * per-bin fan-out), the same shape Databricks' range-join optimization
+    * and the q20 df-capped index use. The DuckDB oracle runs the naive
+    * inequality join — the engine must reproduce it exactly. */
+  private val IncidentValueMin = 15.0
+  private val BinSeconds = 3600L
+
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val windows = ev
+      .filter(col("event_type") === "error" && col("value") > IncidentValueMin)
+      .select(col("event_id").as("incident_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val wBinned = windows.withColumn("bin",
+      explode(sequence(
+        floor(unix_timestamp(col("w_start")) / BinSeconds),
+        floor(unix_timestamp(col("w_end")) / BinSeconds))))
+    val pBinned = ev
+      .select(col("event_id"), col("ts").as("p_ts"), col("user_id"))
+      .withColumn("bin", floor(unix_timestamp(col("p_ts")) / BinSeconds))
+
+    wBinned.join(pBinned, Seq("bin"))
+      .filter(col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("incident_id"))
+  }
+
+  /** Oracle: the naive inequality join. */
+  val q51Sql: String =
+    s"""WITH w AS (
+       |  SELECT event_id AS incident_id, ts AS w_start, ts + INTERVAL 1 HOUR AS w_end
+       |  FROM events WHERE event_type = 'error' AND value > $IncidentValueMin)
+       |SELECT incident_id, count(*) AS n_events,
+       |  count(DISTINCT e.user_id) AS n_users
+       |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+       |GROUP BY incident_id ORDER BY incident_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_range_join"            -> (q51RangeJoin _),
     "q01_agg_pricing_summary"   -> (q01PricingSummary _),
     "q02_join_broadcast_nation" -> (q02RevenueByNation _),
     "q03_join_shuffle_top_orders" -> (q03TopUnshippedOrders _),
@@ -540,6 +594,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q51_range_join"            -> q51Sql,
     "q01_agg_pricing_summary"   -> q01Sql,
     "q02_join_broadcast_nation" -> q02Sql,
     "q03_join_shuffle_top_orders" -> q03Sql,

@@ -34,6 +34,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
   }
 
+  test("q51 range join plans as a hash equi-join on the time bin — never a nested-loop") {
+    val plan = physical("q51_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop\n$plan")
+  }
+
   test("q48 identifier fold plans broadcast for the warn dimension (no extra shuffle on the probe side)") {
     val plan = physical("q48_identifier_assignment")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
