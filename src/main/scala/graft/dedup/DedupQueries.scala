@@ -309,9 +309,61 @@ object DedupQueries {
        |  n_docs - 1 AS n_dropped
        |FROM r WHERE rn = 1 ORDER BY content_hash""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Corpus curation — the operators composed the way a training-data
+    * pipeline actually runs them: quality-filter (q16's score), exact
+    * dedup among the survivors, keep-best representative (q44's rule),
+    * reported per language. One scoring scan + ONE window over the
+    * content hash (the same shuffle key q19/q44 use) + one per-lang
+    * aggregate — no operator-per-pass re-scanning. */
+  private val CurationMinQuality = 0.75
+
+  def q52CorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        md5(normText(col("text"))).as("content_hash"),
+        graft.text.TextQueries.qualityScore(col("text")).as("q"))
+    val pass = col("q") >= CurationMinQuality
+    // rank only the quality-passing docs within their duplicate cluster
+    val ranked = scored.withColumn("rn",
+      when(pass, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_hash"), pass).orderBy(col("q").desc, col("doc_id"))))
+        .otherwise(lit(null)))
+    ranked.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(!pass, 1)).as("n_quality_fail"),
+        count(when(pass, 1)).as("n_pass"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(pass && col("rn") =!= 1, 1)).as("n_dup_dropped"))
+      .orderBy(col("lang"))
+  }
+
+  val q52Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS content_hash,
+       |    ${graft.text.TextQueries.qualityScoreSql} AS q
+       |  FROM documents),
+       |r AS (
+       |  SELECT *,
+       |    CASE WHEN q >= $CurationMinQuality THEN
+       |      row_number() OVER (PARTITION BY content_hash, q >= $CurationMinQuality
+       |                         ORDER BY q DESC, doc_id)
+       |    END AS rn
+       |  FROM scored)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(CASE WHEN q < $CurationMinQuality THEN 1 END) AS n_quality_fail,
+       |  count(CASE WHEN q >= $CurationMinQuality THEN 1 END) AS n_pass,
+       |  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+       |  count(CASE WHEN q >= $CurationMinQuality AND rn != 1 THEN 1 END) AS n_dup_dropped
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_corpus_curation"     -> (q52CorpusCuration _),
     "q44_dedup_select"        -> (q44DedupSelect _),
     "q19_dedup_exact"         -> (q19DedupExact _),
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
@@ -320,6 +372,7 @@ object DedupQueries {
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q52_corpus_curation"     -> q52Sql,
     "q44_dedup_select"        -> q44Sql,
     "q19_dedup_exact"         -> q19Sql,
     "q20_dedup_ngram_jaccard" -> q20Sql,

@@ -259,9 +259,50 @@ object TextQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training pipeline: each language keeps a configured fraction of its
+    * documents, selected by a salted 60-bit md5 hash of the doc id
+    * (`hash % 1000 < rate‰`). Unlike `DataFrame.sample`/`sampleBy` (RNG
+    * state, non-reproducible across runs/engines), the hash gate is a
+    * pure per-row predicate: replayable, pushdown-friendly, and exactly
+    * reproducible by the oracle. Per-lang admission counts + an id-sum
+    * checksum pin the SELECTION, not just its size. */
+  private val SampleRates: Seq[(String, Int)] = // per-mille by language
+    Seq("en" -> 1000, "de" -> 500, "es" -> 250, "fr" -> 100, "zh" -> 50)
+
+  def q53StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("lang"))
+    val rate = SampleRates.foldRight(lit(0)) { case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    val gate = hex60(concat(lit("samp:"), col("doc_id").cast("string"))) % 1000 < rate
+    d.withColumn("sampled", gate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val q53Sql: String = {
+    val rate = SampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('samp:' || doc_id), 1, 15))::BIGINT % 1000 < ($rate) AS sampled
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(CASE WHEN sampled THEN 1 END) AS n_sampled,
+       |  CAST(sum(CASE WHEN sampled THEN doc_id END) AS BIGINT) AS sampled_id_sum
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_stratified_sample" -> (q53StratifiedSample _),
     "q15_text_tokens"      -> (q15TextTokens _),
     "q16_text_quality"     -> (q16TextQuality _),
     "q17_text_langid"      -> (q17LangId _),
@@ -269,6 +310,7 @@ object TextQueries {
     "q50_text_winnow"      -> (q50TextWinnow _))
 
   val oracleSql: Map[String, String] = Map(
+    "q53_stratified_sample" -> q53Sql,
     "q15_text_tokens"      -> q15Sql,
     "q16_text_quality"     -> q16Sql,
     "q17_text_langid"      -> q17Sql,
