@@ -236,16 +236,64 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Embedding int8 quantization — the storage-compression step a vector
+    * corpus runs before indexing (4× smaller than float32): symmetric
+    * per-vector scaling (`scale = max|x| / 127`), quantize with
+    * `floor(x/scale + 0.5)` (round-half-up — spelled identically in both
+    * engines; `round()` differs between them on halves and Spark `bround`
+    * has no cheap DuckDB twin), then the per-vector fidelity report: max
+    * absolute reconstruction error and the cosine between the original
+    * and the dequantized vector. Narrow per-row pass over MATERIALIZED
+    * array columns (each projection step binds its arrays before the next
+    * HOF consumes them — interpreted lambdas re-evaluate unmaterialized
+    * free subexpressions per element); the quantized corpus itself would
+    * carry (scale, int8[64]) instead of float[64]. */
+  def q54EmbeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val withV = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val withScale = withV.select(col("vec_id"), col("v"),
+      (greatest(aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12))
+        / 127.0).as("scale"))
+    val withDq = withScale.select(col("vec_id"), col("v"), col("scale"),
+      transform(col("v"), x => floor(x / col("scale") + 0.5) * col("scale")).as("dq"))
+    withDq.select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        round(aggregate(zip_with(col("v"), col("dq"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_abs_err"),
+        round(dot(col("v"), col("dq")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("dq"), col("dq")))), 4).as("cos_fidelity"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q54Sql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+      |  FROM v),
+      |q AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  round(list_max([abs(v[i] - dq[i]) for i in range(1, len(v) + 1)]), 6) AS max_abs_err,
+      |  round(list_dot_product(v, dq)
+      |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 4) AS cos_fidelity
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_sim_cosine_topk"    -> (q24CosineTopK _),
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
-    "q45_sim_ivf"            -> (q45SimIvf _))
+    "q45_sim_ivf"            -> (q45SimIvf _),
+    "q54_embedding_quantize" -> (q54EmbeddingQuantize _))
 
-  /** q25 is approximate → rows-only gate (no oracle entry by design). */
+  /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
     "q24_sim_cosine_topk"    -> q24Sql,
-    "q26_sim_embedding_neardup" -> q26Sql)
+    "q26_sim_embedding_neardup" -> q26Sql,
+    "q54_embedding_quantize" -> q54Sql)
 }
