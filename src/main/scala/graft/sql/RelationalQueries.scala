@@ -571,8 +571,69 @@ object RelationalQueries {
        |FROM w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
        |GROUP BY incident_id ORDER BY incident_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Arbitrary GROUPING SETS (beyond q07's rollup / q38's cube): the
+    * three-set lattice ((priority, status), (status), ()) with per-column
+    * `grouping()` flags — one shuffle, Spark expands the sets in the
+    * aggregate (no N-pass union). */
+  def q55GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("sum_price"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        grouping(col("o_orderstatus")).as("g_status"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first,
+        col("g_priority"), col("g_status"))
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      | CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority,
+      | CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, g_priority, g_status""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Value-RANGE window frame (vs q04's row frame): per customer, the
+    * running 30-day order spend — `RANGE BETWEEN 30 PRECEDING AND CURRENT
+    * ROW` over the epoch-day ordinal, so the frame is defined by the DATE
+    * DISTANCE, not a row count (two orders on one day both see each
+    * other; a 40-day gap empties the lookback). One shuffle on the
+    * partition key. */
+  def q56RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+        dec(col("o_totalprice")).as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("price")).over(w).cast(DoubleType).as("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q56Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      | date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY o_custkey
+      |   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_range_join"            -> (q51RangeJoin _),
+    "q55_grouping_sets"         -> (q55GroupingSets _),
+    "q56_range_window"          -> (q56RangeWindow _),
     "q01_agg_pricing_summary"   -> (q01PricingSummary _),
     "q02_join_broadcast_nation" -> (q02RevenueByNation _),
     "q03_join_shuffle_top_orders" -> (q03TopUnshippedOrders _),
@@ -595,6 +656,8 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q51_range_join"            -> q51Sql,
+    "q55_grouping_sets"         -> q55Sql,
+    "q56_range_window"          -> q56Sql,
     "q01_agg_pricing_summary"   -> q01Sql,
     "q02_join_broadcast_nation" -> q02Sql,
     "q03_join_shuffle_top_orders" -> q03Sql,
