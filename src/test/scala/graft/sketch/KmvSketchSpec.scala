@@ -1,0 +1,50 @@
+package graft.sketch
+
+import graft.SparkSpec
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Error contract for the KMV custom Aggregator (like `ApproxSketchSpec`
+  * for the built-in sketches): the estimate must land within the sketch's
+  * theoretical relative error (~1/sqrt(k-2), ≈ 6% at k=256; we allow 3σ)
+  * of the exact distinct count, it must be exact below k distincts, and
+  * per-group aggregation must work through the same partial/merge path. */
+class KmvSketchSpec extends SparkSpec {
+
+  test("global estimate within bound; exact below k") {
+    val t = Tables_orders
+    val hashed = t.select(TextOps.hex60(col("o_custkey").cast("string")).as("h"))
+    val exact = t.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val est = hashed.select(KmvSketch.approxDistinct(col("h"), 256).as("d"))
+      .head().getDouble(0)
+    val err = math.abs(est - exact) / exact
+    assert(err <= 0.20, s"exact=$exact est=$est err=$err")
+
+    // fewer than k distinct values → exact by construction
+    val small = t.filter(col("o_custkey") < 50)
+    val smallExact = small.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val smallEst = small
+      .select(TextOps.hex60(col("o_custkey").cast("string")).as("h"))
+      .select(KmvSketch.approxDistinct(col("h"), 256).as("d")).head().getDouble(0)
+    assert(smallEst == smallExact.toDouble)
+  }
+
+  test("per-group estimates within bound (partial-aggregate + merge path)") {
+    val t = Tables_orders
+    val exact = t.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = t
+      .select(col("o_orderpriority"), TextOps.hex60(col("o_custkey").cast("string")).as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(KmvSketch.approxDistinct(col("h"), 256).as("d")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((g, e) <- exact) {
+      val err = math.abs(est(g) - e) / e.toDouble
+      assert(err <= 0.20, s"group=$g exact=$e est=${est(g)} err=$err")
+    }
+  }
+
+  private def Tables_orders = graft.sql.Tables(spark, Sf0001).orders
+}
