@@ -202,7 +202,7 @@ object SimilarityQueries {
         }
       }.toArray
     }
-    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
 
     def nearestLists(v: Column, n: Int): Column = {
       // ||v−c||² ordered per row: v·v is constant across centroids so
