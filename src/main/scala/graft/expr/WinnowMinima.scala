@@ -44,18 +44,6 @@ case class WinnowMinima(child: Expression, k: Int, w: Int) extends UnaryExpressi
 
   private val space = UTF8String.fromString(" ")
 
-  /** First 60 bits of md5(s) — same as [[WordShingles]] / `TextOps.hex60`. */
-  private def hex60(md: java.security.MessageDigest, s: UTF8String): Long = {
-    md.reset()
-    val dig = md.digest(s.getBytes)
-    val u64 =
-      ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
-        ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
-        ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
-        ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
-    u64 >>> 4
-  }
-
   /** Row-level kernel (also called from generated code). */
   def minima(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -72,7 +60,7 @@ case class WinnowMinima(child: Expression, k: Int, w: Int) extends UnaryExpressi
         s = UTF8String.concat(s, space, t)
         j += 1
       }
-      hs(i) = hex60(md, s)
+      hs(i) = ExprHash.hex60(md, s)
       i += 1
     }
     val mins = scala.collection.mutable.SortedSet.empty[Long]

@@ -46,18 +46,6 @@ case class WordShingles(child: Expression, k: Int, hashed: Boolean) extends Unar
 
   private val space = UTF8String.fromString(" ")
 
-  /** First 60 bits of md5(s) — `('0x'||substr(md5(s),1,15))::BIGINT`. */
-  private def hex60(md: java.security.MessageDigest, s: UTF8String): Long = {
-    md.reset()
-    val dig = md.digest(s.getBytes)
-    val u64 =
-      ((dig(0) & 0xffL) << 56) | ((dig(1) & 0xffL) << 48) |
-        ((dig(2) & 0xffL) << 40) | ((dig(3) & 0xffL) << 32) |
-        ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
-        ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
-    u64 >>> 4
-  }
-
   /** Row-level kernel (also called from generated code). */
   def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -77,7 +65,7 @@ case class WordShingles(child: Expression, k: Int, hashed: Boolean) extends Unar
     }
     if (!hashed) return new GenericArrayData(seen.toArray[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
-    new GenericArrayData(seen.iterator.map(s => hex60(md, s): Any).toArray)
+    new GenericArrayData(seen.iterator.map(s => ExprHash.hex60(md, s): Any).toArray)
   }
 
   override def nullSafeEval(input: Any): Any = shingle(input.asInstanceOf[ArrayData])

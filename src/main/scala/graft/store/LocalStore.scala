@@ -84,15 +84,20 @@ final case class LocalStore(spark: SparkSession, base: String) {
   /** W1/J4: MERGE the batch into `documents` on uri. New URIs insert at
     * version 1; existing ones take the new XML/annotation and bump the
     * version counter. */
+  /** One row per uri — winner = greatest xml, deterministic. SHARED by
+    * the document MERGE and the publish effect so a duplicate-URI batch's
+    * stored document and publish flag always come from the same package. */
+  private def winnerPerUri(df: DataFrame): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
+      .filter(col("rn") === 1).drop("rn")
+
   def upsertDocuments(updates: DataFrame): Unit = {
     // one row per uri per batch (duplicate deliveries within a batch pick
     // a deterministic winner; callers with a real order pre-dedup)
-    val u = updates
+    val u = winnerPerUri(updates
       .select("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
-        "automated", "upload_state")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
-      .filter(col("rn") === 1).drop("rn")
+        "automated", "upload_state"))
     val merged = read("documents") match {
       case None => u.withColumn("version", lit(1)).withColumn("is_published", lit(false))
       case Some(cur) =>
@@ -120,10 +125,7 @@ final case class LocalStore(spark: SparkSession, base: String) {
     * deterministic winner as [[upsertDocuments]] (xml desc) so the stored
     * document and its publish flag always come from one package. */
   def setPublished(decisions: DataFrame): Unit = read("documents").foreach { cur =>
-    val d = decisions.select(col("uri"), col("will_publish"), col("xml"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
-      .filter(col("rn") === 1)
+    val d = winnerPerUri(decisions.select(col("uri"), col("will_publish"), col("xml")))
       .select("uri", "will_publish")
     val merged = cur.join(d, Seq("uri"), "left")
       .withColumn("is_published", coalesce(col("will_publish"), col("is_published")))

@@ -46,5 +46,12 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("null inputs are skipped, SQL-style (not a crash)") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](1L, 2L, null, 2L, null, 3L).toDF("h")
+    val est = df.select(KmvSketch.approxDistinct(col("h"), 16).as("d")).head().getDouble(0)
+    assert(est == 3.0) // below k → exact, nulls ignored
+  }
+
   private def Tables_orders = graft.sql.Tables(spark, Sf0001).orders
 }
