@@ -228,30 +228,38 @@ object PackageIngest {
         col("params.TDR")("Consignment-Completed-Datetime").as("tdr_consignment_completed_datetime"),
         col("params.PARSER.parser_run_id").as("parser_run_id"))))
 
-      // 5. asset plan (W5–W8): tarball (+_nodocx), source doc (flattened
+      // 5. asset copies (W5–W8): tarball (+_nodocx), source doc (flattened
       //    uri + preserved extension), parser.log, images. Member SOURCE
       //    paths (`src_member`) are keyed by the ORIGINAL consignment ref —
       //    the tar's internal folder predates the S4 rewrite
-      //    (ingester.py:389,400,413 use the pre-update reference)
-      val tarRow = ok.select(col("uri"), lit("tarball").as("asset_type"),
+      //    (ingester.py:389,400,413 use the pre-update reference).
+      //    `original_ref`/`tar_name` ride along as the join key back to the
+      //    archive bytes for the byte-copy pass below; the stored plan
+      //    table drops them.
+      val planKey = Seq(col("original_ref"), col("tar_name"))
+      val tarRow = ok.select(col("uri") +: lit("tarball").as("asset_type") +:
         when(col("source_filename").isNull, ScalarOps.modifyFilename(col("tar_name"), "_nodocx"))
-          .otherwise(col("tar_name")).as("dest_filename"),
-        lit(null).cast("string").as("src_member")) // local tar file, not a member
+          .otherwise(col("tar_name")).as("dest_filename") +:
+        lit(null).cast("string").as("src_member") +: planKey: _*) // whole archive, not a member
       val srcRow = ok.filter(col("source_filename").isNotNull)
-        .select(col("uri"), lit("source").as("asset_type"),
+        .select(col("uri") +: lit("source").as("asset_type") +:
           concat(ScalarOps.flatUri(col("uri")), lit("."),
-            ScalarOps.extension(col("source_filename"))).as("dest_filename"),
-          concat(col("original_ref"), lit("/"), col("source_filename")).as("src_member"))
+            ScalarOps.extension(col("source_filename"))).as("dest_filename") +:
+          concat(col("original_ref"), lit("/"), col("source_filename")).as("src_member") +:
+          planKey: _*)
       val logRow = ok.filter(exists(col("member_names"), n => n.contains("parser.log")))
-        .select(col("uri"), lit("parser_log").as("asset_type"),
-          lit("parser.log").as("dest_filename"),
-          concat(col("original_ref"), lit("/parser.log")).as("src_member"))
+        .select(col("uri") +: lit("parser_log").as("asset_type") +:
+          lit("parser.log").as("dest_filename") +:
+          concat(col("original_ref"), lit("/parser.log")).as("src_member") +: planKey: _*)
       val imgRows = ok
-        .select(col("uri"), lit("image").as("asset_type"), col("original_ref"),
+        .select(col("uri"), lit("image").as("asset_type"), col("original_ref"), col("tar_name"),
           explode(coalesce(col("params.TRE.payload.images"), array())).as("dest_filename"))
-        .select(col("uri"), col("asset_type"), col("dest_filename"),
-          concat(col("original_ref"), lit("/"), col("dest_filename")).as("src_member"))
-      store.appendAssets(tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows))
+        .select(col("uri") +: col("asset_type") +: col("dest_filename") +:
+          concat(col("original_ref"), lit("/"), col("dest_filename")).as("src_member") +:
+          planKey: _*)
+      val assetPlan = tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows)
+      store.appendAssets(assetPlan.drop("original_ref", "tar_name"))
+      copyAssetBytes(spark, packages, assetPlan, store.assetRoot)
 
       // 6. publish/unpublish effect (W10): every successful ingest ends by
       //    either publishing or unpublishing its document
@@ -286,5 +294,59 @@ object PackageIngest {
         .unionByName(failedGather)
         .localCheckpoint(true)
     } finally resolved.unpersist() // drop the checkpoint blocks once the outcome is pinned
+  }
+
+  /** W5–W8 byte writes: perform the asset plan against the archive bytes
+    * (`file_helpers.py:36-73` `copy_file`/`store_file`,
+    * `ingester.py:361-418` `save_files_to_s3`). The small plan is
+    * BROADCAST to the executors holding the packages, so archive bytes
+    * never shuffle — one extra narrow pass over the `binaryFile` scan.
+    * Each package's asset rows come out of the broadcast join
+    * consecutively, so a one-deep member cache explodes each tar once.
+    *
+    * A null `src_member` copies the whole archive (the tarball row); a
+    * member row resolves exact-name first, then the reference's
+    * substring match (`tarfile.extractfile` is exact;
+    * [[graft.tar.TarOps.findMember]] mirrors the lookup helpers).
+    * parser.log rows only exist when the member does (the plan's filter =
+    * the reference's `suppress(FileNotFoundException)`); a source/image
+    * row whose member vanished is skipped rather than raising — the
+    * reference would raise `FileNotFoundException` mid-effects
+    * (`file_helpers.py:54-55`), which the outcome table already models at
+    * gather/resolve time for every reachable case. */
+  private def copyAssetBytes(spark: SparkSession,
+      packages: org.apache.spark.sql.Dataset[RawPackage],
+      plan: DataFrame, assetRoot: String): Unit = {
+    val specs = plan.select(
+      col("original_ref").as("p_ref"), col("tar_name").as("p_tar"),
+      col("uri"), col("dest_filename"), col("src_member"))
+    val joined = packages.toDF()
+      .join(broadcast(specs),
+        col("consignment_ref") === col("p_ref") && col("tar_name") === col("p_tar"))
+      .select(col("consignment_ref"), col("tar_name"), col("archive"),
+        col("uri"), col("dest_filename"), col("src_member"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    joined.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      var cachedKey: String = null
+      var cachedMembers: Seq[TarMember] = null
+      rows.foreach { r =>
+        val archive = r.getAs[Array[Byte]]("archive")
+        val bytes: Option[Array[Byte]] = r.getAs[String]("src_member") match {
+          case null => Some(archive)
+          case m =>
+            val key = r.getAs[String]("consignment_ref") + " " + r.getAs[String]("tar_name")
+            if (cachedKey != key) { cachedMembers = TarOps.explode(archive); cachedKey = key }
+            cachedMembers.find(_.name == m).orElse(TarOps.findMember(cachedMembers, m)).map(_.bytes)
+        }
+        bytes.foreach { b =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$assetRoot/${r.getAs[String]("uri")}/${r.getAs[String]("dest_filename")}")
+          val fs = dest.getFileSystem(conf.value)
+          val out = fs.create(dest, true)
+          try out.write(b) finally out.close()
+        }
+      }
+    }
   }
 }

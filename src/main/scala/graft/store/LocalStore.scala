@@ -156,6 +156,15 @@ final case class LocalStore(spark: SparkSession, base: String) {
     write("properties", merged)
   }
 
+  /** Root directory for performed asset-copy BYTES (W5–W8): each asset
+    * record's bytes land at `<assetRoot>/<uri>/<dest_filename>` — the
+    * engine's `<bucket>/<uri>/<filename>` S3 layout
+    * (`file_helpers.py:62-66` `destination_folder + destination_filename`
+    * with folder `uri + "/"`, `ingester.py:374-418`). Written through the
+    * Hadoop FileSystem API, so the same code targets s3a/HDFS on a
+    * cluster. */
+  def assetRoot: String = s"$base/assets"
+
   /** W5–W8: add asset-copy records. Idempotent on the destination key —
     * the reference overwrites the same S3 keys on redelivery. */
   def appendAssets(rows: DataFrame): Unit = {
