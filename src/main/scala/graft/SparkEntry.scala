@@ -26,7 +26,8 @@ object SparkEntry {
       graft.ingest.IngestQueries.queries ++
       graft.store.UpsertQueries.queries ++
       graft.store.PublishQueries.queries ++
-      graft.media.MediaQueries.queries
+      graft.media.MediaQueries.queries ++
+      graft.sketch.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.ingest.IngestQueries.oracleSql ++
       graft.store.UpsertQueries.oracleSql ++
       graft.store.PublishQueries.oracleSql ++
-      graft.media.MediaQueries.oracleSql
+      graft.media.MediaQueries.oracleSql ++
+      graft.sketch.SketchQueries.oracleSql
 }

@@ -117,6 +117,14 @@ object IngestQueries {
       .when(!isTdr && exists, lit("Updated document uploaded by Find Case Law"))
       .otherwise(lit("New document uploaded by Find Case Law"))
 
+  /** W9 delivery gate: an email is actually SENT only in prod
+    * (`ROLLBAR_ENV`, ingester.py:290-295,308-310 — non-prod logs the
+    * personalisation and returns) and only for the TDR new/updated
+    * actions (`send_bulk_judgment_notification` is an explicit no-op,
+    * ingester.py:323-325; `none` sends nothing by definition). */
+  def emailDelivered(action: Column, isProd: Column): Column =
+    isProd && action.isin("new", "updated")
+
   def q32RoutingMatrix(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"))
     val originator = when(col("doc_id") % 4 === 0, lit("TDR"))
@@ -127,6 +135,8 @@ object IngestQueries {
     val exists = (col("doc_id") / 8).cast("long") % 2 === 1
     val published = (col("doc_id") / 16).cast("long") % 2 === 1
     val isTdr = (col("doc_id") / 32).cast("long") % 2 === 1
+    val isProd = (col("doc_id") / 64).cast("long") % 2 === 1
+    val action = emailAction(originator, ap, exists)
 
     d.select(
         col("doc_id"),
@@ -135,8 +145,10 @@ object IngestQueries {
         exists.as("exists_in_db"),
         published.as("currently_published"),
         isTdr.as("is_tdr"),
+        isProd.as("is_prod"),
         willPublish(originator, ap, exists, published).as("will_publish"),
-        emailAction(originator, ap, exists).as("email_action"),
+        action.as("email_action"),
+        emailDelivered(action, isProd).as("email_delivered"),
         annotationMessage(isTdr, exists).as("annotation_message"),
         when(exists, lit("updated")).otherwise(lit("inserted")).as("upload_state"),
         when(originator === "MYSTERY", lit("RuntimeError")).otherwise(lit(null)).as("error"))
@@ -151,24 +163,30 @@ object IngestQueries {
       |    (doc_id // 4) % 2 = 1 AS auto_publish,
       |    (doc_id // 8) % 2 = 1 AS exists_in_db,
       |    (doc_id // 16) % 2 = 1 AS currently_published,
-      |    (doc_id // 32) % 2 = 1 AS is_tdr
-      |  FROM documents)
-      |SELECT doc_id, originator, auto_publish, exists_in_db, currently_published, is_tdr,
+      |    (doc_id // 32) % 2 = 1 AS is_tdr,
+      |    (doc_id // 64) % 2 = 1 AS is_prod
+      |  FROM documents),
+      |a AS (
+      |  SELECT *,
+      |    CASE WHEN originator = 'FCL' THEN 'none'
+      |         WHEN originator = 'FCL S3' THEN (CASE WHEN auto_publish THEN 'none' ELSE 'bulk' END)
+      |         WHEN originator = 'TDR' THEN (CASE WHEN exists_in_db THEN 'updated' ELSE 'new' END)
+      |         END AS email_action
+      |  FROM g)
+      |SELECT doc_id, originator, auto_publish, exists_in_db, currently_published, is_tdr, is_prod,
       |  CASE WHEN originator = 'TDR' THEN false
       |       WHEN originator = 'FCL S3' THEN auto_publish
       |       WHEN originator = 'FCL' THEN exists_in_db AND currently_published
       |       END AS will_publish,
-      |  CASE WHEN originator = 'FCL' THEN 'none'
-      |       WHEN originator = 'FCL S3' THEN (CASE WHEN auto_publish THEN 'none' ELSE 'bulk' END)
-      |       WHEN originator = 'TDR' THEN (CASE WHEN exists_in_db THEN 'updated' ELSE 'new' END)
-      |       END AS email_action,
+      |  email_action,
+      |  is_prod AND email_action IN ('new', 'updated') AS email_delivered,
       |  CASE WHEN is_tdr AND exists_in_db THEN 'Updated document submitted by TDR user'
       |       WHEN is_tdr THEN 'New document submitted by TDR user'
       |       WHEN exists_in_db THEN 'Updated document uploaded by Find Case Law'
       |       ELSE 'New document uploaded by Find Case Law' END AS annotation_message,
       |  CASE WHEN exists_in_db THEN 'updated' ELSE 'inserted' END AS upload_state,
       |  CASE WHEN originator = 'MYSTERY' THEN 'RuntimeError' END AS error
-      |FROM g ORDER BY doc_id""".stripMargin
+      |FROM a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q33
   /** W3/W4: property-store projection — wide TDR/parser metadata to long

@@ -140,15 +140,20 @@ object PackageIngest {
     * (`perform_ingest`, ingester.py:542-575). Returns the per-package
     * outcome table (uri, exists, will_publish, error). */
   def ingest(spark: SparkSession, packages: Seq[RawPackage], store: LocalStore,
-      requestId: String = "graft-local-request"): DataFrame = {
+      requestId: String = "graft-local-request", environment: String = "prod"): DataFrame = {
     import spark.implicits._
-    ingestDs(spark, spark.createDataset(packages), store, requestId)
+    ingestDs(spark, spark.createDataset(packages), store, requestId, environment)
   }
 
   /** Distributed act phase over a package Dataset (the 100 TB shape:
-    * `binaryFile` scan → gather map → broadcast resolution → effects). */
+    * `binaryFile` scan → gather map → broadcast resolution → effects).
+    *
+    * `environment` is the reference's `ROLLBAR_ENV` email gate: outside
+    * prod, email decisions are recorded but `delivered=false` (the
+    * reference logs instead of sending, `ingester.py:290-295,308-310`). */
   def ingestDs(spark: SparkSession, packages: org.apache.spark.sql.Dataset[RawPackage],
-      store: LocalStore, requestId: String = "graft-local-request"): DataFrame = {
+      store: LocalStore, requestId: String = "graft-local-request",
+      environment: String = "prod"): DataFrame = {
     val gathered = gatherAllDs(spark, packages)
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
@@ -180,6 +185,14 @@ object PackageIngest {
         when(col("error").isNull && col("doc_type") === "parserLog" &&
             col("exists_in_db") && col("published"),
           lit("ErrorLogWouldOverwritePublishedDocument")).otherwise(col("error")))
+      // unknown-originator guard: `send_email` and `will_publish` BOTH
+      // raise RuntimeError on an unrecognized originator
+      // (ingester.py:440,457) — the package fails rather than silently
+      // carrying a null will_publish through the effects
+      .withColumn("error",
+        when(col("error").isNull && !col("originator").isin("TDR", "FCL", "FCL S3"),
+          concat(lit("RuntimeError: Didn't recognise originator "), col("originator")))
+          .otherwise(col("error")))
       .localCheckpoint(true)
 
     try {
@@ -211,12 +224,17 @@ object PackageIngest {
         col("uri").as("id_value"), lit(null).cast("string").as("id_type"))
       store.appendIdentifiers(ncnRows.unionByName(slugRows))
 
-      // 3. notifications (W9)
+      // 3. notifications (W9): `delivered` records whether the reference's
+      //    sender would actually send — false outside prod (the ROLLBAR_ENV
+      //    log-instead-of-send gate, ingester.py:290-295,308-310) and false
+      //    for `bulk` (send_bulk_judgment_notification is an explicit no-op,
+      //    ingester.py:323-325); the decision row is kept either way
       store.appendNotifications(ok
         .withColumn("action",
           IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db")))
         .filter(col("action").isNotNull && col("action") =!= "none")
-        .select(col("uri"), col("action"), col("consignment_ref").as("payload")))
+        .select(col("uri"), col("action"), col("consignment_ref").as("payload"),
+          (lit(environment == "prod") && col("action").isin("new", "updated")).as("delivered")))
 
       // 4. properties (W3/W4)
       store.upsertProperties(IngestQueries.propertyRows(ok.select(

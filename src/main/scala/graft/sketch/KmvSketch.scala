@@ -71,4 +71,10 @@ object KmvSketch {
     * (nullable — nulls are ignored). */
   def approxDistinct(hashed: Column, k: Int = 256): Column =
     udaf(new KmvAggregator(k), Encoders.LONG).apply(hashed)
+
+  /** SQL surface: `kmv_distinct(hashed_long)` with the default k=256
+    * (UDAFs can't take the sketch size as a per-row argument, so the SQL
+    * name pins it). Idempotent per session, like the XmlOps UDFs. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("kmv_distinct", udaf(new KmvAggregator(256), Encoders.LONG))
 }

@@ -17,11 +17,12 @@ final case class KeptDoc(content_hash: String, doc_id: Long)
   * Scale shape: state is one boolean per DISTINCT hash, partitioned by
   * the state store on the same key the batch dedup shuffles on; documents
   * themselves never enter state. At 100 TB-of-stream the state grows with
-  * corpus novelty, not volume — and a real deployment bounds it with
-  * `GroupStateTimeout`/TTL (admitting a rare re-emission after expiry) or
-  * swaps the exact state for an approximate membership filter; this
-  * operator keeps exact semantics, which `StreamingDedupSpec` pins
-  * across batches and duplicates-within-a-batch.
+  * corpus novelty, not volume — [[firstSeen]] keeps exact semantics
+  * (unbounded state), [[firstSeenWithTtl]] bounds it with a sliding
+  * processing-time TTL (admitting a rare re-emission after expiry); the
+  * remaining swap for truly unbounded corpora is an approximate
+  * membership filter. `StreamingDedupSpec` pins both: cross-batch and
+  * within-batch suppression, and TTL eviction/re-admission.
   */
 object StreamingDedup {
 
@@ -42,4 +43,41 @@ object StreamingDedup {
           }
       }
   }
+
+  /** TTL-bounded variant — the deployment shape for an unbounded stream:
+    * a hash unseen for `ttlMillis` of processing time is evicted from
+    * state, so a later replay of the SAME content is re-admitted (the
+    * approximate-dedup trade every bounded-state deployment makes; the
+    * stricter swap is an approximate membership filter, which admits false
+    * suppressions instead). The TTL is SLIDING: every sighting — admitted
+    * or suppressed — refreshes the clock, so hot duplicates never
+    * re-admit while cold state drains. Eviction happens on the first
+    * trigger after expiry (Spark invokes the function with
+    * `hasTimedOut=true` and no data); a sighting in that same trigger
+    * arrives as a separate data invocation afterward and re-admits. */
+  def firstSeenWithTtl(docs: Dataset[StreamDoc], ttlMillis: Long): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, KeptDoc](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(ttlHandler(ttlMillis))
+  }
+
+  /** The [[firstSeenWithTtl]] state-transition function, factored out so
+    * `StreamingDedupSpec` can drive it deterministically through Spark's
+    * `TestGroupState` (timeout firing is wall-clock-driven inside a real
+    * query — the handler contract, not the clock, is what needs pinning). */
+  def ttlHandler(ttlMillis: Long)(
+      hash: String, batch: Iterator[StreamDoc], state: GroupState[Boolean]): Iterator[KeptDoc] =
+    if (state.hasTimedOut) {
+      state.remove() // expired: the next sighting re-admits
+      Iterator.empty
+    } else if (state.exists) {
+      state.setTimeoutDuration(ttlMillis) // sliding TTL refresh
+      Iterator.empty
+    } else {
+      state.update(true)
+      state.setTimeoutDuration(ttlMillis)
+      Iterator(KeptDoc(hash, batch.map(_.doc_id).min))
+    }
 }

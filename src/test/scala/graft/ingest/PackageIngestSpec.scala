@@ -332,6 +332,48 @@ class PackageIngestSpec extends SparkSpec {
     assert(!doc.getAs[Boolean]("is_published")) // publish failed, no unpublish either
   }
 
+  test("unknown originator fails with RuntimeError before any effect runs") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val store = LocalStore(spark, Files.createTempDirectory("graft-orig-store").toString)
+
+    // send_email and will_publish both raise on an unrecognized originator
+    // (ingester.py:440,457) — the outcome must carry the error, not a
+    // silent null will_publish, and the store must stay untouched
+    val o = PackageIngest.ingest(spark,
+      Seq(pkg("TDR-2022-DNWR", "MYSTERY", "TDR-2022-DNWR.tar.gz")), store).collect().head
+    assert(o.getAs[String]("error") != null &&
+      o.getAs[String]("error").startsWith("RuntimeError"))
+    assert(o.isNullAt(o.fieldIndex("will_publish")))
+    assert(store.documents.count() == 0)
+    assert(store.read("notifications").isEmpty ||
+      store.read("notifications").get.count() == 0)
+  }
+
+  test("W9 delivery gate: delivered=true only in prod and only for new/updated actions") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+
+    // prod TDR new → decision recorded AND delivered
+    val s1 = LocalStore(spark, Files.createTempDirectory("graft-del1-store").toString)
+    PackageIngest.ingest(spark, Seq(pkg("TDR-2022-DNWR", "TDR", "TDR-2022-DNWR.tar.gz")), s1)
+    val n1 = s1.read("notifications").get.collect().head
+    assert(n1.getAs[String]("action") == "new" && n1.getAs[Boolean]("delivered"))
+
+    // non-prod TDR new → decision recorded, NOT delivered (the ROLLBAR_ENV
+    // log-instead-of-send gate, ingester.py:290-295,308-310)
+    val s2 = LocalStore(spark, Files.createTempDirectory("graft-del2-store").toString)
+    PackageIngest.ingest(spark, Seq(pkg("TDR-2022-DNWR", "TDR", "TDR-2022-DNWR.tar.gz")),
+      s2, environment = "staging")
+    val n2 = s2.read("notifications").get.collect().head
+    assert(n2.getAs[String]("action") == "new" && !n2.getAs[Boolean]("delivered"))
+
+    // prod bulk (non-auto-publish FCL S3) → the sender is an explicit no-op
+    // (ingester.py:323-325): decision recorded, never delivered
+    val s3 = LocalStore(spark, Files.createTempDirectory("graft-del3-store").toString)
+    PackageIngest.ingest(spark, Seq(pkg("TDR-2025-CN7V", "FCL S3", "TDR-2025-CN7V.tar.gz")), s3)
+    val n3 = s3.read("notifications").get.collect().head
+    assert(n3.getAs[String]("action") == "bulk" && !n3.getAs[Boolean]("delivered"))
+  }
+
   test("re-ingest with identifier present resolves to same uri (update path)") {
     assume(Files.exists(fixtures), "reference fixtures not present")
     val storeDir = Files.createTempDirectory("graft-reingest-store").toString

@@ -53,5 +53,26 @@ class KmvSketchSpec extends SparkSpec {
     assert(est == 3.0) // below k → exact, nulls ignored
   }
 
+  test("q57 declared query: kmv exact below k per group, and the SQL name resolves") {
+    // the gate for the rows-only q57: at small SF every lang group holds
+    // fewer than k=256 distinct contents, so the KMV column must EQUAL the
+    // exact count it sits next to
+    val rows = SketchQueries.q57KmvDistinct(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(exact < 256, s"fixture drifted: ${r.getAs[String]("lang")} has $exact distincts")
+      assert(r.getAs[Double]("kmv_distinct") == exact.toDouble)
+    }
+
+    // SQL surface (kmv_distinct, registered by the query itself)
+    graft.sql.Tables(spark, Sf0001).documents
+      .select(TextOps.hex60(col("doc_id").cast("string")).as("h"))
+      .createOrReplaceTempView("kmv_hashed")
+    val viaSql = spark.sql("SELECT kmv_distinct(h) AS d FROM kmv_hashed")
+    val exactIds = spark.sql("SELECT count(DISTINCT h) FROM kmv_hashed").head().getLong(0)
+    assert(viaSql.head().getDouble(0) > 0.9 * exactIds)
+  }
+
   private def Tables_orders = graft.sql.Tables(spark, Sf0001).orders
 }

@@ -29,4 +29,35 @@ class StreamingDedupSpec extends SparkSpec {
     val kept2 = spark.table("kept").as[KeptDoc].collect().toSet
     assert(kept2 == kept1 + KeptDoc("h3", 13L))
   }
+
+  test("TTL handler: admit arms the clock, suppress slides it, expiry evicts, replay re-admits") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttl = 200L
+    val h = StreamingDedup.ttlHandler(ttl) _
+    def state(s: Optional[Boolean], batchTimeMs: Long, timedOut: Boolean) =
+      TestGroupState.create[Boolean](s, GroupStateTimeout.ProcessingTimeTimeout,
+        batchTimeMs, Optional.empty[Long], timedOut)
+
+    // fresh hash at t=1000: admitted (min doc_id), timer armed at t+ttl
+    val s1 = state(Optional.empty[Boolean], 1000L, timedOut = false)
+    val out1 = h("h1", Iterator(StreamDoc(7L, "h1"), StreamDoc(3L, "h1")), s1).toSeq
+    assert(out1 == Seq(KeptDoc("h1", 3L)))
+    assert(s1.isUpdated && s1.getTimeoutTimestampMs.get() == 1000L + ttl)
+
+    // duplicate at t=1100 (pre-expiry): suppressed, TTL SLID to 1100+ttl
+    val s2 = state(Optional.of(true), 1100L, timedOut = false)
+    assert(h("h1", Iterator(StreamDoc(9L, "h1")), s2).isEmpty)
+    assert(!s2.isRemoved && s2.getTimeoutTimestampMs.get() == 1100L + ttl)
+
+    // expiry callback (no data): state evicted
+    val s3 = state(Optional.of(true), 2000L, timedOut = true)
+    assert(h("h1", Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
+
+    // post-eviction replay of the SAME content: re-admitted (the TTL trade)
+    val s4 = state(Optional.empty[Boolean], 2100L, timedOut = false)
+    assert(h("h1", Iterator(StreamDoc(11L, "h1")), s4).toSeq == Seq(KeptDoc("h1", 11L)))
+    assert(s4.isUpdated)
+  }
 }
