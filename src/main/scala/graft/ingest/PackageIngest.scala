@@ -198,8 +198,24 @@ object PackageIngest {
     try {
       val ok = resolved.filter(col("error").isNull)
 
+      // W10 decision columns (used by effects 1 and 6): every successful
+      // ingest ends by either publishing or unpublishing its document
+      // (ingester.py:565-575); the FCL-reparse branch consults the
+      // PRE-batch published state joined into `resolved` above. Publishing
+      // an unpublishable document raises CannotPublishException AFTER the
+      // write effects ran (ingester.py:568-570) — the engine models
+      // parserLog documents as unpublishable; a null decision leaves the
+      // stored flag untouched (publish failed, unpublish not run).
+      val willPublish = IngestQueries.willPublish(col("originator"), col("auto_publish"),
+        col("exists_in_db"), col("published"))
+      val cannotPublish = willPublish && col("doc_type") === "parserLog"
+
       // 1. document MERGE (W1/J4) with the full P3 version-annotation
-      //    payload (ingester.py:76-97)
+      //    payload (ingester.py:76-97). The publish/unpublish effect (W10,
+      //    the reference's effect #7) is FOLDED into this same head-table
+      //    write — every decision reads pre-batch state, so one rewrite
+      //    realizes the same post-batch state as MERGE-then-setPublished
+      //    (see LocalStore.upsertDocuments), halving store-rewrite volume.
       store.upsertDocuments(ok.select(
         col("uri"), col("best_xml").as("xml"), col("doc_type"),
         IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
@@ -208,7 +224,8 @@ object PackageIngest {
           col("params.TDR")("Contact-Name"), col("params.TDR")("Contact-Email"),
           lit(requestId)).as("annotation_payload"),
         col("auto_publish").as("automated"),
-        when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state")))
+        when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state"),
+        when(cannotPublish, lit(null).cast("boolean")).otherwise(willPublish).as("will_publish")))
 
       // 2. identifiers (W2): judgments/press summaries with an NCN, plus
       //    each document's own URI as a slug row — the J1 substrate
@@ -279,20 +296,10 @@ object PackageIngest {
       store.appendAssets(assetPlan.drop("original_ref", "tar_name"))
       copyAssetBytes(spark, packages, assetPlan, store.assetRoot)
 
-      // 6. publish/unpublish effect (W10): every successful ingest ends by
-      //    either publishing or unpublishing its document
-      //    (ingester.py:565-575); the FCL-reparse branch consults the
-      //    PRE-batch published state joined in above. Publishing an
-      //    unpublishable document raises CannotPublishException AFTER the
-      //    write effects ran (ingester.py:568-570) — the engine models
-      //    parserLog documents as unpublishable; a null decision leaves
-      //    the stored flag untouched (publish failed, unpublish not run).
-      val willPublish = IngestQueries.willPublish(col("originator"), col("auto_publish"),
-        col("exists_in_db"), col("published"))
-      val cannotPublish = willPublish && col("doc_type") === "parserLog"
-      store.setPublished(ok.select(col("uri"),
-        when(cannotPublish, lit(null).cast("boolean")).otherwise(willPublish).as("will_publish"),
-        col("best_xml").as("xml")))
+      // 6. publish/unpublish effect (W10): folded into the step-1 write
+      //    (see above) — kept as its own numbered slot to mirror the
+      //    reference's effect order; `setPublished` remains the standalone
+      //    form for callers outside a full act phase.
 
       // 7. outcome (O2/W11): gather failures stay in the outcome with
       //    their error (per-record isolation — a broken package reports,

@@ -2,7 +2,7 @@ package graft.store
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet-backed document store — the engine's stand-in for the
@@ -92,24 +92,39 @@ final case class LocalStore(spark: SparkSession, base: String) {
         org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
       .filter(col("rn") === 1).drop("rn")
 
+  /** When `updates` carries an optional nullable `will_publish` column,
+    * the W10 publish/unpublish decision is FOLDED into the same head-table
+    * rewrite (one write per batch instead of MERGE + [[setPublished]] —
+    * at scale, half the store-rewrite volume). Folding is observationally
+    * identical to the reference's publish-LAST effect order because every
+    * decision derives from PRE-batch store state (the act phase joins
+    * `published` before any effect runs); a null decision leaves the flag
+    * untouched, exactly like [[setPublished]]. */
   def upsertDocuments(updates: DataFrame): Unit = {
+    val hasDecision = updates.columns.contains("will_publish")
+    val baseCols = Seq("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
+      "automated", "upload_state") ++ (if (hasDecision) Seq("will_publish") else Nil)
     // one row per uri per batch (duplicate deliveries within a batch pick
     // a deterministic winner; callers with a real order pre-dedup)
-    val u = winnerPerUri(updates
-      .select("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
-        "automated", "upload_state"))
+    val u = winnerPerUri(updates.select(baseCols.map(col): _*))
+    def pub(existing: Column): Column =
+      if (hasDecision) coalesce(col("will_publish"), existing)
+      else existing
     val merged = read("documents") match {
-      case None => u.withColumn("version", lit(1)).withColumn("is_published", lit(false))
+      case None => u.withColumn("version", lit(1))
+        .withColumn("is_published", pub(lit(false)))
+        .drop("will_publish")
       case Some(cur) =>
-        // updating the XML does not change publish state — only the W10
-        // publish/unpublish effect ([[setPublished]]) flips the flag
+        // updating the XML alone does not change publish state — the flag
+        // moves only through a `will_publish` decision (folded here) or
+        // the standalone W10 effect ([[setPublished]])
         val updated = u.as("u")
           .join(cur.select(col("uri"), col("version"), col("is_published")).as("c"),
             Seq("uri"), "left")
           .select(col("uri"), col("xml"), col("doc_type"), col("annotation_message"),
             col("annotation_payload"), col("automated"), col("upload_state"),
             (coalesce(col("version"), lit(0)) + 1).as("version"),
-            coalesce(col("is_published"), lit(false)).as("is_published"))
+            pub(coalesce(col("is_published"), lit(false))).as("is_published"))
         val untouched = cur.join(u.select("uri"), Seq("uri"), "left_anti")
         untouched.unionByName(updated)
     }

@@ -74,28 +74,30 @@ object IngestStream {
     // (the same hazard PackageIngest.ingestDs pins)
     val good = enriched.filter(col("error").isNull).localCheckpoint(true)
     try {
+      // W10 decision folded into the MERGE write (one head-table rewrite
+      // per micro-batch instead of two — see LocalStore.upsertDocuments;
+      // decisions read the pre-batch `published` state joined above)
       store.upsertDocuments(good.select(
         col("uri"), col("xml"), col("doc_type"),
         IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
         lit(null).cast("string").as("annotation_payload"), // no metadata pre-download
         col("auto_publish").as("automated"),
-        when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state")))
+        when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state"),
+        IngestQueries.willPublish(col("originator"), col("auto_publish"),
+          col("exists_in_db"), col("published")).as("will_publish")))
 
+      val action =
+        IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db"))
       store.appendNotifications(good
-        .withColumn("action",
-          IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db")))
+        .withColumn("action", action)
         .filter(col("action").isNotNull && col("action") =!= "none")
-        .select(col("uri"), col("action"), col("consignment_ref").as("payload")))
+        .select(col("uri"), col("action"), col("consignment_ref").as("payload"),
+          // same schema as the batch act phase (prod stream)
+          IngestQueries.emailDelivered(col("action"), lit(true)).as("delivered")))
 
       store.upsertProperties(good.filter(col("is_tdr"))
         .select(col("uri"), lit("transfer-consignment-reference").as("name"),
           col("consignment_ref").as("value")))
-
-      // W10: the closing publish/unpublish effect (ingester.py:565-575)
-      store.setPublished(good.select(col("uri"),
-        IngestQueries.willPublish(col("originator"), col("auto_publish"),
-          col("exists_in_db"), col("published")).as("will_publish"),
-        col("xml")))
 
       // ---- failure report (W11): SQS ids only; SNS failures vanish ----
       val failedDecode = decoded.filter(col("error").isNotNull)

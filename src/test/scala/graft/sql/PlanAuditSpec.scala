@@ -45,4 +45,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected the warn-dimension broadcast\n$plan")
   }
+
+  test("dedup pair pipelines (q20/q21/q23) never fall back to a nested loop or cartesian") {
+    for (q <- Seq("q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q23_dedup_simhash_pairs")) {
+      val plan = physical(q)
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q: candidate generation degenerated to an all-pairs plan\n$plan")
+    }
+  }
+
+  test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
+    // candidate generation + both verify sides reference the ONE
+    // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
+    // subtree (a parquet scan of `documents`) re-executes per reference
+    // (measured ~40% of q20) and these plans regrow parquet scans
+    for (q <- Seq("q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q23_dedup_simhash_pairs")) {
+      val plan = physical(q)
+      assert(!plan.toLowerCase.contains("parquet"),
+        s"$q: expected zero parquet scans (kernel materialized once)\n$plan")
+    }
+  }
 }
