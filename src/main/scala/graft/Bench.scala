@@ -51,15 +51,23 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
+      def recordErr(e: Throwable): Unit =
+        errors += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(120)}"
+      // per-rep isolation: a transient failure on a WARM rep must not
+      // discard the evidence already gathered (first run + surviving warm
+      // reps) — dropping the query entirely would make totals
+      // non-comparable run to run, the exact artifact medians exist to fix
       val stat =
         try {
           val first = once()
-          val warm = (1 until reps).map(_ => once())
-          QStat(first, median(warm), warm.max - warm.min)
+          val warm = (1 until reps).flatMap { _ =>
+            try Some(once())
+            catch { case e: Throwable => recordErr(e); None }
+          }
+          if (warm.isEmpty) QStat(first, first, 0.0) // all warm reps failed: first is the only evidence
+          else QStat(first, median(warm), warm.max - warm.min)
         } catch {
-          case e: Throwable =>
-            errors += s"$name: ${Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(120)}"
-            QStat(-1.0, -1.0, -1.0)
+          case e: Throwable => recordErr(e); QStat(-1.0, -1.0, -1.0)
         }
       name -> stat
     }

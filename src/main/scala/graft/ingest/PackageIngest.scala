@@ -188,10 +188,14 @@ object PackageIngest {
       // unknown-originator guard: `send_email` and `will_publish` BOTH
       // raise RuntimeError on an unrecognized originator
       // (ingester.py:440,457) — the package fails rather than silently
-      // carrying a null will_publish through the effects
+      // carrying a null will_publish through the effects. A NULL
+      // originator must hit the guard too: `!isin(...)` alone is NULL for
+      // null input and would fall through the `when`
       .withColumn("error",
-        when(col("error").isNull && !col("originator").isin("TDR", "FCL", "FCL S3"),
-          concat(lit("RuntimeError: Didn't recognise originator "), col("originator")))
+        when(col("error").isNull &&
+            (col("originator").isNull || !col("originator").isin("TDR", "FCL", "FCL S3")),
+          concat(lit("RuntimeError: Didn't recognise originator "),
+            coalesce(col("originator"), lit("null"))))
           .otherwise(col("error")))
       .localCheckpoint(true)
 
@@ -251,7 +255,7 @@ object PackageIngest {
           IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db")))
         .filter(col("action").isNotNull && col("action") =!= "none")
         .select(col("uri"), col("action"), col("consignment_ref").as("payload"),
-          (lit(environment == "prod") && col("action").isin("new", "updated")).as("delivered")))
+          IngestQueries.emailDelivered(col("action"), lit(environment == "prod")).as("delivered")))
 
       // 4. properties (W3/W4)
       store.upsertProperties(IngestQueries.propertyRows(ok.select(

@@ -95,11 +95,22 @@ final case class LocalStore(spark: SparkSession, base: String) {
   /** When `updates` carries an optional nullable `will_publish` column,
     * the W10 publish/unpublish decision is FOLDED into the same head-table
     * rewrite (one write per batch instead of MERGE + [[setPublished]] —
-    * at scale, half the store-rewrite volume). Folding is observationally
-    * identical to the reference's publish-LAST effect order because every
-    * decision derives from PRE-batch store state (the act phase joins
-    * `published` before any effect runs); a null decision leaves the flag
-    * untouched, exactly like [[setPublished]]. */
+    * at scale, half the store-rewrite volume). For any COMPLETED batch the
+    * fold realizes the same post-batch state as the reference's
+    * publish-LAST effect order, because every decision derives from
+    * PRE-batch store state (the act phase joins `published` before any
+    * effect runs); a null decision leaves the flag untouched, exactly like
+    * [[setPublished]].
+    *
+    * Crash-window trade (deliberate): a crash MID-batch can briefly expose
+    * a published document whose identifier/asset/notification effects
+    * haven't landed yet — under publish-last, `is_published` implied all
+    * writes had completed. The window is transient: an uncommitted batch
+    * redelivers (W11 / the streaming checkpoint), effects are idempotent,
+    * and replay converges — the same already-accepted exposure as a crash
+    * between any two of the reference's non-transactional effects.
+    * Callers that need the publish-last invariant use [[setPublished]]
+    * separately. */
   def upsertDocuments(updates: DataFrame): Unit = {
     val hasDecision = updates.columns.contains("will_publish")
     val baseCols = Seq("uri", "xml", "doc_type", "annotation_message", "annotation_payload",
@@ -191,7 +202,11 @@ final case class LocalStore(spark: SparkSession, base: String) {
     append("assets", fresh)
   }
 
-  /** W9: append notification records. */
+  /** W9: append notification records (uri, action, payload, delivered).
+    * Append-only, so the column set must stay fixed across writers — a
+    * store written before the `delivered` column existed would need a
+    * one-off read+rewrite migration (the other tables self-heal through
+    * their read-join-write path). */
   def appendNotifications(rows: DataFrame): Unit = append("notifications", rows)
 
   /** W11: append per-message failures (the DLQ table). */

@@ -51,15 +51,20 @@ object StreamingDedup {
     * stricter swap is an approximate membership filter, which admits false
     * suppressions instead). The TTL is SLIDING: every sighting — admitted
     * or suppressed — refreshes the clock, so hot duplicates never
-    * re-admit while cold state drains. Eviction happens on the first
-    * trigger after expiry (Spark invokes the function with
-    * `hasTimedOut=true` and no data); a sighting in that same trigger
-    * arrives as a separate data invocation afterward and re-admits. */
+    * re-admit while cold state drains.
+    *
+    * State is the expiry DEADLINE (epoch ms), not a boolean: Spark
+    * processes a trigger's data invocations BEFORE its timed-out-state
+    * callbacks, so a replay arriving in the first trigger after expiry
+    * would see still-live state and be wrongly suppressed (and its
+    * refresh would cancel the pending eviction). Carrying the deadline
+    * lets the data path judge expiry itself; the timeout callback only
+    * garbage-collects keys that never saw another sighting. */
   def firstSeenWithTtl(docs: Dataset[StreamDoc], ttlMillis: Long): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.content_hash)
-      .flatMapGroupsWithState[Boolean, KeptDoc](
+      .flatMapGroupsWithState[Long, KeptDoc](
         OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(ttlHandler(ttlMillis))
   }
 
@@ -68,16 +73,16 @@ object StreamingDedup {
     * `TestGroupState` (timeout firing is wall-clock-driven inside a real
     * query — the handler contract, not the clock, is what needs pinning). */
   def ttlHandler(ttlMillis: Long)(
-      hash: String, batch: Iterator[StreamDoc], state: GroupState[Boolean]): Iterator[KeptDoc] =
+      hash: String, batch: Iterator[StreamDoc], state: GroupState[Long]): Iterator[KeptDoc] =
     if (state.hasTimedOut) {
-      state.remove() // expired: the next sighting re-admits
-      Iterator.empty
-    } else if (state.exists) {
-      state.setTimeoutDuration(ttlMillis) // sliding TTL refresh
+      state.remove() // cold key, no sighting since expiry: garbage-collect
       Iterator.empty
     } else {
-      state.update(true)
+      val now = state.getCurrentProcessingTimeMs()
+      val live = state.exists && now < state.get
+      state.update(now + ttlMillis) // sliding refresh (or fresh admission)
       state.setTimeoutDuration(ttlMillis)
-      Iterator(KeptDoc(hash, batch.map(_.doc_id).min))
+      if (live) Iterator.empty // within TTL: duplicate suppressed
+      else Iterator(KeptDoc(hash, batch.map(_.doc_id).min)) // fresh or expired: (re-)admit
     }
 }

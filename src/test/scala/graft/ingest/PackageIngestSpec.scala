@@ -347,6 +347,15 @@ class PackageIngestSpec extends SparkSpec {
     assert(store.documents.count() == 0)
     assert(store.read("notifications").isEmpty ||
       store.read("notifications").get.count() == 0)
+
+    // a NULL originator (malformed message) must hit the same guard —
+    // three-valued logic on `isin` alone would let it slip through
+    val store2 = LocalStore(spark, Files.createTempDirectory("graft-orig2-store").toString)
+    val o2 = PackageIngest.ingest(spark,
+      Seq(pkg("TDR-2022-DNWR", null, "TDR-2022-DNWR.tar.gz")), store2).collect().head
+    assert(o2.getAs[String]("error") != null &&
+      o2.getAs[String]("error").startsWith("RuntimeError"))
+    assert(store2.documents.count() == 0)
   }
 
   test("W9 delivery gate: delivered=true only in prod and only for new/updated actions") {

@@ -35,29 +35,38 @@ class StreamingDedupSpec extends SparkSpec {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val ttl = 200L
     val h = StreamingDedup.ttlHandler(ttl) _
-    def state(s: Optional[Boolean], batchTimeMs: Long, timedOut: Boolean) =
-      TestGroupState.create[Boolean](s, GroupStateTimeout.ProcessingTimeTimeout,
+    def state(s: Optional[Long], batchTimeMs: Long, timedOut: Boolean) =
+      TestGroupState.create[Long](s, GroupStateTimeout.ProcessingTimeTimeout,
         batchTimeMs, Optional.empty[Long], timedOut)
 
-    // fresh hash at t=1000: admitted (min doc_id), timer armed at t+ttl
-    val s1 = state(Optional.empty[Boolean], 1000L, timedOut = false)
+    // fresh hash at t=1000: admitted (min doc_id), deadline stored at t+ttl
+    val s1 = state(Optional.empty[Long], 1000L, timedOut = false)
     val out1 = h("h1", Iterator(StreamDoc(7L, "h1"), StreamDoc(3L, "h1")), s1).toSeq
     assert(out1 == Seq(KeptDoc("h1", 3L)))
-    assert(s1.isUpdated && s1.getTimeoutTimestampMs.get() == 1000L + ttl)
+    assert(s1.isUpdated && s1.get == 1000L + ttl)
+    assert(s1.getTimeoutTimestampMs.get() == 1000L + ttl)
 
-    // duplicate at t=1100 (pre-expiry): suppressed, TTL SLID to 1100+ttl
-    val s2 = state(Optional.of(true), 1100L, timedOut = false)
+    // duplicate at t=1100 (pre-deadline): suppressed, deadline SLID to 1100+ttl
+    val s2 = state(Optional.of(1200L), 1100L, timedOut = false)
     assert(h("h1", Iterator(StreamDoc(9L, "h1")), s2).isEmpty)
-    assert(!s2.isRemoved && s2.getTimeoutTimestampMs.get() == 1100L + ttl)
+    assert(!s2.isRemoved && s2.get == 1100L + ttl)
 
-    // expiry callback (no data): state evicted
-    val s3 = state(Optional.of(true), 2000L, timedOut = true)
-    assert(h("h1", Iterator.empty, s3).isEmpty)
-    assert(s3.isRemoved)
+    // replay arriving AFTER the deadline but BEFORE any timeout trigger
+    // fired (Spark runs data invocations before timed-out-state callbacks,
+    // so state still exists and hasTimedOut=false): must RE-admit, not
+    // suppress — the case a boolean-state design gets wrong
+    val s3 = state(Optional.of(1200L), 5000L, timedOut = false)
+    assert(h("h1", Iterator(StreamDoc(11L, "h1")), s3).toSeq == Seq(KeptDoc("h1", 11L)))
+    assert(s3.get == 5000L + ttl)
+
+    // expiry callback (no data since the deadline): state garbage-collected
+    val s4 = state(Optional.of(1200L), 2000L, timedOut = true)
+    assert(h("h1", Iterator.empty, s4).isEmpty)
+    assert(s4.isRemoved)
 
     // post-eviction replay of the SAME content: re-admitted (the TTL trade)
-    val s4 = state(Optional.empty[Boolean], 2100L, timedOut = false)
-    assert(h("h1", Iterator(StreamDoc(11L, "h1")), s4).toSeq == Seq(KeptDoc("h1", 11L)))
-    assert(s4.isUpdated)
+    val s5 = state(Optional.empty[Long], 2100L, timedOut = false)
+    assert(h("h1", Iterator(StreamDoc(13L, "h1")), s5).toSeq == Seq(KeptDoc("h1", 13L)))
+    assert(s5.isUpdated)
   }
 }
