@@ -400,17 +400,39 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q39
   /** Distribution stats per returnflag: exact DISCRETE percentiles
-    * (median/p90) — `percentile_disc` returns an actual data value, so
+    * (median/p90) — discrete percentiles return an actual data value, so
     * both engines emit bit-identical doubles (continuous interpolation
     * differs in the last ulp across engines). At scale the same query
-    * swaps in `approx_percentile` with a documented error bound. */
+    * swaps in `approx_percentile` with a documented error bound.
+    *
+    * NOT spelled `percentile_disc(...) WITHIN GROUP`: Spark's exact
+    * percentile aggregate buffers a boxed value→count map per group
+    * through partial/merge and sorts it single-threaded at finish — the
+    * bench's least stable query (warm spread ≈ its median, GC-driven).
+    * The counts→cumulative-window form below computes the identical
+    * definition (smallest value whose cumulative count reaches p·N) on
+    * unboxed Tungsten shuffle/sort machinery: one groupBy on (flag,
+    * price), one window partitioned by flag, one tiny final aggregate.
+    * The percentile thresholds compare in INTEGER arithmetic (`10·cum ≥
+    * 9·tot`, not `cum ≥ 0.9·tot`) — 0.9·N is inexact in binary and can
+    * land a hair above the integer boundary, selecting the next value. */
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    t.lineitem
-      .groupBy(col("l_returnflag"))
+    val counts = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        byFlag.orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(byFlag))
+    cum.groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("p90_price"),
+        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
+          .cast(DoubleType).as("p50_price"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("l_extendedprice")))
+          .cast(DoubleType).as("p90_price"),
         min(dec(col("l_extendedprice"))).cast(DoubleType).as("min_price"),
         max(dec(col("l_extendedprice"))).cast(DoubleType).as("max_price"))
       .orderBy(col("l_returnflag"))

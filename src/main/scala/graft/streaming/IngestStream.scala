@@ -31,8 +31,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IngestStream {
 
   /** One micro-batch of raw event records → store effects. Also usable in
-    * pure batch mode (the reference's single Lambda invocation). */
-  def processBatch(store: LocalStore)(batch: DataFrame, batchId: Long): Unit = {
+    * pure batch mode (the reference's single Lambda invocation).
+    * `environment` is the W9 email gate (ROLLBAR_ENV): outside prod,
+    * notification decisions are recorded with delivered=false. */
+  def processBatch(store: LocalStore, environment: String = "prod")(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
 
@@ -92,8 +95,8 @@ object IngestStream {
         .withColumn("action", action)
         .filter(col("action").isNotNull && col("action") =!= "none")
         .select(col("uri"), col("action"), col("consignment_ref").as("payload"),
-          // same schema as the batch act phase (prod stream)
-          IngestQueries.emailDelivered(col("action"), lit(true)).as("delivered")))
+          // same schema + gate as the batch act phase
+          IngestQueries.emailDelivered(col("action"), lit(environment == "prod")).as("delivered")))
 
       store.upsertProperties(good.filter(col("is_tdr"))
         .select(col("uri"), lit("transfer-consignment-reference").as("name"),
