@@ -64,7 +64,10 @@ object Bench {
             try Some(once())
             catch { case e: Throwable => recordErr(e); None }
           }
-          if (warm.isEmpty) QStat(first, first, 0.0) // all warm reps failed: first is the only evidence
+          // all warm reps failed: keep the first-run evidence but report NO
+          // warm median (-1 sentinel) — passing the cold time off as a warm
+          // median with spread 0 would fake both the number and its stability
+          if (warm.isEmpty) QStat(first, -1.0, -1.0)
           else QStat(first, median(warm), warm.max - warm.min)
         } catch {
           case e: Throwable => recordErr(e); QStat(-1.0, -1.0, -1.0)

@@ -419,6 +419,10 @@ object RelationalQueries {
   def q39Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val counts = t.lineitem
+      // percentile aggregates IGNORE nulls; without this filter a null
+      // price would enter tot/cum (nulls sort first) and shift both
+      // thresholds — latent on TPC-H data, wrong in general
+      .filter(col("l_extendedprice").isNotNull)
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(count(lit(1)).as("cnt"))
     val byFlag = Window.partitionBy(col("l_returnflag"))

@@ -40,7 +40,20 @@ object IngestStream {
     if (batch.isEmpty) return
 
     // ---- gather phase: decode + resolve (O1) ----
+    // unknown-originator guard, same rule as the batch act phase
+    // (PackageIngest.ingestDs): send_email and will_publish both raise
+    // RuntimeError on an unrecognized — or absent — originator
+    // (ingester.py:440,457); the record must fail (and, with a msg_id,
+    // redeliver) rather than silently carry a null publish decision.
+    // NULL needs the explicit isNull arm: `!isin(...)` alone is NULL
+    // for null input and falls through the `when`.
     val decoded = Messages.decode(batch)
+      .withColumn("error",
+        when(col("error").isNull &&
+            (col("originator").isNull || !col("originator").isin("TDR", "FCL", "FCL S3")),
+          concat(lit("RuntimeError: Didn't recognise originator "),
+            coalesce(col("originator"), lit("null"))))
+          .otherwise(col("error")))
 
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
@@ -119,21 +132,23 @@ object IngestStream {
   }
 
   /** Wire a streaming (kind, record_json) source into the batch processor. */
-  def start(events: DataFrame, store: LocalStore, checkpointDir: String): StreamingQuery =
+  def start(events: DataFrame, store: LocalStore, checkpointDir: String,
+      environment: String = "prod"): StreamingQuery =
     events.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(store)(b, id))
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(store, environment)(b, id))
       .start()
 
   /** Batch-mode entry over a directory of JSON event files (one record per
     * line: {"kind": "...", "record_json": "..."}). */
-  def runBatch(spark: SparkSession, eventsJsonDir: String, storeDir: String): LocalStore = {
+  def runBatch(spark: SparkSession, eventsJsonDir: String, storeDir: String,
+      environment: String = "prod"): LocalStore = {
     val store = LocalStore(spark, storeDir)
     val events = spark.read
       .schema("kind STRING, record_json STRING")
       .json(eventsJsonDir)
-    processBatch(store)(events, 0L)
+    processBatch(store, environment)(events, 0L)
     store
   }
 }

@@ -29,6 +29,31 @@ class IngestStreamSpec extends SparkSpec {
   private def sns(inner: String): (String, String) =
     ("sns", s"""{"Sns": {"Message": ${jsonStr(inner)}}}""")
 
+  test("streaming ingest: unknown originator fails into the DLQ as redeliverable, store untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = LocalStore(spark, Files.createTempDirectory("graft-orig-stream").toString)
+    val ckpt = Files.createTempDirectory("graft-orig-ckpt").toString
+
+    // same reference rule as the batch act phase (ingester.py:440,457):
+    // an unrecognized originator raises RuntimeError — the record fails
+    // (and, carrying an SQS id, redelivers) instead of silently ingesting
+    // with a null publish decision
+    val inner =
+      """{"parameters": {"reference": "REF-X", "originator": "MYSTERY",
+        |"s3Bucket": "b", "s3Key": "k/REF-X.tar.gz"}}""".stripMargin.replace("\n", " ")
+    val source = MemoryStream[(String, String)]
+    source.addData(sqs("msg-bad-orig", inner))
+    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store, ckpt)
+    q.awaitTermination()
+
+    assert(store.documents.count() == 0)
+    val fails = store.failures.collect()
+    assert(fails.length == 1)
+    assert(fails.head.getAs[String]("msg_id") == "msg-bad-orig")
+    assert(fails.head.getAs[String]("error").startsWith("RuntimeError"))
+    assert(!fails.head.getAs[Boolean]("terminal")) // an unexpected crash redelivers
+  }
+
   test("streaming ingest: upsert, notifications, properties, DLQ semantics") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir = Files.createTempDirectory("graft-store").toString
