@@ -299,6 +299,109 @@ object TextQueries {
        |FROM g GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q58
+  /** PII scrubbing — the redaction pass every training corpus runs before
+    * the tokenizer: detect and replace emails, IPv4 addresses, and
+    * (+44-style) phone numbers, reporting per-doc counts and the md5 of
+    * the scrubbed text. One narrow codegen'd regex pass; at 100 TB this
+    * rides the same scan as q15–q18.
+    *
+    * The synthetic corpus carries no PII, so the query injects a
+    * deterministic payload per doc_id first (same truth-table gate style
+    * as q31–q35: both engines enumerate identical inputs). Patterns stay
+    * in the Java-regex ∩ RE2 common dialect — classes, bounded
+    * quantifiers, no lookaround — so Spark and DuckDB agree match for
+    * match; counts are taken on the ORIGINAL text, replacements applied
+    * email → ip → phone (the replacement tokens contain no digits, so
+    * later patterns cannot match earlier rewrites). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneRe = "\\+44[0-9]{9}"
+
+  def q58PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val id = col("doc_id").cast("string")
+    val pii = concat(col("text"),
+      lit(" contact user"), id, lit("@example.com"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") / 256).cast("long") % 256).cast("string"),
+      when(col("doc_id") % 3 === 0, concat(lit(" call +44"), lpad(id, 9, "0")))
+        .otherwise(lit("")))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(pii, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    d.select(
+        col("doc_id"),
+        regexp_count(pii, lit(EmailRe)).as("n_email"),
+        regexp_count(pii, lit(Ipv4Re)).as("n_ip"),
+        regexp_count(pii, lit(PhoneRe)).as("n_phone"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com'
+       |      || ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id // 256) % 256)
+       |      || CASE WHEN doc_id % 3 = 0
+       |              THEN ' call +44' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+       |              ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(t, '$Ipv4Re')) AS n_ip,
+       |  len(regexp_extract_all(t, '$PhoneRe')) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Sequence-packing plan — assigning documents to fixed-token-budget
+    * context windows for training-batch assembly: per language, documents
+    * stream in doc_id order and a document belongs to the pack its START
+    * offset falls in (offset-based packing: a doc crossing the boundary
+    * spills its tail into the next window, the standard concat-then-chunk
+    * scheme). One window partitioned by lang; the partition key IS the
+    * parallelism — at 100 TB packing runs per (lang, shard) so every
+    * cumulative sum stays bounded, and the plan (doc → pack, offset) is
+    * what the downstream batch writer consumes. */
+  private val PackBudget = 256 // tokens per context window
+
+  def q59SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit(NotWs + "+")).as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start_offset") / PackBudget).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_offset"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '$NotWsSql+')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_offset
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+       |  CAST((end_offset - n_tokens) // $PackBudget AS BIGINT) AS pack_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -307,7 +410,9 @@ object TextQueries {
     "q16_text_quality"     -> (q16TextQuality _),
     "q17_text_langid"      -> (q17LangId _),
     "q18_text_fingerprint" -> (q18Fingerprint _),
-    "q50_text_winnow"      -> (q50TextWinnow _))
+    "q50_text_winnow"      -> (q50TextWinnow _),
+    "q58_pii_scrub"        -> (q58PiiScrub _),
+    "q59_sequence_pack"    -> (q59SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
     "q53_stratified_sample" -> q53Sql,
@@ -315,5 +420,7 @@ object TextQueries {
     "q16_text_quality"     -> q16Sql,
     "q17_text_langid"      -> q17Sql,
     "q18_text_fingerprint" -> q18Sql,
-    "q50_text_winnow"      -> q50Sql)
+    "q50_text_winnow"      -> q50Sql,
+    "q58_pii_scrub"        -> q58Sql,
+    "q59_sequence_pack"    -> q59Sql)
 }

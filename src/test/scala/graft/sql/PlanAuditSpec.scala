@@ -16,8 +16,8 @@ class PlanAuditSpec extends SparkSpec {
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 
-  test("q47/q49 publish/email truth tables plan as one narrow pass + sort (no hash shuffle)") {
-    for (q <- Seq("q47_publish_poststate", "q49_email_bodies")) {
+  test("q47/q49/q58 truth-table and scrub queries plan as one narrow pass + sort (no hash shuffle)") {
+    for (q <- Seq("q47_publish_poststate", "q49_email_bodies", "q58_pii_scrub")) {
       val plan = physical(q)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$q: unexpected hash shuffle\n$plan")
@@ -44,6 +44,15 @@ class PlanAuditSpec extends SparkSpec {
     val plan = physical("q48_identifier_assignment")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected the warn-dimension broadcast\n$plan")
+  }
+
+  test("q59 sequence packing plans as one lang-partitioned window (+ the sorts), no extra shuffle") {
+    val plan = physical("q59_sequence_pack")
+    assert(countOccurrences(plan, "Window") >= 1, plan)
+    // one hash exchange (the lang partition) + the presentation sort — a
+    // second hash exchange would mean the cumulative sum re-shuffled
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"expected exactly the lang-partition exchange\n$plan")
   }
 
   test("dedup pair pipelines (q20/q21/q23) never fall back to a nested loop or cartesian") {
