@@ -360,9 +360,91 @@ object DedupQueries {
        |  count(CASE WHEN q >= $CurationMinQuality AND rn != 1 THEN 1 END) AS n_dup_dropped
        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Decontamination — the eval-set overlap scrub every training corpus
+    * runs: flag documents sharing too many shingles with a benchmark set.
+    * The benchmark here is the deterministic `doc_id % 97 == 0` slice (a
+    * stand-in for the real eval suite — the gate enumerates identical
+    * sets in both engines); a corpus doc is contaminated when ≥10% of its
+    * trigram shingles appear in the benchmark (integer compare, no float
+    * threshold).
+    *
+    * Scale shape: the benchmark shingle set is small by construction
+    * (eval suites are), so the semi-join broadcasts under AQE and the
+    * corpus side never shuffles its shingles; the per-doc hit count
+    * groups on doc_id — the same key the shingle kernel already carries. */
+  private val BenchMod = 97
+  private val ContamPct = 10 // contaminated when hits * 100 >= pct * shingles
+
+  def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val benchSh = ex.filter(col("doc_id") % BenchMod === 0).select(col("h")).distinct()
+    val hits = ex.filter(col("doc_id") % BenchMod =!= 0)
+      .join(benchSh, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
+    shh.filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), size(col("shh")).cast(LongType).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_shingles"),
+        (coalesce(col("n_hits"), lit(0L)) * 100 >= col("n_shingles") * ContamPct)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q60Sql: String =
+    s"""$shinglesSqlCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % $BenchMod = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hits
+       |  FROM ex WHERE doc_id % $BenchMod != 0 AND s IN (SELECT s FROM bench)
+       |  GROUP BY doc_id),
+       |base AS (SELECT doc_id, len(sh) AS n_shingles FROM sh WHERE doc_id % $BenchMod != 0)
+       |SELECT b.doc_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(b.n_shingles AS BIGINT) AS n_shingles,
+       |  coalesce(h.n_hits, 0) * 100 >= b.n_shingles * $ContamPct AS contaminated
+       |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Within-document repetition ratio — the boilerplate/templating signal
+    * corpus-quality rules gate on (alongside q16's score): the fraction
+    * of trigram POSITIONS whose shingle already occurred in the document,
+    * `1 − distinct_shingles / total_positions`. Pure narrow pass: the
+    * shingle kernel runs in the scan stage, nothing shuffles but the
+    * presentation sort. */
+  def q61Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val positions = greatest(size(toks) - 2, lit(0)).cast(LongType) // k=3 shingle starts
+    val distinctSh = size(shingleHashes(toks)).cast(LongType)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), positions.as("n_positions"), distinctSh.as("n_distinct"))
+      .withColumn("repetition_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) / nullif(col("n_positions"), lit(0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    greatest(len(t) - 2, 0) AS n_positions,
+       |    len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                       for i in range(1, len(t)-1)])) AS n_distinct
+       |  FROM tk)
+       |SELECT doc_id, CAST(n_positions AS BIGINT) AS n_positions,
+       |  CAST(n_distinct AS BIGINT) AS n_distinct,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / nullif(n_positions, 0) AS repetition_ratio
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_decontaminate"       -> (q60Decontaminate _),
+    "q61_repetition"          -> (q61Repetition _),
     "q52_corpus_curation"     -> (q52CorpusCuration _),
     "q44_dedup_select"        -> (q44DedupSelect _),
     "q19_dedup_exact"         -> (q19DedupExact _),
@@ -372,6 +454,8 @@ object DedupQueries {
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q60_decontaminate"       -> q60Sql,
+    "q61_repetition"          -> q61Sql,
     "q52_corpus_curation"     -> q52Sql,
     "q44_dedup_select"        -> q44Sql,
     "q19_dedup_exact"         -> q19Sql,

@@ -402,9 +402,48 @@ object TextQueries {
        |  CAST((end_offset - n_tokens) // $PackBudget AS BIGINT) AS pack_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Data-mixture shares — the per-(source, lang) token and document
+    * shares a training run's sampling weights are derived from. One
+    * narrow token-count pass, one small groupBy, and an unpartitioned
+    * window over the HANDFUL of grouped rows for the global totals (the
+    * single-partition window touches ~|sources×langs| rows, never the
+    * corpus). Shares are exact-integer divisions evaluated in double —
+    * deterministic across engines, no pow()/temperature math whose last
+    * ulp could differ. */
+  def q62MixtureShares(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val grouped = d
+      .select(col("source"), col("lang"),
+        regexp_count(col("text"), lit(NotWs + "+")).cast("long").as("n_tok"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grouped
+      .withColumn("doc_share",
+        col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(all))
+      .withColumn("token_share",
+        col("n_tokens").cast(DoubleType) / sum(col("n_tokens")).over(all))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q62Sql: String =
+    s"""WITH g AS (
+       |  SELECT source, lang, count(*) AS n_docs,
+       |    sum(len(regexp_extract_all(text, '$NotWsSql+'))) AS n_tokens
+       |  FROM documents GROUP BY source, lang)
+       |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+       |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
+       |FROM g ORDER BY source, lang""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_mixture_shares"   -> (q62MixtureShares _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q15_text_tokens"      -> (q15TextTokens _),
     "q16_text_quality"     -> (q16TextQuality _),
@@ -415,6 +454,7 @@ object TextQueries {
     "q59_sequence_pack"    -> (q59SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
+    "q62_mixture_shares"   -> q62Sql,
     "q53_stratified_sample" -> q53Sql,
     "q15_text_tokens"      -> q15Sql,
     "q16_text_quality"     -> q16Sql,
