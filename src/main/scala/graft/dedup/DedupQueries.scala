@@ -383,14 +383,22 @@ object DedupQueries {
     val hits = ex.filter(col("doc_id") % BenchMod =!= 0)
       .join(benchSh, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits")) // shingles are distinct per doc
-    shh.filter(col("doc_id") % BenchMod =!= 0)
-      .select(col("doc_id"), size(col("shh")).cast(LongType).as("n_shingles"))
+    // TOTAL over the corpus: every non-bench doc reports, including the
+    // shingle-less (< 3 tokens) ones the kernel drops — they emit
+    // n_shingles=0, contaminated=false (n_hits>0 is required) rather than
+    // silently vanishing from the report
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"))
+      .join(shh.select(col("doc_id"), size(col("shh")).cast(LongType).as("n_shingles")),
+        Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        col("n_shingles"),
-        (coalesce(col("n_hits"), lit(0L)) * 100 >= col("n_shingles") * ContamPct)
-          .as("contaminated"))
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        (coalesce(col("n_hits"), lit(0L)) > 0 &&
+          coalesce(col("n_hits"), lit(0L)) * 100 >=
+            coalesce(col("n_shingles"), lit(0L)) * ContamPct).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -402,12 +410,17 @@ object DedupQueries {
        |  SELECT doc_id, count(*) AS n_hits
        |  FROM ex WHERE doc_id % $BenchMod != 0 AND s IN (SELECT s FROM bench)
        |  GROUP BY doc_id),
-       |base AS (SELECT doc_id, len(sh) AS n_shingles FROM sh WHERE doc_id % $BenchMod != 0)
-       |SELECT b.doc_id,
+       |sizes AS (SELECT doc_id, len(sh) AS n_shingles FROM sh)
+       |SELECT d.doc_id,
        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       |  CAST(b.n_shingles AS BIGINT) AS n_shingles,
-       |  coalesce(h.n_hits, 0) * 100 >= b.n_shingles * $ContamPct AS contaminated
-       |FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+       |  CAST(coalesce(z.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  coalesce(h.n_hits, 0) > 0 AND
+       |    coalesce(h.n_hits, 0) * 100 >= coalesce(z.n_shingles, 0) * $ContamPct
+       |    AS contaminated
+       |FROM documents d
+       |LEFT JOIN sizes z ON d.doc_id = z.doc_id
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $BenchMod != 0 ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q61
   /** Within-document repetition ratio — the boilerplate/templating signal

@@ -41,6 +41,15 @@ object TextOps {
   /** Whitespace-collapsed, trimmed, lower-cased text. */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, s"$Ws+", " ")))
 
+  /** Whitespace-token count of RAW text — THE token definition (q15/q59/
+    * q62 and the oracle all share this one spelling; the explicit
+    * whitespace class is load-bearing, see the scaladoc above). */
+  def nTokens(c: Column): Column = regexp_count(c, lit(NotWs + "+"))
+
+  /** The same count as a DuckDB expression over a column/expr string. */
+  def nTokensSql(expr: String): String =
+    s"len(regexp_extract_all($expr, '$NotWsSql+'))"
+
   /** Tokens of normalized text (single-space split). */
   def tokens(norm: Column): Column = split(norm, " ")
 

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -37,22 +38,22 @@ object TextQueries {
     d.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        regexp_count(col("text"), lit(NotWs + "+")).as("n_tokens"),
+        nTokens(col("text")).as("n_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z]+")).as("n_alpha"),
         regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9" + WsChars + "]")).as("n_bpe"),
         (length(regexp_replace(col("text"), Ws + "+", "")).cast(DoubleType) /
-          nullif(regexp_count(col("text"), lit(NotWs + "+")), lit(0))).as("mean_token_len"))
+          nullif(nTokens(col("text")), lit(0))).as("mean_token_len"))
       .orderBy(col("doc_id"))
   }
 
   val q15Sql: String =
     s"""SELECT doc_id,
       | length(text) AS n_chars,
-      | len(regexp_extract_all(text, '$NotWsSql+')) AS n_tokens,
+      | ${nTokensSql("text")} AS n_tokens,
       | len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_alpha,
       | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$WsChars]')) AS n_bpe,
       | CAST(length(regexp_replace(text, '$WsSql+', '', 'g')) AS DOUBLE)
-      |   / nullif(len(regexp_extract_all(text, '$NotWsSql+')), 0) AS mean_token_len
+      |   / nullif(${nTokensSql("text")}, 0) AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q16
@@ -373,12 +374,10 @@ object TextQueries {
 
   def q59SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.select(col("doc_id"), col("lang"),
-        regexp_count(col("text"), lit(NotWs + "+")).as("n_tokens"))
+        nTokens(col("text")).as("n_tokens"))
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
       .withColumn("start_offset", col("end_offset") - col("n_tokens"))
       .withColumn("pack_id", floor(col("start_offset") / PackBudget).cast("long"))
@@ -390,7 +389,7 @@ object TextQueries {
   val q59Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang,
-       |    len(regexp_extract_all(text, '$NotWsSql+')) AS n_tokens
+       |    ${nTokensSql("text")} AS n_tokens
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, lang, n_tokens,
@@ -415,12 +414,11 @@ object TextQueries {
     val d = Tables(spark, dir).documents
     val grouped = d
       .select(col("source"), col("lang"),
-        regexp_count(col("text"), lit(NotWs + "+")).cast("long").as("n_tok"))
+        nTokens(col("text")).cast("long").as("n_tok"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     grouped
       .withColumn("doc_share",
         col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(all))
@@ -432,7 +430,7 @@ object TextQueries {
   val q62Sql: String =
     s"""WITH g AS (
        |  SELECT source, lang, count(*) AS n_docs,
-       |    sum(len(regexp_extract_all(text, '$NotWsSql+'))) AS n_tokens
+       |    sum(${nTokensSql("text")}) AS n_tokens
        |  FROM documents GROUP BY source, lang)
        |SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,
