@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{SortedIntersectCount, VecDot, WordShingles}
+import graft.expr.{HyperplaneSigs, SortedIntersectCount, VecDot, WinnowMinima, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -48,6 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b) takes exactly 2 sorted array<bigint> arguments")
         SortedIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs"),
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "hyperplane_sigs(vec, tables, bits, dim) takes 4 arguments")
+        HyperplaneSigs(args.head, intLit(args(1), "tables"), intLit(args(2), "bits"),
+          intLit(args(3), "dim"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_minima"),
+      new ExpressionInfo(classOf[WinnowMinima].getName, "winnow_minima"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_minima(tokens, k, w) takes 3 arguments")
+        WinnowMinima(args.head, intLit(args(1), "k"), intLit(args(2), "w"))
       }))
   }
 }

@@ -438,9 +438,41 @@ object TextQueries {
        |  CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share
        |FROM g ORDER BY source, lang""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Deterministic training-shuffle plan — the order documents are fed to
+    * a trainer: a salted md5 key gives every document a reproducible
+    * pseudo-random global order with NO RNG state (replayable from any
+    * checkpoint, same property as q53's sampling gate); `% NumShards`
+    * assigns the output shard and a per-shard window numbers the
+    * positions. At scale the shard IS the partition key — each shard
+    * sorts independently, nothing global ever materializes. */
+  private val NumShards = 8
+
+  def q63ShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val key = hex60(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    d.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", (col("shuffle_key") % NumShards).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val q63Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('shuffle:' || doc_id), 1, 15))::BIGINT AS shuffle_key
+       |  FROM documents)
+       |SELECT doc_id, shuffle_key,
+       |  CAST(shuffle_key % $NumShards AS INT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shuffle_key % $NumShards
+       |    ORDER BY shuffle_key, doc_id) AS INT) AS pos_in_shard
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_shuffle_shards"   -> (q63ShuffleShards _),
     "q62_mixture_shares"   -> (q62MixtureShares _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q15_text_tokens"      -> (q15TextTokens _),
@@ -452,6 +484,7 @@ object TextQueries {
     "q59_sequence_pack"    -> (q59SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
+    "q63_shuffle_shards"   -> q63Sql,
     "q62_mixture_shares"   -> q62Sql,
     "q53_stratified_sample" -> q53Sql,
     "q15_text_tokens"      -> q15Sql,
