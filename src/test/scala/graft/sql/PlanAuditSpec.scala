@@ -55,8 +55,9 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the lang-partition exchange\n$plan")
   }
 
-  test("dedup pair pipelines (q20/q21/q23) never fall back to a nested loop or cartesian") {
-    for (q <- Seq("q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q23_dedup_simhash_pairs")) {
+  test("dedup pair pipelines (q20/q21/q23) and decontamination (q60) never fall back to a nested loop or cartesian") {
+    for (q <- Seq("q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh",
+        "q23_dedup_simhash_pairs", "q60_decontaminate")) {
       val plan = physical(q)
       assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
         s"$q: candidate generation degenerated to an all-pairs plan\n$plan")
