@@ -372,8 +372,16 @@ object PackageIngest {
           val dest = new org.apache.hadoop.fs.Path(
             s"$assetRoot/${r.getAs[String]("uri")}/${r.getAs[String]("dest_filename")}")
           val fs = dest.getFileSystem(conf.value)
-          val out = fs.create(dest, true)
+          // commit via tmp + rename: on local/HDFS a crashed create() leaves
+          // a PARTIAL dest visible to readers; staging leaves either the old
+          // bytes, nothing (redelivery heals), or the new bytes — never a
+          // torn file. (On s3a the close() is a single atomic PUT anyway;
+          // the rename commit stays correct, just redundant there.)
+          val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".inprogress")
+          val out = fs.create(tmp, true)
           try out.write(b) finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          fs.rename(tmp, dest)
         }
       }
     }

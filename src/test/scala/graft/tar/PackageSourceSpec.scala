@@ -19,9 +19,12 @@ class PackageSourceSpec extends SparkSpec {
     val store = LocalStore(spark, Files.createTempDirectory("graft-src-store").toString)
 
     val packages = PackageSource.load(spark, fixtureDir, originator = "TDR")
-    val outcomes = PackageIngest.ingestDs(spark, packages, store).collect()
+    val outcomeRows = PackageIngest.ingestDs(spark, packages, store).collect()
+    val outcomes = outcomeRows
       .map(r => r.getAs[String]("consignment_ref") ->
         (r.getAs[String]("doc_type"), r.getAs[String]("error"))).toMap
+    val outcomesUri = outcomeRows
+      .map(r => r.getAs[String]("consignment_ref") -> r.getAs[String]("uri")).toMap
 
     assert(outcomes.size == 7)
     assert(outcomes("TDR-2022-DNWR") == (("judgment", null)))
@@ -38,5 +41,34 @@ class PackageSourceSpec extends SparkSpec {
     // the four gatherable packages landed as documents
     assert(outcomes.count(_._2._2 == null) == 4)
     assert(store.documents.count() == 4)
+
+    // W5–W8 byte copies also ran on the DISTRIBUTED path (executor-side
+    // Hadoop-FS writes off the binaryFile scan partitions). Tarball rows
+    // always write (whole archive, no member lookup); member-sourced rows
+    // write when `<consignment_ref>/<name>` resolves in the tar — here
+    // PackageSource derives the ref from the FILE STEM, so fixtures whose
+    // internal folder differs (press-summary → TDR-2023-2M3/, test3 →
+    // BULK-0/) skip their member copies, exactly where the reference's
+    // `tarfile.extractfile(f"{ref}/{name}")` would raise. DNWR's stem
+    // matches its folder, so its member assets all land.
+    val assetRows = store.read("assets").get.collect()
+    assert(assetRows.nonEmpty)
+    def destPath(uri: String, dest: String) =
+      Paths.get(store.assetRoot, (uri.split("/") :+ dest): _*)
+    assetRows.filter(_.getAs[String]("asset_type") == "tarball").foreach { r =>
+      val dest = destPath(r.getAs[String]("uri"), r.getAs[String]("dest_filename"))
+      assert(Files.exists(dest) && Files.size(dest) > 0,
+        s"tarball bytes missing on distributed path: $dest")
+    }
+    val dnwrUri = outcomesUri("TDR-2022-DNWR")
+    assetRows.filter(_.getAs[String]("uri") == dnwrUri).foreach { r =>
+      val dest = destPath(dnwrUri, r.getAs[String]("dest_filename"))
+      assert(Files.exists(dest) && Files.size(dest) > 0,
+        s"DNWR asset bytes missing on distributed path: $dest")
+    }
+    // the tmp+rename commit leaves no staging files behind
+    val leftovers = Files.walk(Paths.get(store.assetRoot))
+      .filter(_.toString.endsWith(".inprogress")).count()
+    assert(leftovers == 0)
   }
 }
