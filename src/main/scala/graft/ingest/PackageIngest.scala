@@ -377,11 +377,19 @@ object PackageIngest {
           // bytes, nothing (redelivery heals), or the new bytes — never a
           // torn file. (On s3a the close() is a single atomic PUT anyway;
           // the rename commit stays correct, just redundant there.)
-          val tmp = new org.apache.hadoop.fs.Path(dest.toString + ".inprogress")
+          // The staging name carries the task attempt id: a speculative or
+          // retried attempt must not truncate the original attempt's open
+          // stream (identical bytes make whichever attempt commits last
+          // benign). Hadoop rename reports failure by RETURNING false —
+          // ignoring it would turn a failed commit into silent asset loss.
+          val attemptId = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId).getOrElse(0L)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dest.inprogress-$attemptId")
           val out = fs.create(tmp, true)
           try out.write(b) finally out.close()
-          if (fs.exists(dest)) fs.delete(dest, false)
-          fs.rename(tmp, dest)
+          fs.delete(dest, false) // no-op when absent
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(s"asset commit failed: rename $tmp -> $dest")
         }
       }
     }

@@ -67,8 +67,10 @@ class PackageSourceSpec extends SparkSpec {
         s"DNWR asset bytes missing on distributed path: $dest")
     }
     // the tmp+rename commit leaves no staging files behind
-    val leftovers = Files.walk(Paths.get(store.assetRoot))
-      .filter(_.toString.endsWith(".inprogress")).count()
+    val walk = Files.walk(Paths.get(store.assetRoot))
+    val leftovers =
+      try walk.filter(_.toString.contains(".inprogress")).count()
+      finally walk.close()
     assert(leftovers == 0)
   }
 }
