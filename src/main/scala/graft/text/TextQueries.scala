@@ -469,9 +469,56 @@ object TextQueries {
        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos_in_shard
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Overlapping chunk plan — fixed token windows with stride, the
+    * RAG/training-prep splitter: doc of n tokens → chunks starting every
+    * [[ChunkStride]] tokens, each [[ChunkSize]] long (the last one
+    * clipped). Pure integer plan math (`div`, no float ceil) + one
+    * `explode(sequence(...))` — narrow, shuffle-free, the chunk count per
+    * doc is data-independent of the text bytes. Docs with zero tokens
+    * produce zero chunks (filtered BEFORE the sequence: Spark's
+    * `sequence(0, -1)` counts DOWN instead of being empty — the
+    * DuckDB-`range` asymmetry the filter sidesteps). */
+  // sized to the synthetic corpus (10–99 tokens/doc) so the stride and
+  // last-chunk clip paths actually execute under the gate; a real corpus
+  // uses e.g. 1024/768
+  private val ChunkSize = 32
+  private val ChunkStride = 24 // 8-token overlap
+
+  def q64ChunkPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val n = nTokens(col("text")).cast("long")
+    d.select(col("doc_id"), n.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks", when(col("n_tokens") <= ChunkSize, lit(1L))
+        .otherwise(expr(s"(n_tokens - $ChunkSize + $ChunkStride - 1) div $ChunkStride") + 1))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_tok"),
+        least(col("chunk_id") * ChunkStride + ChunkSize, col("n_tokens")).as("end_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q64Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(${nTokensSql("text")} AS BIGINT) AS n_tokens
+       |  FROM documents WHERE ${nTokensSql("text")} > 0),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens <= $ChunkSize THEN 1
+       |         ELSE (n_tokens - $ChunkSize + $ChunkStride - 1) // $ChunkStride + 1
+       |         END AS n_chunks
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least(i * $ChunkStride + $ChunkSize, n_tokens) AS BIGINT) AS end_tok
+       |FROM c, unnest(range(0, n_chunks)) AS u(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_chunk_plan"       -> (q64ChunkPlan _),
     "q63_shuffle_shards"   -> (q63ShuffleShards _),
     "q62_mixture_shares"   -> (q62MixtureShares _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
@@ -484,6 +531,7 @@ object TextQueries {
     "q59_sequence_pack"    -> (q59SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
+    "q64_chunk_plan"       -> q64Sql,
     "q63_shuffle_shards"   -> q63Sql,
     "q62_mixture_shares"   -> q62Sql,
     "q53_stratified_sample" -> q53Sql,
