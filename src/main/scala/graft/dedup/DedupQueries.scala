@@ -112,7 +112,10 @@ object DedupQueries {
     val shh = docShingleHashes(spark, dir)
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
     val buckets = ex.groupBy(col("h"))
-      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      // collect_LIST: a doc contributes each shingle hash at most once
+      // (shingle sets are distinct per doc), so the values are already
+      // unique — no per-group hash set needed
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
     // all ordered pairs from each bucket's (sorted, bounded) id array
     val pairList = flatten(transform(
