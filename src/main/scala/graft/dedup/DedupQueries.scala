@@ -126,6 +126,12 @@ object DedupQueries {
     val cands = buckets
       .select(explode(pairList).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      // positions in the sorted id array guarantee ida <= idb; the strict
+      // filter restores the hard ida < idb invariant the oracle's
+      // a.doc_id < b.doc_id relies on — a 60-bit hash collision between
+      // two distinct shingles WITHIN one doc would otherwise put the same
+      // doc_id twice in a bucket and emit a self-pair
+      .filter(col("ida") < col("idb"))
       .distinct()
     verifyJaccard(cands, shh, 0.5)
   }

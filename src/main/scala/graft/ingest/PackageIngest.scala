@@ -349,7 +349,22 @@ object PackageIngest {
     val specs = plan.select(
       col("original_ref").as("p_ref"), col("tar_name").as("p_tar"),
       col("uri"), col("dest_filename"), col("src_member"))
-    val joined = packages.toDF()
+    // A batch carrying duplicate deliveries of the same (ref, tar_name)
+    // would write every duplicate's bytes to the same <uri>/<dest> path —
+    // last commit wins, nondeterministically. Pick one winner per key by
+    // max archive digest: only the small (ref, tar, digest) projection
+    // shuffles (archives stay put; the winner set broadcasts back).
+    // Byte-identical redeliveries — the real-world duplicate — share a
+    // digest and remain benign multi-writes of the same content; a
+    // DIFFERING-bytes duplicate gets a deterministic winner. (The document
+    // winner orders by gathered xml; matching that here would need a
+    // second tar-explode pass over every package, so the digest order is
+    // the documented approximation for that pathological case.)
+    val keyed = packages.toDF().withColumn("pkg_digest", md5(col("archive")))
+    val winners = keyed.select("consignment_ref", "tar_name", "pkg_digest")
+      .groupBy("consignment_ref", "tar_name").agg(max("pkg_digest").as("pkg_digest"))
+    val joined = keyed
+      .join(broadcast(winners), Seq("consignment_ref", "tar_name", "pkg_digest"))
       .join(broadcast(specs),
         col("consignment_ref") === col("p_ref") && col("tar_name") === col("p_tar"))
       .select(col("consignment_ref"), col("tar_name"), col("archive"),
@@ -384,6 +399,16 @@ object PackageIngest {
           // ignoring it would turn a failed commit into silent asset loss.
           val attemptId = Option(org.apache.spark.TaskContext.get())
             .map(_.taskAttemptId).getOrElse(0L)
+          // best-effort sweep of staging files a DEAD attempt left between
+          // create(tmp) and rename — they would otherwise sit in the asset
+          // directory forever, visible to directory-listing consumers. A
+          // live speculative attempt whose tmp we delete fails its rename
+          // and retries; listStatus (not glob) so URI-reserved chars in
+          // dest names never act as glob metacharacters.
+          try fs.listStatus(dest.getParent)
+            .filter(_.getPath.getName.startsWith(dest.getName + ".inprogress-"))
+            .foreach(s => fs.delete(s.getPath, false))
+          catch { case _: java.io.IOException => () }
           val tmp = new org.apache.hadoop.fs.Path(s"$dest.inprogress-$attemptId")
           val out = fs.create(tmp, true)
           try out.write(b) finally out.close()

@@ -203,11 +203,28 @@ final case class LocalStore(spark: SparkSession, base: String) {
   }
 
   /** W9: append notification records (uri, action, payload, delivered).
-    * Append-only, so the column set must stay fixed across writers — a
-    * store written before the `delivered` column existed would need a
-    * one-off read+rewrite migration (the other tables self-heal through
-    * their read-join-write path). */
-  def appendNotifications(rows: DataFrame): Unit = append("notifications", rows)
+    * Append-only, so a store written before the `delivered` column existed
+    * holds mixed-schema files — and a plain read takes ONE footer's
+    * schema, so `delivered` could silently vanish. Appends therefore heal
+    * the table once: detect the legacy layout (a marker file, so the check
+    * is a stat, not a scan per batch), mergeSchema-read, default
+    * `delivered=false` for legacy rows, and rewrite through the staged
+    * swap. Crash between rewrite and marker re-runs the (idempotent)
+    * migration. */
+  private val notifSchemaMarker = "._delivered_v2"
+  def appendNotifications(rows: DataFrame): Unit = {
+    val marker = Paths.get(s"${path("notifications")}/$notifSchemaMarker")
+    if (exists("notifications") && !Files.exists(marker)) {
+      val cur = spark.read.option("mergeSchema", "true").parquet(path("notifications"))
+      val healed =
+        if (cur.columns.contains("delivered"))
+          cur.withColumn("delivered", coalesce(col("delivered"), lit(false)))
+        else cur.withColumn("delivered", lit(false))
+      write("notifications", healed.select("uri", "action", "payload", "delivered"))
+    }
+    append("notifications", rows.select("uri", "action", "payload", "delivered"))
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
 
   /** W11: append per-message failures (the DLQ table). */
   def appendFailures(rows: DataFrame): Unit = append("failures", rows)

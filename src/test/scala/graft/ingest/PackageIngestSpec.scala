@@ -403,4 +403,36 @@ class PackageIngestSpec extends SparkSpec {
     assert(doc.getAs[String]("upload_state") == "updated")
     assert(doc.getAs[String]("annotation_message") == "Updated document submitted by TDR user")
   }
+
+  test("duplicate deliveries with differing bytes: asset copy picks a deterministic winner") {
+    // one batch, two packages with the same (consignment_ref, tar_name)
+    // but DIFFERENT archive bytes — without a winner rule, both write the
+    // same <uri>/<dest> path and the surviving bytes are whichever task
+    // commits last. The winner is max md5(archive), independent of input
+    // order; verified by running both orderings.
+    def mk(body: String): RawPackage = {
+      val metadata =
+        """{"parameters": {"TRE": {"reference": "TRE-DUP-1", "payload": {
+          |  "filename": null, "xml": "doc.xml", "metadata": "TRE-DUP-1-metadata.json",
+          |  "images": [], "log": "parser.log"}}}}""".stripMargin
+      RawPackage("DUP-1", "FCL", "DUP-1.tar.gz", graft.tar.TarOps.packStrings(Seq(
+        "DUP-1/TRE-DUP-1-metadata.json" -> metadata,
+        "DUP-1/doc.xml" -> body,
+        "DUP-1/parser.log" -> "ok")))
+    }
+    val a = mk("<judgment>alpha</judgment>")
+    val b = mk("<judgment>beta</judgment>")
+    def md5hex(x: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x).map(c => f"$c%02x").mkString
+    val winner = if (md5hex(a.archive) >= md5hex(b.archive)) a else b
+    for (order <- Seq(Seq(a, b), Seq(b, a))) {
+      val store = LocalStore(spark, Files.createTempDirectory("graft-dup-store").toString)
+      PackageIngest.ingest(spark, order, store)
+      val uri = store.documents.collect().head.getAs[String]("uri")
+      val tarDest = Paths.get(s"${store.assetRoot}/$uri/DUP-1_nodocx.tar.gz")
+      assert(Files.exists(tarDest))
+      assert(java.util.Arrays.equals(Files.readAllBytes(tarDest), winner.archive),
+        "tarball asset bytes must come from the deterministic winner package")
+    }
+  }
 }

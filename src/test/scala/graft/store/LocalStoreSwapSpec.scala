@@ -35,4 +35,23 @@ class LocalStoreSwapSpec extends SparkSpec {
     assert(docs.length == 2)
     assert(docs.find(_.getAs[String]("uri") == "doc/1").get.getAs[Int]("version") == 1)
   }
+
+  test("legacy notifications table heals to the delivered schema on first append") {
+    val base = Files.createTempDirectory("graft-notif").toString
+    val store = LocalStore(spark, base)
+    // a store written before `delivered` existed: 3-column files on disk
+    Seq(("doc/1", "new", "REF-1")).toDF("uri", "action", "payload")
+      .write.parquet(s"$base/notifications")
+    store.appendNotifications(Seq(("doc/2", "updated", "REF-2", true))
+      .toDF("uri", "action", "payload", "delivered"))
+    val rows = store.read("notifications").get.collect()
+    assert(rows.length == 2)
+    assert(!rows.find(_.getAs[String]("uri") == "doc/1").get.getAs[Boolean]("delivered"))
+    assert(rows.find(_.getAs[String]("uri") == "doc/2").get.getAs[Boolean]("delivered"))
+    // second append skips the (already-run) migration and stays uniform
+    store.appendNotifications(Seq(("doc/3", "new", "REF-3", false))
+      .toDF("uri", "action", "payload", "delivered"))
+    val again = store.read("notifications").get.collect()
+    assert(again.length == 3 && again.count(_.getAs[Boolean]("delivered")) == 1)
+  }
 }
