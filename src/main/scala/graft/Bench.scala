@@ -80,10 +80,18 @@ object Bench {
       results.collect { case (_, v) if f(v) >= 0 => f(v) }.sum
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val errJson = errors.map(e => "\"" + esc(e) + "\"").mkString("[", ",", "]")
-    println(
+    val json =
       s"""{"metric":"total_warm_median","value":${tot(_.warmMedian)},"unit":"sec",""" +
         s""""queries":${obj(_.warmMedian)},"first":${obj(_.first)},"spread":${obj(_.spread)},""" +
-        s""""first_total":${tot(_.first)},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+        s""""first_total":${tot(_.first)},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact capture keeps only a stdout TAIL — with 64
+    // queries that truncates the headline and most of the per-query map —
+    // so the full JSON is also persisted to a file the archive picks up
+    // whole (committed per round as BENCH_full.json)
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json"))
+    java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -132,7 +132,10 @@ object Messages {
   private def jsonEscape(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
 
-  def q29MessageDecode(spark: SparkSession, dir: String): DataFrame = {
+  def q29MessageDecode(spark: SparkSession, dir: String): DataFrame =
+    decodedEvents(spark, dir).orderBy(col("doc_id"))
+
+  private def decodedEvents(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents.select(col("doc_id"))
     val id = col("doc_id").cast("string")
 
@@ -168,7 +171,7 @@ object Messages {
       .withColumn("kind", when(col("doc_id") % 3 === 1, "sns").otherwise("sqs"))
       .withColumn("record_json", recordJson)
 
-    decode(events).orderBy(col("doc_id"))
+    decode(events)
   }
 
   val q29Sql: String =
@@ -195,15 +198,23 @@ object Messages {
     * ([[graft.model.IngestError]]) as a column — terminal errors go to
     * the DLQ once, retryables are eligible for redelivery. */
   def q42FailureReport(spark: SparkSession, dir: String): DataFrame = {
-    val decoded = q29MessageDecode(spark, dir)
+    // the UNSORTED decode: q29's presentation orderBy would otherwise sit
+    // below the barrier filter, where the non-deterministic Project blocks
+    // EliminateSorts from dropping it — a full pre-filter sort for nothing
+    val decoded = decodedEvents(spark, dir)
     val terminalNames = graft.model.IngestError.all.filter(_.terminal).map(_.name)
     decoded
       // barrier: predicate pushdown would substitute the full double-JSON
       // decode chain into the filter condition (re-evaluating it per row on
-      // top of the projection's copy — measured ~9x slower); a
-      // non-deterministic column pins the filter above the decode Project
+      // top of the projection's copy — measured ~9x slower). The
+      // non-deterministic column must be REFERENCED by the filter's FIRST
+      // conjunct: a merely-projected barrier gets column-pruned (the
+      // Project turns deterministic again and pushdown fires — the silent
+      // regression PlanAuditSpec's q42 pin caught), and Spark pushes the
+      // deterministic conjuncts that precede the first non-deterministic
+      // one, so the barrier conjunct must come first to hold them all.
       .withColumn("_barrier", monotonically_increasing_id())
-      .filter(col("error").isNotNull && col("msg_id").isNotNull)
+      .filter(col("_barrier") >= 0 && col("error").isNotNull && col("msg_id").isNotNull)
       .select(col("doc_id"), col("msg_id"), col("error"),
         col("error").isin(terminalNames: _*).as("terminal"))
       .orderBy(col("doc_id"))

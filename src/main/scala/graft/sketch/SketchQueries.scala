@@ -7,22 +7,22 @@ import org.apache.spark.sql.functions._
 
 /** Declared sketch queries — the approximate-distinct surface a 100 TB
   * pipeline swaps in where exact `count(distinct)` would shuffle every
-  * value: per-group KMV (the custom UDAF, [[KmvSketch]]) side by side
-  * with Spark's built-in HLL++ and the exact count it approximates.
+  * value: per-group KMV (the custom UDAF, [[KmvSketch]]) beside the
+  * exact count it approximates.
   *
-  * Approximate by construction → rows-only driver check (like q25/q45);
-  * the accuracy gate lives in `KmvSketchSpec`: exact below k distincts,
-  * and the (k−1)/kth-minimum estimator's documented error contract above
-  * it. At sf≤0.1 every lang group holds fewer than k=256 distinct
-  * contents, so the kmv column is deterministically EXACT there — the
-  * spec pins that too.
-  */
+  * The KMV estimator is EXACT below k distincts by construction (the
+  * sketch simply holds every hash), and at sf≤0.1 every lang group holds
+  * fewer than k=256 distinct contents — so at the gate scale the query is
+  * deterministic and carries a full DuckDB oracle (`count(DISTINCT
+  * hex60)`), not a rows-only check. Above k the estimator's error
+  * contract (and the HLL++ three-way comparison) is gated by
+  * `KmvSketchSpec`, which drives cardinalities past the sketch size. */
 object SketchQueries {
 
   // ---------------------------------------------------------------- q57
-  /** KMV vs HLL++ vs exact distinct contents per language. One shuffle of
-    * ≤ k longs (KMV state) / one HLL register set per group — the shuffle
-    * carries sketches, never the 8-byte content hashes themselves. */
+  /** KMV vs exact distinct contents per language. One shuffle of ≤ k
+    * longs (KMV state) per group — the shuffle carries sketches, never
+    * the per-row content hashes themselves. */
   def q57KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     KmvSketch.register(spark)
     Tables(spark, dir).documents
@@ -30,14 +30,23 @@ object SketchQueries {
       .groupBy(col("lang"))
       .agg(
         KmvSketch.approxDistinct(col("h")).as("kmv_distinct"),
-        approx_count_distinct(col("h")).as("hll_distinct"),
         countDistinct(col("h")).as("exact_distinct"))
       .orderBy(col("lang"))
   }
 
+  /** The shared hex60(normText(text)) spelling, DuckDB side. */
+  private val hSql =
+    "('0x' || substr(md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))), 1, 15))::BIGINT"
+
+  val q57Sql: String =
+    s"""SELECT lang,
+       |  CAST(count(DISTINCT $hSql) AS DOUBLE) AS kmv_distinct,
+       |  count(DISTINCT $hSql) AS exact_distinct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_kmv_distinct" -> (q57KmvDistinct _))
 
-  /** Approximate sketches have no SQL-exact oracle — rows-only check. */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q57_kmv_distinct" -> q57Sql)
 }

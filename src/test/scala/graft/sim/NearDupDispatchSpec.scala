@@ -51,7 +51,15 @@ class NearDupDispatchSpec extends SparkSpec {
       plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
     val banded = NearDup.pairs(df, 0.9)
     val fallback = NearDup.pairs(df, 0.4)
-    assert(!hasCartesian(banded.queryExecution.executedPlan.toString))
+    val bandedPlan = banded.queryExecution.executedPlan.toString
+    assert(!hasCartesian(bandedPlan))
+    // ...and the candidate generation is a genuine EQUI-join on the
+    // (t, sig) bucket key — a hash or sort-merge join node must carry the
+    // pairs, so the scale-safe branch can't silently degenerate into some
+    // other all-pairs shape that merely avoids the Cartesian node name
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(bandedPlan.contains),
+      s"banded path lost its bucket equi-join\n$bandedPlan")
     assert(hasCartesian(fallback.queryExecution.executedPlan.toString))
 
     // and the dispatched results agree with each strategy run directly

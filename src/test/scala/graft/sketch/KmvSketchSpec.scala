@@ -54,9 +54,9 @@ class KmvSketchSpec extends SparkSpec {
   }
 
   test("q57 declared query: kmv exact below k per group, and the SQL name resolves") {
-    // the gate for the rows-only q57: at small SF every lang group holds
-    // fewer than k=256 distinct contents, so the KMV column must EQUAL the
-    // exact count it sits next to
+    // why q57 can carry a full DuckDB oracle: at small SF every lang group
+    // holds fewer than k=256 distinct contents, so the KMV column must
+    // EQUAL the exact count it sits next to
     val rows = SketchQueries.q57KmvDistinct(spark, Sf0001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -72,6 +72,29 @@ class KmvSketchSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT kmv_distinct(h) AS d FROM kmv_hashed")
     val exactIds = spark.sql("SELECT count(DISTINCT h) FROM kmv_hashed").head().getLong(0)
     assert(viaSql.head().getDouble(0) > 0.9 * exactIds)
+  }
+
+  test("three-way: KMV and HLL++ both track the exact per-group count") {
+    // the sketch-family comparison q57 used to carry inline (HLL++ has no
+    // DuckDB oracle, so it gates here instead): both estimators stay
+    // within a loose 10% of exact on the fixture corpus, and KMV is
+    // bit-exact below k
+    val t = graft.sql.Tables(spark, Sf0001).documents
+    val rows = t
+      .select(col("lang"), TextOps.hex60(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(
+        KmvSketch.approxDistinct(col("h")).as("kmv"),
+        approx_count_distinct(col("h")).as("hll"),
+        countDistinct(col("h")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      assert(r.getAs[Double]("kmv") == exact.toDouble) // below k → exact
+      val hllErr = math.abs(r.getAs[Long]("hll") - exact) / exact.toDouble
+      assert(hllErr <= 0.10, s"lang=${r.getAs[String]("lang")} exact=$exact hll=${r.getAs[Long]("hll")}")
+    }
   }
 
   private def Tables_orders = graft.sql.Tables(spark, Sf0001).orders

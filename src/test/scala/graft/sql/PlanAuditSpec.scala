@@ -64,6 +64,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q42 keeps its decode barrier: the failure filter is not rewritten through the double-JSON project") {
+    // Messages.q42FailureReport pins its filter ABOVE the decode Project
+    // with a nondeterministic barrier column (measured ~9x: pushdown would
+    // substitute the whole double-from_json chain into the filter
+    // condition and re-evaluate it per row on top of the projection's
+    // copy). That is optimizer-behavior reliance — if a Spark upgrade
+    // re-enables the pushdown, the filter condition regrows from_json and
+    // this fails loudly instead of silently regressing.
+    val opt = graft.SparkEntry.queries("q42_failure_report")(spark, Sf0001)
+      .queryExecution.optimizedPlan
+    val filters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.nonEmpty, s"expected a Filter in q42's optimized plan\n$opt")
+    filters.foreach { f =>
+      assert(!f.condition.toString.contains("from_json"),
+        s"q42's filter was pushed through the decode Project — the barrier stopped working:\n${f.condition}")
+    }
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
