@@ -26,19 +26,25 @@ final case class MediaFeatures(
     content_fp: String)
 
 /** Multimodal-column processing (image/audio/video as opaque binary +
-  * typed metadata), Spark-side plumbing made real, codec stubbed.
+  * typed metadata).
   *
   * Pipeline shape is the one a production multimodal pipeline uses:
   * binary payloads travel as `BinaryType` rows; decode/feature-extract
   * runs batched per partition via a typed `mapPartitions` kernel (the
   * Scala analogue of `mapInPandas` — one iterator of rows per partition,
   * vectorizable, no per-row driver involvement, narrow: the 100 TB scan
-  * never shuffles). The actual image/audio codec is STUBBED — this
-  * container has no imaging libraries — behind [[MediaKernel.decodeStub]],
-  * which "decodes" the deterministic 16-byte header the synthesizer wrote
-  * (magic, width, height, frame count). Every surrounding piece — binary
-  * encode, schema, partition batching, feature columns — is real and
-  * oracle-checked (q37).
+  * never shuffles).
+  *
+  * The IMAGE codec is real: PNG/JPEG dimensions decode through the JDK's
+  * `javax.imageio` (header-only — an `ImageReader` reads metadata, never
+  * rasterizes, so the featurize pass stays I/O-bound at scale), driven in
+  * `MediaKernelSpec` over the reference's golden-package images
+  * (`ingester.py:407-418` copies them; the engine decodes them). Audio/
+  * video decode stays a stub behind the deterministic 16-byte synthetic
+  * header (magic, width, height, frame count) — this container has no
+  * audio codecs. Every surrounding piece — binary encode, schema,
+  * partition batching, feature columns — is real and oracle-checked
+  * (q37).
   */
 object MediaQueries {
 
@@ -46,27 +52,57 @@ object MediaQueries {
   private[media] val Magic = 0x47524654
 
   object MediaKernel {
-    /** STUB: a real implementation hands `payload` to an image/audio
-      * decoder (JPEG/PNG/PCM). Here the "decode" reads the synthetic
-      * header — deterministic and environment-free. */
+    /** Synthetic-header decode (the audio/video stub and q37's oracle
+      * regime): width, height, frame count from the 16-byte header. */
     def decodeStub(media: Array[Byte]): (Int, Int, Int) = {
       val bb = ByteBuffer.wrap(media)
       require(bb.getInt() == Magic, "not a graft media payload")
       (bb.getInt(), bb.getInt(), bb.getInt())
     }
 
+    /** Real image decode: (width, height) via `javax.imageio`, header
+      * metadata only (no pixel rasterization). None when no installed
+      * reader recognizes the bytes. */
+    def decodeImage(media: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** Codec dispatch: (width, height, frames, header bytes to skip in the
+      * content fingerprint). Synthetic payloads carry the GRFT magic;
+      * anything else goes to the real image decoder. */
+    private def decode(media: Array[Byte]): (Int, Int, Int, Int) =
+      if (media.length >= 16 && ByteBuffer.wrap(media).getInt() == Magic) {
+        val (w, h, f) = decodeStub(media)
+        (w, h, f, 16)
+      } else decodeImage(media) match {
+        case Some((w, h)) => (w, h, 1, 0) // a still image is one frame
+        case None => throw new IllegalArgumentException("undecodable media payload")
+      }
+
     /** Batched per-partition featurize — the mapInPandas-shaped kernel.
       * The content fingerprint is md5 of the payload BODY (after the
-      * 16-byte header). */
+      * synthetic header when present; whole bytes for a real image). */
     def featurize(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, frames) = decodeStub(r.media)
+        val (w, h, frames, headerLen) = decode(r.media)
         md.reset()
-        md.update(r.media, 16, r.media.length - 16)
+        md.update(r.media, headerLen, r.media.length - headerLen)
         val fp = md.digest().map(b => f"$b%02x").mkString
         // resize plan: fit within 224×224 preserving aspect (never scale
-        // up); the pixel resample itself is the stubbed codec's job
+        // up); the pixel resample itself is the codec's job
         val scale = math.min(1.0, math.min(224.0 / w, 224.0 / h))
         MediaFeatures(
           doc_id = r.doc_id,
