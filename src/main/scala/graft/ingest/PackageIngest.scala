@@ -154,7 +154,23 @@ object PackageIngest {
   def ingestDs(spark: SparkSession, packages: org.apache.spark.sql.Dataset[RawPackage],
       store: LocalStore, requestId: String = "graft-local-request",
       environment: String = "prod"): DataFrame = {
-    val gathered = gatherAllDs(spark, packages)
+    import spark.implicits._
+    // A batch carrying duplicate deliveries of the same (ref, tar_name)
+    // with DIFFERING bytes picks ONE winner per key — max archive digest —
+    // BEFORE gather, so the stored document, its publish flag, and every
+    // asset byte definitionally come from the same package (one shared
+    // winner key; previously the asset pass picked by digest while the
+    // document MERGE picked by xml). Only the small (ref, tar, digest)
+    // projection shuffles; archives stay put and the winner set broadcasts
+    // back. Byte-identical redeliveries share a digest and both rows
+    // survive — benign duplicate effects, as before.
+    val keyed = packages.toDF().withColumn("pkg_digest", md5(col("archive")))
+    val dupWinners = keyed.select("consignment_ref", "tar_name", "pkg_digest")
+      .groupBy("consignment_ref", "tar_name").agg(max("pkg_digest").as("pkg_digest"))
+    val deduped = keyed
+      .join(broadcast(dupWinners), Seq("consignment_ref", "tar_name", "pkg_digest"))
+      .drop("pkg_digest").as[RawPackage]
+    val gathered = gatherAllDs(spark, deduped)
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
       Seq.empty[(String, String, String, Option[String])]
@@ -298,7 +314,7 @@ object PackageIngest {
           planKey: _*)
       val assetPlan = tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows)
       store.appendAssets(assetPlan.drop("original_ref", "tar_name"))
-      copyAssetBytes(spark, packages, assetPlan, store.assetRoot)
+      copyAssetBytes(spark, deduped, assetPlan, store.assetRoot)
 
       // 6. publish/unpublish effect (W10): folded into the step-1 write
       //    (see above) — kept as its own numbered slot to mirror the
@@ -311,12 +327,18 @@ object PackageIngest {
       //    reads store tables this very method just mutated, so a lazy
       //    re-execution after unpersist would resolve against post-effect
       //    state.
+      // `original_ref` (the pre-S4 message-level reference) rides into the
+      // outcome so a streaming caller can join failures back to the message
+      // ids it decoded them from — the S4 rewrite makes `consignment_ref`
+      // unjoinable for S3-dialect packages.
       val failedGather = gathered.filter(col("error").isNotNull)
-        .select(col("consignment_ref"), lit(null).cast("string").as("uri"),
+        .select(col("consignment_ref"), col("original_ref"),
+          lit(null).cast("string").as("uri"),
           col("doc_type"), lit(null).cast("boolean").as("exists_in_db"),
           lit(null).cast("boolean").as("will_publish"), col("error"))
       resolved.select(
-          col("consignment_ref"), col("uri"), col("doc_type"), col("exists_in_db"),
+          col("consignment_ref"), col("original_ref"), col("uri"), col("doc_type"),
+          col("exists_in_db"),
           when(col("error").isNull, willPublish).as("will_publish"),
           when(col("error").isNull && cannotPublish, lit("CannotPublishException"))
             .otherwise(col("error")).as("error"))
@@ -349,22 +371,10 @@ object PackageIngest {
     val specs = plan.select(
       col("original_ref").as("p_ref"), col("tar_name").as("p_tar"),
       col("uri"), col("dest_filename"), col("src_member"))
-    // A batch carrying duplicate deliveries of the same (ref, tar_name)
-    // would write every duplicate's bytes to the same <uri>/<dest> path —
-    // last commit wins, nondeterministically. Pick one winner per key by
-    // max archive digest: only the small (ref, tar, digest) projection
-    // shuffles (archives stay put; the winner set broadcasts back).
-    // Byte-identical redeliveries — the real-world duplicate — share a
-    // digest and remain benign multi-writes of the same content; a
-    // DIFFERING-bytes duplicate gets a deterministic winner. (The document
-    // winner orders by gathered xml; matching that here would need a
-    // second tar-explode pass over every package, so the digest order is
-    // the documented approximation for that pathological case.)
-    val keyed = packages.toDF().withColumn("pkg_digest", md5(col("archive")))
-    val winners = keyed.select("consignment_ref", "tar_name", "pkg_digest")
-      .groupBy("consignment_ref", "tar_name").agg(max("pkg_digest").as("pkg_digest"))
-    val joined = keyed
-      .join(broadcast(winners), Seq("consignment_ref", "tar_name", "pkg_digest"))
+    // `packages` arrives pre-deduped by ingestDs's digest winner, so every
+    // (ref, tar_name) key carries exactly one byte-version — remaining
+    // multi-writes are byte-identical redeliveries and benign.
+    val joined = packages.toDF()
       .join(broadcast(specs),
         col("consignment_ref") === col("p_ref") && col("tar_name") === col("p_tar"))
       .select(col("consignment_ref"), col("tar_name"), col("archive"),
@@ -379,7 +389,7 @@ object PackageIngest {
         val bytes: Option[Array[Byte]] = r.getAs[String]("src_member") match {
           case null => Some(archive)
           case m =>
-            val key = r.getAs[String]("consignment_ref") + " " + r.getAs[String]("tar_name")
+            val key = r.getAs[String]("consignment_ref") + "\\u0000" + r.getAs[String]("tar_name")
             if (cachedKey != key) { cachedMembers = TarOps.explode(archive); cachedKey = key }
             cachedMembers.find(_.name == m).orElse(TarOps.findMember(cachedMembers, m)).map(_.bytes)
         }

@@ -1,11 +1,12 @@
 package graft.streaming
 
-import graft.ingest.{IngestQueries, Messages, Resolution}
+import graft.ingest.{Messages, PackageIngest, RawPackage}
 import graft.model.IngestError
 import graft.store.LocalStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.SerializableConfiguration
 
 /** The streaming ingest shell (SURVEY.md W11/O1/O2/O3; reference handler
   * loop `/root/reference/src/ds_caselaw_ingester/lambda_function.py:100-137`).
@@ -17,11 +18,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   *   - the event stream is a Structured Streaming DataFrame of
   *     (kind, record_json) rows (file/queue/memory source);
-  *   - each micro-batch runs the GATHER phase (decode → resolve) as
-  *     narrow transforms + broadcast joins, then the ACT phase inside
-  *     `foreachBatch` with the reference's fixed effect order: document
-  *     MERGE → identifiers → notifications → properties → publish flag
-  *     (`perform_ingest`, ingester.py:542-575);
+  *   - each micro-batch decodes messages (S1–S4), FETCHES each package
+  *     from its message's (s3_bucket, s3_key) through the Hadoop-FS seam
+  *     (the reference's per-record `save_s3_response`,
+  *     `messages.py:59-70,96-106` — here a narrow distributed map, one
+  *     fetch per record on whichever executor holds it), then runs the
+  *     SAME gather + act phases as the batch path
+  *     ([[graft.ingest.PackageIngest.ingestDs]]): tar explode → metadata/
+  *     XML extract → resolve → document MERGE → identifiers →
+  *     notifications → properties → asset copies → publish fold
+  *     (`perform_ingest`, ingester.py:542-575). A streamed message
+  *     produces byte-identical store rows to the same package batched;
   *   - per-record failure isolation = the `error` column: failed records
   *     skip every effect; those WITH a message id land in the `failures`
   *     table (the DLQ — `batchItemFailures`), those without are dropped
@@ -30,23 +37,41 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IngestStream {
 
+  /** Per-record fetch result — the reference's `save_s3_response` saved
+    * `/tmp/{reference}.tar.gz` per message; here the bytes stay on the
+    * executor that fetched them. A null `archive` with a non-null `error`
+    * records a failed download (retryable — the reference's botocore
+    * ClientError is an unexpected exception, eligible for redelivery). */
+  final case class Fetched(msg_id: String, consignment_ref: String,
+      originator: String, tar_name: String, archive: Array[Byte], error: String)
+
+  /** Default remote-package resolver: the message's bucket/key as an
+    * `s3a://` Hadoop-FS URI (the cluster path). Tests and on-prem stores
+    * substitute `file:`/`hdfs:` resolvers. */
+  def s3aUri(bucket: String, key: String): String = s"s3a://$bucket/$key"
+
   /** One micro-batch of raw event records → store effects. Also usable in
     * pure batch mode (the reference's single Lambda invocation).
     * `environment` is the W9 email gate (ROLLBAR_ENV): outside prod,
-    * notification decisions are recorded with delivered=false. */
-  def processBatch(store: LocalStore, environment: String = "prod")(
+    * notification decisions are recorded with delivered=false.
+    * `packageUri` maps a decoded message's (s3_bucket, s3_key) to the
+    * Hadoop-FS URI its tarball is fetched from. */
+  def processBatch(store: LocalStore, environment: String = "prod",
+      packageUri: (String, String) => String = s3aUri,
+      requestId: String = "graft-local-request")(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    import spark.implicits._
     if (batch.isEmpty) return
 
-    // ---- gather phase: decode + resolve (O1) ----
-    // unknown-originator guard, same rule as the batch act phase
-    // (PackageIngest.ingestDs): send_email and will_publish both raise
-    // RuntimeError on an unrecognized — or absent — originator
-    // (ingester.py:440,457); the record must fail (and, with a msg_id,
-    // redeliver) rather than silently carry a null publish decision.
-    // NULL needs the explicit isNull arm: `!isin(...)` alone is NULL
-    // for null input and falls through the `when`.
+    // ---- decode (S1–S4) + unknown-originator guard ----
+    // same rule as the batch act phase (PackageIngest.ingestDs): send_email
+    // and will_publish both raise RuntimeError on an unrecognized — or
+    // absent — originator (ingester.py:440,457); the record must fail (and,
+    // with a msg_id, redeliver) rather than silently carry a null publish
+    // decision. Guarding BEFORE the fetch skips the pointless download.
+    // NULL needs the explicit isNull arm: `!isin(...)` alone is NULL for
+    // null input and falls through the `when`.
     val decoded = Messages.decode(batch)
       .withColumn("error",
         when(col("error").isNull &&
@@ -55,100 +80,98 @@ object IngestStream {
             coalesce(col("originator"), lit("null"))))
           .otherwise(col("error")))
 
-    val identifiers = store.read("identifiers").getOrElse {
-      import spark.implicits._
-      Seq.empty[(String, String, String, Option[String])]
-        .toDF("document_uri", "id_kind", "id_value", "id_type")
-    }
+    // ---- fetch: message → archive bytes, one Hadoop-FS read per record
+    // on its executor (no driver download loop). localCheckpoint(true)
+    // pins the bytes to executor storage so the act phase's multiple
+    // passes (gather, asset byte copy) re-read blocks, not the remote
+    // object store — the distributed analogue of the reference saving to
+    // /tmp exactly once per message.
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val resolveUri = packageUri
+    val fetched = decoded.filter(col("error").isNull)
+      .select(col("msg_id"), col("consignment_ref"), col("originator"),
+        col("s3_bucket"), col("s3_key"))
+      .as[(String, String, String, String, String)]
+      .map { case (msgId, ref, orig, bucket, key) =>
+        val tarName = s"$ref.tar.gz" // local_tar_filename, messages.py:63-64
+        try {
+          val p = new org.apache.hadoop.fs.Path(resolveUri(bucket, key))
+          val fs = p.getFileSystem(conf.value)
+          val len = fs.getFileStatus(p).getLen
+          if (len > Int.MaxValue)
+            throw new java.io.IOException(s"package too large for one buffer: $len bytes")
+          val buf = new Array[Byte](len.toInt)
+          val in = fs.open(p)
+          try in.readFully(0, buf) finally in.close()
+          Fetched(msgId, ref, orig, tarName, buf, null)
+        } catch {
+          case e: Exception =>
+            Fetched(msgId, ref, orig, tarName, null,
+              s"ClientError: package fetch failed: ${e.getMessage}")
+        }
+      }
+      .localCheckpoint(true)
 
-    val requests = decoded
-      .filter(col("error").isNull)
-      .withColumn("req_uid", monotonically_increasing_id())
-      .withColumn("trimmed_uri", lit(null).cast("string")) // V2/S3 messages carry no parser URI pre-download
-      .withColumn("ncn", lit(null).cast("string"))
-      .withColumn("doc_type", lit("judgment"))
-    val resolved = Resolution.resolve(
-      requests.select("req_uid", "msg_id", "originator", "consignment_ref",
-        "trimmed_uri", "ncn", "doc_type"),
-      identifiers)
-
-    val pubDim = store.documents.select(col("uri").as("pub_uri"), col("is_published"))
-    val enriched = resolved
-      .withColumn("uri", coalesce(col("uri"),
-        concat(lit("d-"), substring(md5(concat(lit("uri:"), col("consignment_ref"))), 1, 12))))
-      .join(broadcast(pubDim), col("uri") === col("pub_uri"), "left")
-      .withColumn("published", coalesce(col("is_published"), lit(false)))
-      .drop("pub_uri", "is_published")
-      .withColumn("is_tdr", col("originator") === "TDR")
-      .withColumn("auto_publish", lit(false))
-      .withColumn("xml", concat(lit("<judgment><ref>"), col("consignment_ref"), lit("</ref></judgment>")))
-
-    // ---- act phase (O2): fixed effect order ----
-    // eager localCheckpoint, NOT cache: the lineage reads the documents
-    // parquet this very batch's first effect swaps out — an evicted cache
-    // partition would recompute against deleted files mid-effect-sequence
-    // (the same hazard PackageIngest.ingestDs pins)
-    val good = enriched.filter(col("error").isNull).localCheckpoint(true)
     try {
-      // W10 decision folded into the MERGE write (one head-table rewrite
-      // per micro-batch instead of two — see LocalStore.upsertDocuments;
-      // decisions read the pre-batch `published` state joined above)
-      store.upsertDocuments(good.select(
-        col("uri"), col("xml"), col("doc_type"),
-        IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
-        lit(null).cast("string").as("annotation_payload"), // no metadata pre-download
-        col("auto_publish").as("automated"),
-        when(col("exists_in_db"), lit("updated")).otherwise(lit("inserted")).as("upload_state"),
-        IngestQueries.willPublish(col("originator"), col("auto_publish"),
-          col("exists_in_db"), col("published")).as("will_publish")))
-
-      val action =
-        IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db"))
-      store.appendNotifications(good
-        .withColumn("action", action)
-        .filter(col("action").isNotNull && col("action") =!= "none")
-        .select(col("uri"), col("action"), col("consignment_ref").as("payload"),
-          // same schema + gate as the batch act phase
-          IngestQueries.emailDelivered(col("action"), lit(environment == "prod")).as("delivered")))
-
-      store.upsertProperties(good.filter(col("is_tdr"))
-        .select(col("uri"), lit("transfer-consignment-reference").as("name"),
-          col("consignment_ref").as("value")))
-
-      // ---- failure report (W11): SQS ids only; SNS failures vanish ----
-      val failedDecode = decoded.filter(col("error").isNotNull)
-      val failedResolve = resolved.filter(col("error").isNotNull)
-        .select(col("msg_id"), col("error"))
-      val failures = failedDecode.select(col("msg_id"), col("error"))
-        .unionByName(failedResolve)
-        .filter(col("msg_id").isNotNull)
-      // taxonomy routing stays codegen'd: IngestError.all is a 12-element
-      // static list, so `isin` beats a Scala UDF here
-      val terminalNames = IngestError.all.filter(_.terminal).map(_.name)
-      store.appendFailures(failures
-        .withColumn("terminal", col("error").isin(terminalNames: _*))
-        .select("msg_id", "error", "terminal"))
-    } finally good.unpersist()
+      // ---- gather + act (O1/O2): the REAL batch pipeline ----
+      val packages = fetched.filter(col("error").isNull).as[Fetched]
+        .map(f => RawPackage(f.consignment_ref, f.originator, f.tar_name, f.archive))
+      val outcome =
+        if (packages.isEmpty) None
+        else Some(PackageIngest.ingestDs(spark, packages, store, requestId, environment))
+      try {
+        // ---- failure report (W11): SQS ids only; SNS failures vanish ----
+        // outcome errors join back to message ids on the PRE-S4 reference
+        // (`original_ref`) — the rewrite makes consignment_ref unjoinable
+        // for S3-dialect packages
+        val msgKeys = decoded
+          .filter(col("error").isNull && col("msg_id").isNotNull)
+          .select(col("msg_id"), col("consignment_ref").as("original_ref"))
+        val outcomeFailures = outcome match {
+          case Some(o) => o.filter(col("error").isNotNull)
+            .select(col("original_ref"), col("error"))
+            .join(broadcast(msgKeys), Seq("original_ref"))
+            .select(col("msg_id"), col("error"))
+          case None => Seq.empty[(String, String)].toDF("msg_id", "error")
+        }
+        val failures = decoded.filter(col("error").isNotNull)
+          .select(col("msg_id"), col("error"))
+          .unionByName(fetched.toDF().filter(col("error").isNotNull)
+            .select(col("msg_id"), col("error")))
+          .unionByName(outcomeFailures)
+          .filter(col("msg_id").isNotNull)
+          .dropDuplicates("msg_id", "error")
+        // taxonomy routing stays codegen'd: IngestError.all is a 12-element
+        // static list, so `isin` beats a Scala UDF here
+        val terminalNames = IngestError.all.filter(_.terminal).map(_.name)
+        store.appendFailures(failures
+          .withColumn("terminal", col("error").isin(terminalNames: _*))
+          .select("msg_id", "error", "terminal"))
+      } finally outcome.foreach(_.unpersist())
+    } finally fetched.unpersist()
   }
 
   /** Wire a streaming (kind, record_json) source into the batch processor. */
   def start(events: DataFrame, store: LocalStore, checkpointDir: String,
-      environment: String = "prod"): StreamingQuery =
+      environment: String = "prod",
+      packageUri: (String, String) => String = s3aUri): StreamingQuery =
     events.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(store, environment)(b, id))
+      .foreachBatch((b: DataFrame, id: Long) =>
+        processBatch(store, environment, packageUri)(b, id))
       .start()
 
   /** Batch-mode entry over a directory of JSON event files (one record per
     * line: {"kind": "...", "record_json": "..."}). */
   def runBatch(spark: SparkSession, eventsJsonDir: String, storeDir: String,
-      environment: String = "prod"): LocalStore = {
+      environment: String = "prod",
+      packageUri: (String, String) => String = s3aUri): LocalStore = {
     val store = LocalStore(spark, storeDir)
     val events = spark.read
       .schema("kind STRING, record_json STRING")
       .json(eventsJsonDir)
-    processBatch(store, environment)(events, 0L)
+    processBatch(store, environment, packageUri)(events, 0L)
     store
   }
 }

@@ -1,23 +1,32 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
+import graft.ingest.{PackageIngest, RawPackage}
 import graft.store.LocalStore
+import graft.tar.TarOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-/** End-to-end streaming shell: MemoryStream source → foreachBatch gather/
-  * act phases → store tables, with the reference's partial-batch failure
-  * semantics (SQS ids retried/DLQ'd, SNS failures dropped —
-  * `/root/reference/tests/test_sqs_handler.py:120-205`). */
+/** End-to-end streaming shell: MemoryStream source → foreachBatch decode →
+  * Hadoop-FS package fetch → the REAL gather/act phases → store tables,
+  * with the reference's partial-batch failure semantics (SQS ids retried/
+  * DLQ'd, SNS failures dropped —
+  * `/root/reference/tests/test_sqs_handler.py:120-205`). Packages are
+  * staged as real tarballs under a local "bucket" directory and fetched
+  * by the messages' (s3Bucket, s3Key) through the `file:` resolver — the
+  * same seam a cluster points at `s3a://`. */
 class IngestStreamSpec extends SparkSpec {
   import spark.implicits._
+
+  private val goldenFixtures =
+    Paths.get("/root/reference/aws_examples/s3/te-editorial-out-int")
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
-  private def v2Inner(ref: String): String =
-    s"""{"parameters": {"reference": "$ref", "originator": "TDR",
+  private def v2Inner(ref: String, originator: String = "TDR"): String =
+    s"""{"parameters": {"reference": "$ref", "originator": "$originator",
        |"s3Bucket": "b", "s3Key": "k/$ref.tar.gz"}}""".stripMargin.replace("\n", " ")
 
   private def sqs(msgId: String, inner: String): (String, String) =
@@ -29,6 +38,38 @@ class IngestStreamSpec extends SparkSpec {
   private def sns(inner: String): (String, String) =
     ("sns", s"""{"Sns": {"Message": ${jsonStr(inner)}}}""")
 
+  /** A complete synthetic TDR package: metadata (TRE payload + PARSER cite
+    * + TDR section), judgment XML, docx, parser.log — enough to drive every
+    * act-phase effect. */
+  private def tdrArchive(ref: String, cite: String): Array[Byte] = {
+    val metadata =
+      s"""{"parameters": {"TRE": {"reference": "TRE-$ref", "payload": {
+         |  "filename": "doc.docx", "xml": "doc.xml", "metadata": "TRE-$ref-metadata.json",
+         |  "images": [], "log": "parser.log"}},
+         |  "PARSER": {"uri": null, "cite": "$cite", "parser_run_id": "run-$ref"},
+         |  "TDR": {"Source-Organization": "MoJ", "Contact-Name": "Jo Doe",
+         |    "Contact-Email": "jo@example.com", "Internal-Sender-Identifier": "$ref",
+         |    "Consignment-Completed-Datetime": "2024-01-01T00:00:00Z"}}}""".stripMargin
+    TarOps.packStrings(Seq(
+      s"$ref/TRE-$ref-metadata.json" -> metadata,
+      s"$ref/doc.xml" -> s"<akomaNtoso><judgment>body of $ref</judgment></akomaNtoso>",
+      s"$ref/doc.docx" -> s"docx bytes $ref",
+      s"$ref/parser.log" -> "ok"))
+  }
+
+  /** Stage archives under a temp bucket root at `<root>/b/k/<ref>.tar.gz`
+    * (matching [[v2Inner]]'s s3Bucket/s3Key) and return the `file:`
+    * resolver for processBatch. */
+  private def stage(archives: (String, Array[Byte])*): (String, String) => String = {
+    val root = Files.createTempDirectory("graft-bucket")
+    Files.createDirectories(root.resolve("b/k"))
+    archives.foreach { case (ref, bytes) =>
+      Files.write(root.resolve(s"b/k/$ref.tar.gz"), bytes)
+    }
+    val rootStr = root.toString
+    (bucket: String, key: String) => s"file:$rootStr/$bucket/$key"
+  }
+
   test("streaming ingest: unknown originator fails into the DLQ as redeliverable, store untouched") {
     implicit val sqlCtx = spark.sqlContext
     val store = LocalStore(spark, Files.createTempDirectory("graft-orig-stream").toString)
@@ -36,14 +77,12 @@ class IngestStreamSpec extends SparkSpec {
 
     // same reference rule as the batch act phase (ingester.py:440,457):
     // an unrecognized originator raises RuntimeError — the record fails
-    // (and, carrying an SQS id, redelivers) instead of silently ingesting
-    // with a null publish decision
-    val inner =
-      """{"parameters": {"reference": "REF-X", "originator": "MYSTERY",
-        |"s3Bucket": "b", "s3Key": "k/REF-X.tar.gz"}}""".stripMargin.replace("\n", " ")
+    // BEFORE the fetch (and, carrying an SQS id, redelivers) instead of
+    // silently ingesting with a null publish decision
     val source = MemoryStream[(String, String)]
-    source.addData(sqs("msg-bad-orig", inner))
-    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store, ckpt)
+    source.addData(sqs("msg-bad-orig", v2Inner("REF-X", originator = "MYSTERY")))
+    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store, ckpt,
+      packageUri = stage())
     q.awaitTermination()
 
     assert(store.documents.count() == 0)
@@ -54,11 +93,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(!fails.head.getAs[Boolean]("terminal")) // an unexpected crash redelivers
   }
 
-  test("streaming ingest: upsert, notifications, properties, DLQ semantics") {
+  test("streaming ingest: missing package object fails as a retryable fetch error") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = LocalStore(spark, Files.createTempDirectory("graft-404-stream").toString)
+    val ckpt = Files.createTempDirectory("graft-404-ckpt").toString
+
+    // valid message, no object staged at its s3Key → the reference's
+    // botocore ClientError (an unexpected exception → redelivery)
+    val source = MemoryStream[(String, String)]
+    source.addData(sqs("msg-404", v2Inner("REF-MISSING")))
+    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store, ckpt,
+      packageUri = stage())
+    q.awaitTermination()
+
+    assert(store.documents.count() == 0)
+    val fails = store.failures.collect()
+    assert(fails.length == 1)
+    assert(fails.head.getAs[String]("msg_id") == "msg-404")
+    assert(fails.head.getAs[String]("error").startsWith("ClientError"))
+    assert(!fails.head.getAs[Boolean]("terminal"))
+  }
+
+  test("streaming ingest: real gather — upsert, identifiers, notifications, properties, assets, DLQ") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir = Files.createTempDirectory("graft-store").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val store = LocalStore(spark, storeDir)
+    val resolver = stage("REF-A" -> tdrArchive("REF-A", "[2024] EWHC 100 (KB)"))
 
     val source = MemoryStream[(String, String)]
     val events = source.toDS().toDF("kind", "record_json")
@@ -68,14 +129,24 @@ class IngestStreamSpec extends SparkSpec {
       sqs("msg-001", v2Inner("REF-A")),
       sqs("msg-002", """{"something-unexpected": "???"}"""),
       sns("""{"something-unexpected": "???"}"""))
-    val q1 = IngestStream.start(events, store, ckpt)
+    val q1 = IngestStream.start(events, store, ckpt, packageUri = resolver)
     q1.awaitTermination()
 
+    // W1: the document came from the REAL gather — actual judgment XML out
+    // of the tarball, type classified from the XML root, full P3 payload
     val docs1 = store.documents.collect()
     assert(docs1.length == 1)
     assert(docs1.head.getAs[String]("upload_state") == "inserted")
     assert(docs1.head.getAs[Int]("version") == 1)
+    assert(docs1.head.getAs[String]("doc_type") == "judgment")
+    assert(docs1.head.getAs[String]("xml").contains("body of REF-A"))
     assert(docs1.head.getAs[String]("annotation_message") == "New document submitted by TDR user")
+    assert(docs1.head.getAs[String]("annotation_payload").contains("\"tre_raw_metadata\": {"))
+
+    // W2: the NCN identifier extracted from the metadata
+    val ids1 = store.read("identifiers").get.collect()
+    assert(ids1.exists(r => r.getAs[String]("id_kind") == "value" &&
+      r.getAs[String]("id_value") == "[2024] EWHC 100 (KB)"))
 
     // W11: only the SQS failure is reported (SNS records have no id)
     val fails = store.failures.collect()
@@ -88,19 +159,72 @@ class IngestStreamSpec extends SparkSpec {
     val notes = store.read("notifications").get.collect()
     assert(notes.map(_.getAs[String]("action")).toSeq == Seq("new"))
 
-    // W3: TDR property row
+    // W3/W4: the real TDR property keys from the metadata, not the message
     val props = store.read("properties").get.collect()
-    assert(props.exists(p => p.getAs[String]("name") == "transfer-consignment-reference"
-      && p.getAs[String]("value") == "REF-A"))
+      .map(r => r.getAs[String]("name") -> r.getAs[String]("value")).toMap
+    assert(props == Map(
+      "source-organisation" -> "MoJ",
+      "source-name" -> "Jo Doe",
+      "source-email" -> "jo@example.com",
+      "transfer-consignment-reference" -> "REF-A",
+      "transfer-received-at" -> "2024-01-01T00:00:00Z",
+      "parser-run-id" -> "run-REF-A"))
 
-    // batch 2 (new query, same checkpoint): redelivery of REF-A → MERGE update
+    // W5–W8: asset bytes PERFORMED from the fetched archive
+    val uri = docs1.head.getAs[String]("uri")
+    assert(Files.exists(Paths.get(s"${store.assetRoot}/$uri/REF-A.tar.gz")))
+    assert(Files.exists(Paths.get(s"${store.assetRoot}/$uri/parser.log")))
+
+    // batch 2 (new query, same checkpoint): redelivery of REF-A → the NCN
+    // identifier now resolves → MERGE update on the same document
     source.addData(sqs("msg-003", v2Inner("REF-A")))
-    val q2 = IngestStream.start(events, store, ckpt)
+    val q2 = IngestStream.start(events, store, ckpt, packageUri = resolver)
     q2.awaitTermination()
 
     val docs2 = store.documents.collect()
     assert(docs2.length == 1)
-    assert(docs2.head.getAs[Int]("version") == 2) // same deterministic URI → upsert
+    assert(docs2.head.getAs[Int]("version") == 2)
+    assert(docs2.head.getAs[String]("upload_state") == "updated")
+  }
+
+  test("streamed message produces byte-identical store tables to the batched package") {
+    assume(Files.exists(goldenFixtures), "reference fixtures not present")
+    implicit val sqlCtx = spark.sqlContext
+    val archive = Files.readAllBytes(goldenFixtures.resolve("TDR-2022-DNWR.tar.gz"))
+
+    // streaming arm: golden tarball staged as a bucket object, V2 message
+    // through start()
+    val streamStore = LocalStore(spark, Files.createTempDirectory("graft-eq-stream").toString)
+    val ckpt = Files.createTempDirectory("graft-eq-ckpt").toString
+    val source = MemoryStream[(String, String)]
+    source.addData(sqs("msg-eq-1", v2Inner("TDR-2022-DNWR")))
+    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), streamStore, ckpt,
+      packageUri = stage("TDR-2022-DNWR" -> archive))
+    q.awaitTermination()
+
+    // batch arm: the same package through PackageIngest.ingest
+    val batchStore = LocalStore(spark, Files.createTempDirectory("graft-eq-batch").toString)
+    PackageIngest.ingest(spark,
+      Seq(RawPackage("TDR-2022-DNWR", "TDR", "TDR-2022-DNWR.tar.gz", archive)), batchStore)
+
+    // every store table byte-matches
+    for (t <- Seq("documents", "identifiers", "properties", "notifications", "assets")) {
+      val s = streamStore.read(t).get.collect().map(_.toString).sorted.toSeq
+      val b = batchStore.read(t).get.collect().map(_.toString).sorted.toSeq
+      assert(s == b, s"table $t diverges between streaming and batch paths")
+    }
+    // ...and so do the performed asset bytes (the `<uri>/<dest>` files;
+    // the root-level files are the assets TABLE's parquet parts, whose
+    // names are write-unique)
+    def assetFiles(root: String): Map[String, Seq[Byte]] = {
+      val base = Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString -> Files.readAllBytes(p).toSeq)
+        .filter(_._1.contains("/"))
+        .toMap
+    }
+    assert(assetFiles(streamStore.assetRoot) == assetFiles(batchStore.assetRoot))
   }
 
   test("crash recovery: uncommitted batch is redelivered, effects converge, committed batches are not replayed") {
@@ -108,6 +232,10 @@ class IngestStreamSpec extends SparkSpec {
     val storeDir = Files.createTempDirectory("graft-crash-store").toString
     val ckpt = Files.createTempDirectory("graft-crash-ckpt").toString
     val store = LocalStore(spark, storeDir)
+    val resolver = stage(
+      "REF-X" -> tdrArchive("REF-X", "[2024] EWHC 1 (KB)"),
+      "REF-Y" -> tdrArchive("REF-Y", "[2024] EWHC 2 (KB)"),
+      "REF-Z" -> tdrArchive("REF-Z", "[2024] EWHC 3 (KB)"))
 
     val source = MemoryStream[(String, String)]
     val events = source.toDS().toDF("kind", "record_json")
@@ -120,7 +248,7 @@ class IngestStreamSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        IngestStream.processBatch(store)(b, id)
+        IngestStream.processBatch(store, packageUri = resolver)(b, id)
         throw new RuntimeException("injected crash after effects, before commit")
       }
       .start()
@@ -130,31 +258,39 @@ class IngestStreamSpec extends SparkSpec {
     assert(store.documents.count() == 2) // effects DID run before the crash
 
     // RESTART on the same checkpoint: the uncommitted batch is redelivered
-    // (at-least-once), and every keyed effect converges — the MERGE bumps
-    // versions exactly like an SQS redelivery re-running perform_ingest
-    // (same semantics the re-ingest golden test pins), identifiers dedup
-    val q2 = IngestStream.start(events, store, ckpt)
+    // (at-least-once), and every keyed effect converges — the NCN
+    // identifiers written before the crash resolve the replay to the SAME
+    // documents (exists_in_db=true), the MERGE bumps versions exactly like
+    // an SQS redelivery re-running perform_ingest, identifiers dedup
+    val q2 = IngestStream.start(events, store, ckpt, packageUri = resolver)
     q2.awaitTermination()
     val docs = store.documents.collect()
     assert(docs.length == 2)
     assert(docs.forall(_.getAs[Int]("version") == 2)) // one crash replay, not N
-    // properties upsert on (uri, name) → converges to one row per doc
+    assert(docs.forall(_.getAs[String]("upload_state") == "updated"))
+    // properties upsert on (uri, name) → converges to 6 rows per doc
     val props = store.read("properties").get.collect()
-    assert(props.length == 2)
+    assert(props.length == 12)
+    assert(props.map(r => (r.getAs[String]("uri"), r.getAs[String]("name"))).distinct.length == 12)
+    // identifiers dedup on redelivery: one NCN + one slug row per doc
+    val ids = store.read("identifiers").get.collect()
+    assert(ids.count(_.getAs[String]("id_kind") == "value") == 2)
     // append-only notifications dup on redelivery — the reference resends
-    // the email on SQS redelivery too; the keyed tables are what converge
+    // the email on SQS redelivery too (as 'updated': the document now
+    // exists); the keyed tables are what converge
     val notes = store.read("notifications").get.collect()
     assert(notes.length == 4)
-    assert(notes.map(r => (r.getAs[String]("uri"), r.getAs[String]("action"))).distinct.length == 2)
+    assert(notes.map(_.getAs[String]("action")).sorted.toSeq ==
+      Seq("new", "new", "updated", "updated"))
 
     // a THIRD restart with new data must NOT replay the committed batch
     source.addData(sqs("msg-103", v2Inner("REF-Z")))
-    val q3 = IngestStream.start(events, store, ckpt)
+    val q3 = IngestStream.start(events, store, ckpt, packageUri = resolver)
     q3.awaitTermination()
-    val byRef = store.documents.collect()
+    val byXml = store.documents.collect()
       .map(r => r.getAs[String]("xml") -> r.getAs[Int]("version")).toMap
-    assert(byRef.size == 3)
-    assert(byRef.count(_._2 == 2) == 2) // X/Y untouched by the third run
-    assert(byRef.count(_._2 == 1) == 1) // Z processed exactly once
+    assert(byXml.size == 3)
+    assert(byXml.count(_._2 == 2) == 2) // X/Y untouched by the third run
+    assert(byXml.count(_._2 == 1) == 1) // Z processed exactly once
   }
 }
