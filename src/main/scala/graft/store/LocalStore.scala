@@ -1,6 +1,6 @@
 package graft.store
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,82 +25,200 @@ import org.apache.spark.sql.functions._
   *   - `failures`    (msg_id, error, terminal) — the partial-batch /
   *                    DLQ table (W11).
   *
-  * MERGE here is read-join-overwrite on the small head table: the engine's
-  * request batches join against store state ONCE per micro-batch (the
-  * reference does one MarkLogic round-trip per record). On a cluster this
-  * becomes a Delta/Iceberg MERGE INTO; the logical plan — updates
-  * left-join current head — is identical.
+  * The MERGE tables (`documents`, `properties`) are HASH-BUCKETED on
+  * `uri` into `bucket=NN` sub-dirs: an upsert reads and rewrites only the
+  * buckets its batch touches — O(batch · table/buckets), not O(table) —
+  * with the staged-rename crash swap applied PER BUCKET. The reference's
+  * MarkLogic writes are O(batch) (`ingester.py:225-261`); this is the
+  * local-parquet analogue of a Delta/Iceberg MERGE INTO, which is what
+  * the table becomes on a cluster. Cross-bucket atomicity is NOT
+  * provided (a crash mid-batch can land some buckets and not others) —
+  * the same already-accepted exposure as a crash between any two of the
+  * reference's non-transactional effects; redelivery replays the batch
+  * and every keyed effect converges. A pre-bucketing (flat) table
+  * migrates to the bucketed layout on its first upsert.
   */
-final case class LocalStore(spark: SparkSession, base: String) {
+final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64) {
 
   Files.createDirectories(Paths.get(base))
 
   private def path(t: String) = s"$base/$t"
   private def exists(t: String) = { recover(t); Files.exists(Paths.get(path(t))) }
 
+  /** Reads drop the physical `bucket` partition column — bucketing is a
+    * storage layout, not table schema. A pre-heal `notifications` read
+    * goes through mergeSchema so the `delivered` column survives mixed
+    * legacy files even before the first append runs the migration. */
   def read(t: String): Option[DataFrame] =
-    if (exists(t)) Some(spark.read.parquet(path(t))) else None
+    if (!exists(t)) None
+    else {
+      val df =
+        if (t == "notifications" && !Files.exists(notifMarkerPath))
+          healedNotifications()
+        else spark.read.parquet(path(t))
+      Some(if (df.columns.contains("bucket")) df.drop("bucket") else df)
+    }
 
   private def delete(p: java.nio.file.Path): Unit =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(p.toString), true)
 
-  /** Roll back a swap that crashed between its two renames: the live dir
-    * is gone but `.old_t` still holds the pre-swap state — restore it (the
-    * staged `.next_t`, never having been committed, is discarded by the
-    * next write's Overwrite). Called before every read/write so a crashed
-    * store heals on first touch. */
+  /** Roll back swaps that crashed between their two renames — whole-table
+    * (`.old_t` present, live dir gone) and per-bucket (`.old_t_bNN`
+    * present, live `bucket=NN` gone): restore the surviving pre-swap
+    * state. Called before every read/write so a crashed store heals on
+    * first touch. */
   private def recover(t: String): Unit = {
     val old = Paths.get(s"$base/.old_$t")
     if (!Files.exists(Paths.get(path(t))) && Files.exists(old))
-      Files.move(old, Paths.get(path(t)), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(old, Paths.get(path(t)), StandardCopyOption.ATOMIC_MOVE)
+    val prefix = s".old_${t}_b"
+    val leftovers = {
+      val s = Files.list(Paths.get(base))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+      } finally s.close()
+    }
+    leftovers.foreach { oldB =>
+      val b = oldB.getFileName.toString.stripPrefix(prefix)
+      val liveB = Paths.get(path(t)).resolve(s"bucket=$b")
+      if (!Files.exists(liveB)) {
+        Files.createDirectories(liveB.getParent)
+        Files.move(oldB, liveB, StandardCopyOption.ATOMIC_MOVE)
+      } else delete(oldB) // crash AFTER commit, before cleanup — safe to drop
+    }
   }
 
-  private def write(t: String, df: DataFrame): Unit = {
-    // stage the new state in a sibling dir (the MERGE lineage reads the
-    // live table, so the write cannot target it), then swap via renames:
-    // a crash at ANY point leaves either the live state or `.old_t`
-    // intact, and [[recover]] restores the latter on the next touch — a
-    // direct Overwrite of the live path would destroy the previous state
-    // the moment it starts. On a cluster store this swap is the
-    // transaction-log commit Delta/Iceberg provide natively.
+  /** Whole-table staged swap (append-table heals, legacy migration): stage
+    * the new state in a sibling dir, then swap via renames — a crash at
+    * ANY point leaves either the live state or `.old_t` intact, and
+    * [[recover]] restores the latter on the next touch. */
+  private def writeStaged(t: String)(stage: String => Unit): Unit = {
     recover(t)
     val next = Paths.get(s"$base/.next_$t")
     val old = Paths.get(s"$base/.old_$t")
     val live = Paths.get(path(t))
-    df.write.mode(SaveMode.Overwrite).parquet(next.toString)
+    stage(next.toString)
     // a crash AFTER a completed swap but before its cleanup leaves a
     // committed-over leftover .old_t next to a live dir — safe to drop
     if (Files.exists(old)) delete(old)
     if (Files.exists(live))
-      Files.move(live, old, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    Files.move(next, live, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(next, live, StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(old)) delete(old) // commit: drop the pre-swap state
   }
+
+  private def write(t: String, df: DataFrame): Unit =
+    writeStaged(t)(p => df.write.mode(SaveMode.Overwrite).parquet(p))
 
   private def append(t: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(path(t))
 
-  /** W1/J4: MERGE the batch into `documents` on uri. New URIs insert at
-    * version 1; existing ones take the new XML/annotation and bump the
-    * version counter. */
+  // ---------------------------------------------------------- bucketing
+
+  /** The bucket count is fixed at table creation (a later change would
+    * re-key every row) — persisted in a marker so reopening the store
+    * with a different `buckets` value keeps the on-disk assignment. */
+  private def bucketCountFor(t: String): Int = {
+    val m = Paths.get(s"$base/.nbuckets_$t")
+    if (Files.exists(m)) Files.readString(m).trim.toInt
+    else { Files.writeString(m, buckets.toString); buckets }
+  }
+
+  /** crc32, not Spark's murmur3 `hash()`: a spec'd, version-independent
+    * function — the on-disk assignment must outlive Spark upgrades. */
+  private def bucketOf(key: Column, n: Int): Column = pmod(crc32(key), lit(n))
+
+  private def hasBucketDirs(t: String): Boolean = {
+    val live = Paths.get(path(t))
+    if (!Files.exists(live)) false
+    else {
+      val s = Files.list(live)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.startsWith("bucket="))
+      } finally s.close()
+    }
+  }
+
+  /** Bucketed MERGE: compute the buckets `batch` touches (a bounded
+    * driver-side collect of at most `buckets` longs), read ONLY those
+    * bucket dirs as the current state, apply `merge`, and stage+swap only
+    * those buckets. Untouched buckets are never read or written. */
+  private def mergeBuckets(t: String, batch: DataFrame, keyCol: String)(
+      merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    recover(t)
+    val n = bucketCountFor(t)
+    val touched = batch.select(bucketOf(col(keyCol), n).as("_b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    if (Files.exists(Paths.get(path(t))) && !hasBucketDirs(t))
+      migrateToBuckets(t, keyCol, n)
+
+    val live = Paths.get(path(t))
+    val curDirs = touched.map(b => live.resolve(s"bucket=$b"))
+      .filter(Files.exists(_)).map(_.toString)
+    val cur: Option[DataFrame] =
+      if (curDirs.isEmpty) None else Some(spark.read.parquet(curDirs.toIndexedSeq: _*))
+    val merged = merge(cur, batch)
+
+    val next = Paths.get(s"$base/.next_$t")
+    if (Files.exists(next)) delete(next)
+    merged.withColumn("bucket", bucketOf(col(keyCol), n))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(next.toString)
+    Files.createDirectories(live)
+    for (b <- touched) {
+      val nextB = next.resolve(s"bucket=$b")
+      if (Files.exists(nextB)) { // merge can drop a bucket (no surviving rows)
+        val liveB = live.resolve(s"bucket=$b")
+        val oldB = Paths.get(s"$base/.old_${t}_b$b")
+        if (Files.exists(oldB)) delete(oldB)
+        if (Files.exists(liveB))
+          Files.move(liveB, oldB, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(nextB, liveB, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(oldB)) delete(oldB)
+      }
+    }
+    delete(next)
+  }
+
+  /** One-time migration of a flat (pre-bucketing) table into `bucket=NN`
+    * sub-dirs, through the whole-table staged swap — O(table) ONCE, then
+    * every later upsert is O(touched buckets). */
+  private def migrateToBuckets(t: String, keyCol: String, n: Int): Unit = {
+    val cur = spark.read.parquet(path(t))
+    writeStaged(t) { p =>
+      cur.withColumn("bucket", bucketOf(col(keyCol), n))
+        .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(p)
+    }
+  }
+
+  // ------------------------------------------------------------- tables
+
   /** One row per uri — winner = greatest xml, deterministic. SHARED by
     * the document MERGE and the publish effect so a duplicate-URI batch's
-    * stored document and publish flag always come from the same package. */
+    * stored document and publish flag always come from the same package.
+    * (Duplicate DELIVERIES of one package are already collapsed upstream
+    * by ingestDs's digest winner; this handles distinct packages that
+    * resolve to the same uri within a batch.) */
   private def winnerPerUri(df: DataFrame): DataFrame =
     df.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("uri")).orderBy(col("xml").desc)))
       .filter(col("rn") === 1).drop("rn")
 
-  /** When `updates` carries an optional nullable `will_publish` column,
-    * the W10 publish/unpublish decision is FOLDED into the same head-table
-    * rewrite (one write per batch instead of MERGE + [[setPublished]] —
-    * at scale, half the store-rewrite volume). For any COMPLETED batch the
-    * fold realizes the same post-batch state as the reference's
-    * publish-LAST effect order, because every decision derives from
-    * PRE-batch store state (the act phase joins `published` before any
-    * effect runs); a null decision leaves the flag untouched, exactly like
-    * [[setPublished]].
+  /** W1/J4: MERGE the batch into `documents` on uri. New URIs insert at
+    * version 1; existing ones take the new XML/annotation and bump the
+    * version counter.
+    *
+    * When `updates` carries an optional nullable `will_publish` column,
+    * the W10 publish/unpublish decision is FOLDED into the same bucket
+    * rewrite (one write per batch instead of MERGE + [[setPublished]]).
+    * For any COMPLETED batch the fold realizes the same post-batch state
+    * as the reference's publish-LAST effect order, because every decision
+    * derives from PRE-batch store state (the act phase joins `published`
+    * before any effect runs); a null decision leaves the flag untouched,
+    * exactly like [[setPublished]].
     *
     * Crash-window trade (deliberate): a crash MID-batch can briefly expose
     * a published document whose identifier/asset/notification effects
@@ -121,25 +239,26 @@ final case class LocalStore(spark: SparkSession, base: String) {
     def pub(existing: Column): Column =
       if (hasDecision) coalesce(col("will_publish"), existing)
       else existing
-    val merged = read("documents") match {
-      case None => u.withColumn("version", lit(1))
-        .withColumn("is_published", pub(lit(false)))
-        .drop("will_publish")
-      case Some(cur) =>
-        // updating the XML alone does not change publish state — the flag
-        // moves only through a `will_publish` decision (folded here) or
-        // the standalone W10 effect ([[setPublished]])
-        val updated = u.as("u")
-          .join(cur.select(col("uri"), col("version"), col("is_published")).as("c"),
-            Seq("uri"), "left")
-          .select(col("uri"), col("xml"), col("doc_type"), col("annotation_message"),
-            col("annotation_payload"), col("automated"), col("upload_state"),
-            (coalesce(col("version"), lit(0)) + 1).as("version"),
-            pub(coalesce(col("is_published"), lit(false))).as("is_published"))
-        val untouched = cur.join(u.select("uri"), Seq("uri"), "left_anti")
-        untouched.unionByName(updated)
+    mergeBuckets("documents", u, "uri") { (cur, uu) =>
+      cur match {
+        case None => uu.withColumn("version", lit(1))
+          .withColumn("is_published", pub(lit(false)))
+          .drop("will_publish")
+        case Some(c) =>
+          // updating the XML alone does not change publish state — the flag
+          // moves only through a `will_publish` decision (folded here) or
+          // the standalone W10 effect ([[setPublished]])
+          val updated = uu.as("u")
+            .join(c.select(col("uri"), col("version"), col("is_published")).as("c"),
+              Seq("uri"), "left")
+            .select(col("uri"), col("xml"), col("doc_type"), col("annotation_message"),
+              col("annotation_payload"), col("automated"), col("upload_state"),
+              (coalesce(col("version"), lit(0)) + 1).as("version"),
+              pub(coalesce(col("is_published"), lit(false))).as("is_published"))
+          val untouched = c.join(uu.select("uri"), Seq("uri"), "left_anti")
+          untouched.unionByName(updated)
+      }
     }
-    write("documents", merged)
   }
 
   /** W10 effect: the act phase's closing publish/unpublish
@@ -150,13 +269,15 @@ final case class LocalStore(spark: SparkSession, base: String) {
     * the flag untouched. Duplicate-URI batches pick the SAME
     * deterministic winner as [[upsertDocuments]] (xml desc) so the stored
     * document and its publish flag always come from one package. */
-  def setPublished(decisions: DataFrame): Unit = read("documents").foreach { cur =>
+  def setPublished(decisions: DataFrame): Unit = if (exists("documents")) {
     val d = winnerPerUri(decisions.select(col("uri"), col("will_publish"), col("xml")))
       .select("uri", "will_publish")
-    val merged = cur.join(d, Seq("uri"), "left")
-      .withColumn("is_published", coalesce(col("will_publish"), col("is_published")))
-      .drop("will_publish")
-    write("documents", merged)
+    mergeBuckets("documents", d, "uri") { (cur, dd) =>
+      val c = cur.getOrElse(emptyDocs)
+      c.join(dd, Seq("uri"), "left")
+        .withColumn("is_published", coalesce(col("will_publish"), col("is_published")))
+        .drop("will_publish")
+    }
   }
 
   /** W2: add identifier rows (document_uri, id_kind, id_value, id_type).
@@ -172,14 +293,16 @@ final case class LocalStore(spark: SparkSession, base: String) {
   }
 
   /** W3/W4: upsert properties on (uri, name) — reference `set_property`
-    * overwrites. */
+    * overwrites. Bucketed on uri (co-located with the document's other
+    * properties), so a batch rewrites only touched buckets. */
   def upsertProperties(rows: DataFrame): Unit = {
     val u = rows.select("uri", "name", "value").dropDuplicates("uri", "name")
-    val merged = read("properties") match {
-      case None => u
-      case Some(cur) => cur.join(u, Seq("uri", "name"), "left_anti").unionByName(u)
+    mergeBuckets("properties", u, "uri") { (cur, uu) =>
+      cur match {
+        case None => uu
+        case Some(c) => c.join(uu, Seq("uri", "name"), "left_anti").unionByName(uu)
+      }
     }
-    write("properties", merged)
   }
 
   /** Root directory for performed asset-copy BYTES (W5–W8): each asset
@@ -210,20 +333,23 @@ final case class LocalStore(spark: SparkSession, base: String) {
     * is a stat, not a scan per batch), mergeSchema-read, default
     * `delivered=false` for legacy rows, and rewrite through the staged
     * swap. Crash between rewrite and marker re-runs the (idempotent)
-    * migration. */
+    * migration. Pre-heal READS go through the same mergeSchema projection
+    * (see [[read]]) so a legacy store is never mis-read, healed or not. */
   private val notifSchemaMarker = "._delivered_v2"
+  private def notifMarkerPath = Paths.get(s"${path("notifications")}/$notifSchemaMarker")
+  private def healedNotifications(): DataFrame = {
+    val cur = spark.read.option("mergeSchema", "true").parquet(path("notifications"))
+    val withDelivered =
+      if (cur.columns.contains("delivered"))
+        cur.withColumn("delivered", coalesce(col("delivered"), lit(false)))
+      else cur.withColumn("delivered", lit(false))
+    withDelivered.select("uri", "action", "payload", "delivered")
+  }
   def appendNotifications(rows: DataFrame): Unit = {
-    val marker = Paths.get(s"${path("notifications")}/$notifSchemaMarker")
-    if (exists("notifications") && !Files.exists(marker)) {
-      val cur = spark.read.option("mergeSchema", "true").parquet(path("notifications"))
-      val healed =
-        if (cur.columns.contains("delivered"))
-          cur.withColumn("delivered", coalesce(col("delivered"), lit(false)))
-        else cur.withColumn("delivered", lit(false))
-      write("notifications", healed.select("uri", "action", "payload", "delivered"))
-    }
+    if (exists("notifications") && !Files.exists(notifMarkerPath))
+      write("notifications", healedNotifications())
     append("notifications", rows.select("uri", "action", "payload", "delivered"))
-    if (!Files.exists(marker)) Files.createFile(marker)
+    if (!Files.exists(notifMarkerPath)) Files.createFile(notifMarkerPath)
   }
 
   /** W11: append per-message failures (the DLQ table). */
