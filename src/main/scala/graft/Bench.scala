@@ -14,10 +14,19 @@ import org.apache.spark.sql.SparkSession
   * (`SPARK_GRAFT_BENCH_REPS`, default 4). The FIRST run pays whole-stage
   * codegen + janino compilation + plan-cache misses and is reported
   * separately (`"first"`); the headline per-query number (`"queries"`) is
-  * the MEDIAN of the remaining warm runs, with `"spread"` = (max−min) of
-  * those warm runs. A single-shot timing cannot distinguish a ±45%
-  * machine-variance blip from a real regression — the r4 q21/q22 scare —
-  * so every number the 2× gate rides on is now a median.
+  * the MEDIAN of the remaining warm runs. A single-shot timing cannot
+  * distinguish a ±45% machine-variance blip from a real regression — the
+  * r4 q21/q22 scare — so every number the 2× gate rides on is a median.
+  *
+  * Contention-proofing (round 7): a contended capture (the r6 driver run
+  * showed q31 at 1.44 s where a quiet run gives 0.31 s) isn't fixed by a
+  * median over 3 warm reps — so while a query's warm runs stay unstable
+  * (trimmed spread > 50% of the median) it RE-RUNS, up to
+  * `SPARK_GRAFT_BENCH_MAX_REPS` (default 12) warm reps. `"spread"` is the
+  * (max−min) of the INTERQUARTILE runs (outer quarter dropped from each
+  * end once ≥4 reps exist) — a raw max−min can never shrink by adding
+  * reps, so it would re-run forever on one early blip; `"warm_reps"`
+  * records how many runs each number rests on.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -44,7 +53,17 @@ object Bench {
       .foreach(df => df.write.mode("overwrite").format("noop").save())
     val errors = scala.collection.mutable.ListBuffer.empty[String]
 
-    final case class QStat(first: Double, warmMedian: Double, spread: Double)
+    val maxReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "12").toInt)
+
+    final case class QStat(first: Double, warmMedian: Double, spread: Double, warmReps: Int)
+    /** the interquartile runs: drop the outer quarter from each end once
+      * ≥4 reps exist (a raw max−min can never shrink by re-running) */
+    def iqSpread(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val t = if (s.length >= 4) s.slice(s.length / 4, s.length - s.length / 4) else s
+      t.max - t.min
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -60,17 +79,26 @@ object Bench {
       val stat =
         try {
           val first = once()
-          val warm = (1 until reps).flatMap { _ =>
-            try Some(once())
-            catch { case e: Throwable => recordErr(e); None }
+          val warm = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var attempts = 1 // the first run
+          def tryOnce(): Unit = {
+            attempts += 1
+            try warm += once()
+            catch { case e: Throwable => recordErr(e); () }
           }
+          (1 until reps).foreach(_ => tryOnce())
+          // contention re-runs: unstable numbers are re-measured until the
+          // interquartile runs agree to within half the median (or the cap)
+          while (warm.nonEmpty && attempts < maxReps &&
+              iqSpread(warm.toSeq) > 0.5 * median(warm.toSeq))
+            tryOnce()
           // all warm reps failed: keep the first-run evidence but report NO
           // warm median (-1 sentinel) — passing the cold time off as a warm
           // median with spread 0 would fake both the number and its stability
-          if (warm.isEmpty) QStat(first, -1.0, -1.0)
-          else QStat(first, median(warm), warm.max - warm.min)
+          if (warm.isEmpty) QStat(first, -1.0, -1.0, 0)
+          else QStat(first, median(warm.toSeq), iqSpread(warm.toSeq), warm.length)
         } catch {
-          case e: Throwable => recordErr(e); QStat(-1.0, -1.0, -1.0)
+          case e: Throwable => recordErr(e); QStat(-1.0, -1.0, -1.0, 0)
         }
       name -> stat
     }
@@ -83,6 +111,7 @@ object Bench {
     val json =
       s"""{"metric":"total_warm_median","value":${tot(_.warmMedian)},"unit":"sec",""" +
         s""""queries":${obj(_.warmMedian)},"first":${obj(_.first)},"spread":${obj(_.spread)},""" +
+        s""""warm_reps":${obj(_.warmReps.toDouble)},""" +
         s""""first_total":${tot(_.first)},"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // the driver's artifact capture keeps only a stdout TAIL — with 64

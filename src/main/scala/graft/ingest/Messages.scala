@@ -198,23 +198,25 @@ object Messages {
     * ([[graft.model.IngestError]]) as a column — terminal errors go to
     * the DLQ once, retryables are eligible for redelivery. */
   def q42FailureReport(spark: SparkSession, dir: String): DataFrame = {
-    // the UNSORTED decode: q29's presentation orderBy would otherwise sit
-    // below the barrier filter, where the non-deterministic Project blocks
-    // EliminateSorts from dropping it — a full pre-filter sort for nothing
+    // STRUCTURAL decode barrier: the eager localCheckpoint cuts the
+    // lineage, so predicate pushdown CANNOT substitute the double-JSON
+    // decode chain into the filter condition (re-evaluating it per row on
+    // top of the projection's copy — measured ~9x slower). Earlier rounds
+    // pinned this with a non-deterministic conjunct ordered first in the
+    // filter — correct but riding on optimizer minutiae (a merely-
+    // projected barrier had already been silently column-pruned once);
+    // the checkpoint makes pushdown impossible by construction, the same
+    // pattern as the dedup shingle kernel. The projection is pruned to
+    // the three surviving columns BEFORE materializing, and uses the
+    // UNSORTED decode (q29's presentation orderBy would be a full
+    // pre-filter sort for nothing); checkpoint blocks are freed by the
+    // ContextCleaner once the result is dropped.
     val decoded = decodedEvents(spark, dir)
+      .select("doc_id", "msg_id", "error")
+      .localCheckpoint(true)
     val terminalNames = graft.model.IngestError.all.filter(_.terminal).map(_.name)
     decoded
-      // barrier: predicate pushdown would substitute the full double-JSON
-      // decode chain into the filter condition (re-evaluating it per row on
-      // top of the projection's copy — measured ~9x slower). The
-      // non-deterministic column must be REFERENCED by the filter's FIRST
-      // conjunct: a merely-projected barrier gets column-pruned (the
-      // Project turns deterministic again and pushdown fires — the silent
-      // regression PlanAuditSpec's q42 pin caught), and Spark pushes the
-      // deterministic conjuncts that precede the first non-deterministic
-      // one, so the barrier conjunct must come first to hold them all.
-      .withColumn("_barrier", monotonically_increasing_id())
-      .filter(col("_barrier") >= 0 && col("error").isNotNull && col("msg_id").isNotNull)
+      .filter(col("error").isNotNull && col("msg_id").isNotNull)
       .select(col("doc_id"), col("msg_id"), col("error"),
         col("error").isin(terminalNames: _*).as("terminal"))
       .orderBy(col("doc_id"))

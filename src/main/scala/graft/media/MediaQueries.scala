@@ -66,6 +66,7 @@ object MediaQueries {
     def decodeImage(media: Array[Byte]): Option[(Int, Int)] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(media))
+      if (iis == null) return None // no stream SPI accepts the input
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None

@@ -34,9 +34,11 @@ object SketchQueries {
       .orderBy(col("lang"))
   }
 
-  /** The shared hex60(normText(text)) spelling, DuckDB side. */
+  /** The shared hex60(normText(text)) spelling, DuckDB side — built from
+    * [[graft.text.TextOps.WsSql]] so the whitespace class can never
+    * silently diverge from the Spark-side normText. */
   private val hSql =
-    "('0x' || substr(md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))), 1, 15))::BIGINT"
+    s"('0x' || substr(md5(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g')))), 1, 15))::BIGINT"
 
   val q57Sql: String =
     s"""SELECT lang,

@@ -579,7 +579,12 @@ object RelationalQueries {
       .select(col("event_id"), col("ts").as("p_ts"), col("user_id"))
       .withColumn("bin", floor(unix_timestamp(col("p_ts")) / BinSeconds))
 
-    wBinned.join(pBinned, Seq("bin"))
+    // the windows side (high-value error events only) is a tiny fraction
+    // of the event stream — broadcasting it makes the probe pass NARROW:
+    // the full event set never shuffles on the bin key at all. At 100 TB
+    // the hint holds as long as incident windows stay dimension-sized;
+    // a corpus where they don't would drop the hint and shuffle on `bin`.
+    broadcast(wBinned).join(pBinned, Seq("bin"))
       .filter(col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),

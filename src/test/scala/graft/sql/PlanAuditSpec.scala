@@ -34,10 +34,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
   }
 
-  test("q51 range join plans as a hash equi-join on the time bin — never a nested-loop") {
+  test("q51 range join plans as a BROADCAST hash equi-join on the time bin — never a nested-loop") {
     val plan = physical("q51_range_join")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested loop\n$plan")
+    // the small incident-window side broadcasts, so the full event set
+    // never shuffles on the bin key — losing this hint re-shuffles the
+    // probe side (the round-6 bench's 2nd most expensive query)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the binned windows side to broadcast\n$plan")
   }
 
   test("q48 identifier fold plans broadcast for the warn dimension (no extra shuffle on the probe side)") {
@@ -64,14 +69,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q42 keeps its decode barrier: the failure filter is not rewritten through the double-JSON project") {
-    // Messages.q42FailureReport pins its filter ABOVE the decode Project
-    // with a nondeterministic barrier column (measured ~9x: pushdown would
-    // substitute the whole double-from_json chain into the filter
-    // condition and re-evaluate it per row on top of the projection's
-    // copy). That is optimizer-behavior reliance — if a Spark upgrade
-    // re-enables the pushdown, the filter condition regrows from_json and
-    // this fails loudly instead of silently regressing.
+  test("q42 keeps its decode barrier: the failure filter reads the checkpointed decode, not the JSON chain") {
+    // Messages.q42FailureReport materializes the decode behind an eager
+    // localCheckpoint (measured ~9x: pushdown would substitute the whole
+    // double-from_json chain into the filter condition and re-evaluate it
+    // per row on top of the projection's copy). The checkpoint makes that
+    // rewrite impossible by construction — the optimized plan must show
+    // the filter over a lineage-cut scan with NO from_json anywhere above
+    // or inside it.
     val opt = graft.SparkEntry.queries("q42_failure_report")(spark, Sf0001)
       .queryExecution.optimizedPlan
     val filters = opt.collect {
@@ -80,8 +85,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(filters.nonEmpty, s"expected a Filter in q42's optimized plan\n$opt")
     filters.foreach { f =>
       assert(!f.condition.toString.contains("from_json"),
-        s"q42's filter was pushed through the decode Project — the barrier stopped working:\n${f.condition}")
+        s"q42's filter regrew the decode chain — the barrier stopped working:\n${f.condition}")
     }
+    // the whole post-barrier plan is decode-free: the from_json work ran
+    // exactly once, inside the checkpoint
+    assert(!opt.toString.contains("from_json"),
+      s"q42's optimized plan still contains the decode chain above the checkpoint\n$opt")
   }
 
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
