@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.sql.RelationalQueries.queries ++
       graft.text.TextQueries.queries ++
+      graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.sim.SimilarityQueries.queries ++
       graft.tar.PackageQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.sql.RelationalQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
+      graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.sim.SimilarityQueries.oracleSql ++
       graft.tar.PackageQueries.oracleSql ++

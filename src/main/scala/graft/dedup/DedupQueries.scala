@@ -462,6 +462,150 @@ object DedupQueries {
        |  1.0 - CAST(n_distinct AS DOUBLE) / nullif(n_positions, 0) AS repetition_ratio
        |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Connected components over an undirected edge list by min-label
+    * propagation with pointer jumping (path halving). Each iteration:
+    * label(v) ← min(label(v), min over neighbours' labels), then one
+    * pointer-jump label(v) ← label(label(v)) — the jump collapses label
+    * chains so convergence is O(log n) rounds on chains and stars, not
+    * O(diameter). Every round is two hash-partitioned equi-joins + one
+    * aggregate on the edge key; nothing is ever collected to the driver
+    * and the per-round `localCheckpoint` cuts lineage so round k's plan
+    * does not replay rounds 1..k-1 (the standard large-graph CC shape —
+    * near-dup graphs are shallow, so rounds stay in low single digits). */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("ida").as("src"), col("idb").as("dst"))
+      .unionByName(edges.select(col("idb").as("src"), col("ida").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+      val prop = labels
+        .join(nbrMin.select(col("src").as("node"), col("nbr_min")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val jumped = prop
+        .join(prop.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val nChanged = jumped
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = jumped
+      done = nChanged == 0
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS — the step after pair generation that a dedup
+    * pipeline actually needs (q21 emits pairs; keeping one doc per
+    * connected component is what shrinks the corpus): connected components
+    * over the MinHash-LSH pair graph, labels = min doc_id reachable.
+    * The pair set is materialized once ([[connectedComponents]] iterates
+    * over it; without the checkpoint every CC round would re-run the whole
+    * LSH cascade). Oracle: recursive-CTE reachability over the exact
+    * Jaccard pair graph. */
+  def q65DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q21MinHashLsh(spark, dir)
+      .select(col("ida"), col("idb"))
+      .localCheckpoint(true)
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shinglesSqlCteBody = shinglesSqlCte.stripPrefix("WITH ")
+
+  val q65Sql: String =
+    s"""WITH RECURSIVE $shinglesSqlCteBody,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT ida, idb
+       |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+       |sym AS (SELECT ida AS src, idb AS dst FROM pr
+       |        UNION ALL SELECT idb, ida FROM pr),
+       |walk AS (SELECT src, dst FROM sym
+       |         UNION
+       |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |        FROM walk GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Substring-level dedup (Lee et al. style, token-window granularity):
+    * hash every non-overlapping [[ChunkW]]-token window, count how many of
+    * a document's windows also occur in ANOTHER document, report the
+    * duplicated-window fraction. This is the signal paragraph/boilerplate
+    * scrubbing gates on where q19 (whole-doc) and q20/q21 (whole-doc
+    * near-dup) are too coarse.
+    *
+    * Scale shape: the chunk kernel is narrow (one pass, windows hashed to
+    * 16-byte digests); the only shuffles carry (digest, doc_id) pairs —
+    * never text — for the document-frequency groupBy and the count join
+    * back, both on the same digest key. */
+  private val ChunkW = 10
+
+  def q69SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val nCh = floor(size(toks).cast(DoubleType) / lit(ChunkW)).cast("int")
+    val segs = when(nCh > 0,
+        transform(sequence(lit(0), nCh - 1),
+          i => md5(concat_ws(" ", slice(toks, i * ChunkW + 1, lit(ChunkW))))))
+      .otherwise(array().cast("array<string>"))
+    // referenced twice (df count + join back) — materialize the digests,
+    // not the text, so the token kernel runs once
+    val ch = d.select(col("doc_id"), segs.as("hs")).localCheckpoint(true)
+    val ex = ch.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dc = ex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = ex.join(dc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_chunks"))
+    ch.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("n_dup_chunks"), lit(0L)).cast(DoubleType) /
+          nullif(coalesce(col("n_chunks"), lit(0L)), lit(0L))).as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |ch AS (SELECT doc_id,
+       |  CASE WHEN len(t) // $ChunkW > 0 THEN
+       |    [md5(array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' '))
+       |     for i in range(0, len(t) // $ChunkW)]
+       |  ELSE [] END AS hs FROM tk),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM ch),
+       |dc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ex GROUP BY h),
+       |per AS (SELECT e.doc_id, count(*) AS n_chunks,
+       |          count(CASE WHEN dc.nd >= 2 THEN 1 END) AS n_dup_chunks
+       |        FROM ex e JOIN dc USING (h) GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       |  CAST(coalesce(per.n_dup_chunks, 0) AS DOUBLE)
+       |    / nullif(coalesce(per.n_chunks, 0), 0) AS dup_fraction
+       |FROM ch d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -473,7 +617,9 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
-    "q23_dedup_simhash_pairs" -> (q23SimhashPairs _))
+    "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
+    "q65_dedup_clusters"      -> (q65DedupClusters _),
+    "q69_substring_dedup"     -> (q69SubstringDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_decontaminate"       -> q60Sql,
@@ -484,5 +630,7 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> q20Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
-    "q23_dedup_simhash_pairs" -> q23Sql)
+    "q23_dedup_simhash_pairs" -> q23Sql,
+    "q65_dedup_clusters"      -> q65Sql,
+    "q69_substring_dedup"     -> q69Sql)
 }

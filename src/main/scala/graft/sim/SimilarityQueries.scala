@@ -282,6 +282,46 @@ object SimilarityQueries {
       |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq))), 4) AS cos_fidelity
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Per-label embedding centroids (long form: one row per (label, dim)) —
+    * the building block for class prototypes, IVF coarse quantizers, and
+    * drift monitoring.
+    *
+    * Deterministic at ANY scale without sorting: each component is
+    * accumulated in FIXED-POINT — `floor(x · 2³⁰)` (the 2³⁰ scaling is a
+    * power of two, so the multiply is exact in double) summed as
+    * DECIMAL(38,0). Integer addition is associative, so the sum is
+    * bit-identical regardless of partitioning or merge order — the
+    * reproducibility float summation can't give distributedly. The
+    * quantization bias is < 2⁻³⁰ per element, deterministic, and part of
+    * the operator's contract. Shuffle carries (label, dim, partial-sum)
+    * rows only — map-side combine applies. */
+  private val FpScale = 1073741824.0 // 2^30
+
+  def q68EmbeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+    ex.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  val q68Sql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    unnest([{'d': i, 'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
+      |            for i in range(0, len(embedding))]) AS u
+      |  FROM embeddings),
+      |g AS (SELECT label, u.d AS dim, count(*) AS n, sum(u.q) AS s
+      |      FROM ex GROUP BY 1, 2)
+      |SELECT label, dim, n,
+      |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid
+      |FROM g ORDER BY label, dim""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,11 +329,13 @@ object SimilarityQueries {
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q45_sim_ivf"            -> (q45SimIvf _),
-    "q54_embedding_quantize" -> (q54EmbeddingQuantize _))
+    "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
+    "q68_embedding_centroids" -> (q68EmbeddingCentroids _))
 
   /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
     "q24_sim_cosine_topk"    -> q24Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
-    "q54_embedding_quantize" -> q54Sql)
+    "q54_embedding_quantize" -> q54Sql,
+    "q68_embedding_centroids" -> q68Sql)
 }

@@ -515,6 +515,67 @@ object TextQueries {
        |FROM c, unnest(range(0, n_chunks)) AS u(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** Gopher-style HARD quality gates — the pass/fail filter battery run
+    * before the additive score (q16): token-count band, mean-token-length
+    * band, alphabetic-token fraction, longest-token cap, and
+    * ≥2-distinct-stopwords. Reports every gate so a corpus dashboard can
+    * attribute rejections; `keep` is their conjunction. Narrow single
+    * pass, all integer-exact ratios (one double division each — bit-stable
+    * across engines). */
+  private val GateMinTokens = 50L
+  private val GateMaxTokens = 100000L
+  private val GateMaxTokenLen = 20
+
+  def q67QualityGates(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val nTok = size(toks).cast("long")
+    val meanLen = length(array_join(toks, "")).cast(DoubleType) / nullif(size(toks), lit(0))
+    val alphaFrac = size(filter(toks, x => x.rlike("^[a-z]+$"))).cast(DoubleType) /
+      nullif(size(toks), lit(0))
+    val maxLen = array_max(transform(toks, t => length(t)))
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(stopList.map(lit): _*)))
+    d.select(col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_token_len"),
+        alphaFrac.as("alpha_frac"), maxLen.as("max_token_len"),
+        nStop.cast("long").as("n_stop_distinct"))
+      .withColumn("g_tokens", col("n_tokens").between(GateMinTokens, GateMaxTokens))
+      .withColumn("g_mean_len", coalesce(col("mean_token_len").between(3.0, 10.0), lit(false)))
+      .withColumn("g_alpha", coalesce(col("alpha_frac") >= 0.8, lit(false)))
+      .withColumn("g_max_len", col("max_token_len") <= GateMaxTokenLen)
+      .withColumn("g_stop", col("n_stop_distinct") >= 2)
+      .withColumn("keep",
+        col("g_tokens") && col("g_mean_len") && col("g_alpha") &&
+          col("g_max_len") && col("g_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    val stopArr = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(array_to_string($toks, '')) AS DOUBLE) / nullif(len($toks), 0) AS mean_token_len,
+       |  CAST(len(list_filter($toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+       |    / nullif(len($toks), 0) AS alpha_frac,
+       |  list_max(list_transform($toks, x -> length(x))) AS max_token_len,
+       |  CAST(len(list_intersect(list_distinct($toks), $stopArr)) AS BIGINT) AS n_stop_distinct
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, mean_token_len, alpha_frac, max_token_len, n_stop_distinct,
+       |  n_tokens BETWEEN $GateMinTokens AND $GateMaxTokens AS g_tokens,
+       |  coalesce(mean_token_len BETWEEN 3.0 AND 10.0, false) AS g_mean_len,
+       |  coalesce(alpha_frac >= 0.8, false) AS g_alpha,
+       |  max_token_len <= $GateMaxTokenLen AS g_max_len,
+       |  n_stop_distinct >= 2 AS g_stop,
+       |  (n_tokens BETWEEN $GateMinTokens AND $GateMaxTokens)
+       |    AND coalesce(mean_token_len BETWEEN 3.0 AND 10.0, false)
+       |    AND coalesce(alpha_frac >= 0.8, false)
+       |    AND max_token_len <= $GateMaxTokenLen
+       |    AND n_stop_distinct >= 2 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -528,7 +589,8 @@ object TextQueries {
     "q18_text_fingerprint" -> (q18Fingerprint _),
     "q50_text_winnow"      -> (q50TextWinnow _),
     "q58_pii_scrub"        -> (q58PiiScrub _),
-    "q59_sequence_pack"    -> (q59SequencePack _))
+    "q59_sequence_pack"    -> (q59SequencePack _),
+    "q67_quality_gates"    -> (q67QualityGates _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -541,5 +603,6 @@ object TextQueries {
     "q18_text_fingerprint" -> q18Sql,
     "q50_text_winnow"      -> q50Sql,
     "q58_pii_scrub"        -> q58Sql,
-    "q59_sequence_pack"    -> q59Sql)
+    "q59_sequence_pack"    -> q59Sql,
+    "q67_quality_gates"    -> q67Sql)
 }

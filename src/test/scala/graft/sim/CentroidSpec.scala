@@ -1,0 +1,42 @@
+package graft.sim
+
+import graft.SparkSpec
+
+/** q68's fixed-point centroid must sit within the documented quantization
+  * bound of the true float mean, and be bit-stable across partitionings
+  * (the whole point of the fixed-point accumulation). */
+class CentroidSpec extends SparkSpec {
+
+  test("q68 centroids match a driver-side mean within the 2^-30 quantization bound") {
+    val got = SimilarityQueries.q68EmbeddingCentroids(spark, Sf0001)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val raw = graft.sql.Tables(spark, Sf0001).embeddings
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val byLabel = raw.groupBy(_._1)
+    assert(got.nonEmpty)
+    byLabel.foreach { case (label, vs) =>
+      val n = vs.length
+      val dims = vs.head._2.length
+      (0 until dims).foreach { d =>
+        val mean = vs.map(_._2(d).toDouble).sum / n
+        val (gotN, gotC) = got((label, d))
+        assert(gotN == n)
+        // floor-quantization shifts each element by at most 2^-30
+        assert(math.abs(gotC - mean) <= math.pow(2, -30) + 1e-9 * math.abs(mean),
+          s"label $label dim $d: $gotC vs $mean")
+      }
+    }
+  }
+
+  test("q68 is bit-identical under a different partitioning") {
+    val a = SimilarityQueries.q68EmbeddingCentroids(spark, Sf0001).collect().toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        SimilarityQueries.q68EmbeddingCentroids(spark, Sf0001).collect().toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b)
+  }
+}

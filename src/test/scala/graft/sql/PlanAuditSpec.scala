@@ -93,6 +93,37 @@ class PlanAuditSpec extends SparkSpec {
       s"q42's optimized plan still contains the decode chain above the checkpoint\n$opt")
   }
 
+  test("q66 BM25 plans as two narrow scans + a 1-row broadcast + top-k (no global sort, no corpus shuffle)") {
+    val plan = physical("q66_bm25_search")
+    // global top-k via TakeOrderedAndProject — a full Sort+Exchange of the
+    // scored corpus would be the 100 TB regression
+    assert(plan.contains("TakeOrderedAndProject"), s"q66 lost its top-k plan\n$plan")
+    // the only join is the 1-row stats broadcast; the corpus side must
+    // never hash-shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"q66 stats row should broadcast\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q66: the scored corpus should not shuffle\n$plan")
+  }
+
+  test("q68 fixed-point centroid aggregates map-side before the (label, dim) shuffle") {
+    val plan = physical("q68_embedding_centroids")
+    // the decimal sum must combine per-partition first — the shuffle then
+    // carries one partial row per (label, dim, partition), not one row per
+    // vector element
+    assert(plan.contains("partial_sum"), s"q68 lost its map-side combine\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q69 substring dedup joins on the chunk digest / doc id — never a nested loop, kernel scans once") {
+    val plan = physical("q69_substring_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q69 fell back to a nested loop\n$plan")
+    // chunk digests come from the ONE checkpointed kernel (ExistingRDD),
+    // not re-tokenized document scans
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q69: expected zero parquet scans (chunk kernel materialized once)\n$plan")
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
