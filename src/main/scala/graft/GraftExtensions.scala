@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{HyperplaneSigs, SortedIntersectCount, VecDot, WinnowMinima, WordShingles}
+import graft.expr.{HyperplaneSigs, SortedIntersectCount, VecDot, WinnowMinima, WordGrams, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,6 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "word_shingle_hashes(tokens, k) takes 2 arguments")
         WordShingles(args.head, intLit(args(1), "k"), hashed = true)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_grams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "word_grams(tokens, k, step) takes 3 arguments")
+        WordGrams(args.head, intLit(args(1), "k"), intLit(args(2), "step"), hashed = false)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_hashes"),
+      new ExpressionInfo(classOf[WordGrams].getName, "word_gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "word_gram_hashes(tokens, k, step) takes 3 arguments")
+        WordGrams(args.head, intLit(args(1), "k"), intLit(args(2), "step"), hashed = true)
       }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),

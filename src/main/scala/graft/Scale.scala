@@ -16,18 +16,22 @@ import org.apache.spark.sql.functions._
   *     incident windows NEVER span replicas — q51's per-bin fan-out stays
   *     (organic growth adds hours, not bin density).
   *
-  * The near-dup PAIR queries (q20–q23, q26) are deliberately NOT measured
-  * this way: replication distorts exactly what drives their cost — an
-  * appended token leaves >95% of shingles/bands shared, so every document
-  * becomes a 10-deep near-dup cluster and candidate fan-out grows ~100×,
-  * which organic 10× growth does not do. Their scale story remains the
-  * plan-shape argument (df-capped index, banded LSH) pinned by
-  * PlanAuditSpec.
+  * The near-dup PAIR queries (q20–q23, q26, and their dependants q65/q72)
+  * are deliberately NOT measured this way: replication distorts exactly
+  * what drives their cost — an appended token leaves >95% of
+  * shingles/bands shared, so every document becomes a 10-deep near-dup
+  * cluster and candidate fan-out grows ~100×, which organic 10× growth
+  * does not do. Their scale story remains the plan-shape argument
+  * (df-capped index, banded LSH) pinned by PlanAuditSpec. q69/q71 ARE
+  * included: their duplicated-window / top-bigram aggregations have no
+  * pair fan-out (group DEPTH grows under replication, group count does
+  * not), so the replica is an honest upper-bound stress for them.
   */
 object Scale {
   private val Reps = 10
   private val Queries = Seq(
-    "q19_dedup_exact", "q51_range_join", "q57_kmv_distinct", "q60_decontaminate")
+    "q19_dedup_exact", "q51_range_join", "q57_kmv_distinct", "q60_decontaminate",
+    "q66_bm25_search", "q69_substring_dedup", "q71_bigram_coverage")
 
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
     val done = new java.io.File(s"$out/_BUILT")

@@ -108,6 +108,14 @@ object DedupQueries {
     * pair fan-out per shingle is then bounded by DfCap²/2. */
   private val DfCap = 32
 
+  /** All ordered pairs from a bucket's (sorted, bounded) `ids` array —
+    * shared by the q20 and q72 inverted-index candidate generators. */
+  private def bucketPairList: Column = flatten(transform(
+    sequence(lit(1), size(col("ids")) - 1),
+    i => transform(
+      sequence(i + 1, size(col("ids"))),
+      j => struct(element_at(col("ids"), i).as("ida"), element_at(col("ids"), j).as("idb")))))
+
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val shh = docShingleHashes(spark, dir)
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
@@ -117,14 +125,8 @@ object DedupQueries {
       // unique — no per-group hash set needed
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
-    // all ordered pairs from each bucket's (sorted, bounded) id array
-    val pairList = flatten(transform(
-      sequence(lit(1), size(col("ids")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("ids"))),
-        j => struct(element_at(col("ids"), i).as("ida"), element_at(col("ids"), j).as("idb")))))
     val cands = buckets
-      .select(explode(pairList).as("p"))
+      .select(explode(bucketPairList).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       // positions in the sorted id array guarantee ida <= idb; the strict
       // filter restores the hard ida < idb invariant the oracle's
@@ -474,34 +476,53 @@ object DedupQueries {
     * does not replay rounds 1..k-1 (the standard large-graph CC shape —
     * near-dup graphs are shallow, so rounds stay in low single digits). */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges
       .select(col("ida").as("src"), col("idb").as("dst"))
       .unionByName(edges.select(col("idb").as("src"), col("ida").as("dst")))
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    var done = false
-    while (!done) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
-      val prop = labels
-        .join(nbrMin.select(col("src").as("node"), col("nbr_min")), Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      val jumped = prop
-        .join(prop.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+    // parallelism proportional to the EDGE list, not the corpus: the pair
+    // graph is orders of magnitude smaller than the documents that
+    // produced it, and an iterative loop pays per-round scheduling for
+    // every shuffle partition — ~1M edges per partition keeps a
+    // billion-edge graph at production width while a gate-scale graph
+    // runs single-partition rounds
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(prevParts.toLong, sym.count() / 1000000L))
+    // labels only ever DECREASE, so Σlabel strictly decreases while any
+    // node changes — an O(1)-row aggregate per round replaces a
+    // join-and-count convergence check (one fewer shuffle per round)
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("label"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      var labels = sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
         .localCheckpoint(true)
-      val nChanged = jumped
-        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = jumped
-      done = nChanged == 0
-    }
-    labels
+      var prevSum = labelSum(labels)
+      var done = false
+      while (!done) {
+        // message round: each node offers its label to every neighbour and
+        // keeps its own (the union), takes the min — ONE join + one agg
+        val msgs = sym
+          .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+          .select(col("src").as("node"), col("label"))
+        val prop = msgs.unionByName(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // pointer jump (path halving): label ← label(label) collapses
+        // label chains so convergence is O(log n) rounds, not O(diameter)
+        val jumped = prop
+          .join(prop.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        labels = jumped
+        val s = labelSum(labels)
+        done = s == prevSum
+        prevSum = s
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Near-dup CLUSTERS — the step after pair generation that a dedup
@@ -563,11 +584,10 @@ object DedupQueries {
   def q69SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     val toks = tokens(normText(col("text")))
-    val nCh = floor(size(toks).cast(DoubleType) / lit(ChunkW)).cast("int")
-    val segs = when(nCh > 0,
-        transform(sequence(lit(0), nCh - 1),
-          i => md5(concat_ws(" ", slice(toks, i * ChunkW + 1, lit(ChunkW))))))
-      .otherwise(array().cast("array<string>"))
+    // one codegen'd kernel pass (see [[graft.expr.WordGrams]] — the HOF
+    // spelling re-evaluates the token split per window); hashed mode means
+    // every downstream shuffle carries 8-byte longs, never window text
+    val segs = graft.expr.WordGrams.hashedOf(toks, ChunkW, ChunkW)
     // referenced twice (df count + join back) — materialize the digests,
     // not the text, so the token kernel runs once
     val ch = d.select(col("doc_id"), segs.as("hs")).localCheckpoint(true)
@@ -590,9 +610,9 @@ object DedupQueries {
     s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
        |ch AS (SELECT doc_id,
        |  CASE WHEN len(t) // $ChunkW > 0 THEN
-       |    [md5(array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' '))
+       |    [('0x' || substr(md5(array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' ')), 1, 15))::BIGINT
        |     for i in range(0, len(t) // $ChunkW)]
-       |  ELSE [] END AS hs FROM tk),
+       |  ELSE []::BIGINT[] END AS hs FROM tk),
        |ex AS (SELECT doc_id, unnest(hs) AS h FROM ch),
        |dc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ex GROUP BY h),
        |per AS (SELECT e.doc_id, count(*) AS n_chunks,
@@ -605,6 +625,66 @@ object DedupQueries {
        |    / nullif(coalesce(per.n_chunks, 0), 0) AS dup_fraction
        |FROM ch d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  /** Winnow-fingerprint overlap pairs — MOSS-style containment detection
+    * (Schleimer et al., SIGMOD'03): document pairs sharing at least
+    * [[WinnowMinOverlap]] winnowing fingerprints (q50's kernel), scored by
+    * containment = shared / min(|a|, |b|). Winnowing guarantees any
+    * shared token run of ≥ window+gram−1 tokens contributes a common
+    * fingerprint, so this finds PARTIAL overlap (one doc embedded in
+    * another) that whole-document Jaccard (q20/q21) dilutes away.
+    *
+    * Scale shape: same df-capped inverted index as q20 — fingerprints
+    * shared by more than [[DfCap]] docs are boilerplate and skipped for
+    * candidate generation (each would fan out df² pairs); verification
+    * still intersects the FULL fingerprint sets (sorted-merge, no
+    * allocation). Shuffles carry (fingerprint, doc_id) longs only. */
+  private val WinnowMinOverlap = 8
+
+  def q72WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = graft.text.TextQueries
+      .winnowFingerprintSets(Tables(spark, dir).documents)
+      .filter(size(col("fp")) > 0)
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint(true)
+    val ex = fps.select(col("doc_id"), explode(col("fp")).as("h"))
+    val buckets = ex.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, DfCap))
+    val cands = buckets
+      .select(explode(bucketPairList).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .filter(col("ida") < col("idb"))
+      .distinct()
+    cands
+      .join(fps.select(col("doc_id").as("ida"), col("fp").as("fa")), "ida")
+      .join(fps.select(col("doc_id").as("idb"), col("fp").as("fb")), "idb")
+      .select(col("ida"), col("idb"),
+        graft.expr.SortedIntersectCount.of(col("fa"), col("fb")).as("n_shared"),
+        size(col("fa")).as("na"), size(col("fb")).as("nb"))
+      .filter(col("n_shared") >= WinnowMinOverlap)
+      .select(col("ida"), col("idb"), col("n_shared").cast(LongType).as("n_shared"),
+        (col("n_shared").cast(DoubleType) / least(col("na"), col("nb"))).as("containment"))
+      .orderBy(col("ida"), col("idb"))
+  }
+
+  val q72Sql: String =
+    s"""${graft.text.TextQueries.winnowSqlCte},
+       |fs AS (SELECT doc_id, fp FROM f WHERE len(fp) > 0),
+       |exw AS (SELECT doc_id, unnest(fp) AS h FROM fs),
+       |dfok AS (SELECT h FROM exw GROUP BY h HAVING count(*) BETWEEN 2 AND $DfCap),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM exw a JOIN exw b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      WHERE a.h IN (SELECT h FROM dfok)),
+       |v AS (SELECT ida, idb,
+       |        len(list_intersect(fa.fp, fb.fp)) AS n_shared,
+       |        len(fa.fp) AS na, len(fb.fp) AS nb
+       |      FROM p JOIN fs fa ON ida = fa.doc_id JOIN fs fb ON idb = fb.doc_id)
+       |SELECT ida, idb, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(n_shared AS DOUBLE) / least(na, nb) AS containment
+       |FROM v WHERE n_shared >= $WinnowMinOverlap
+       |ORDER BY ida, idb""".stripMargin
 
   // ----------------------------------------------------------------
 
@@ -619,7 +699,8 @@ object DedupQueries {
     "q22_dedup_simhash"       -> (q22Simhash _),
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
     "q65_dedup_clusters"      -> (q65DedupClusters _),
-    "q69_substring_dedup"     -> (q69SubstringDedup _))
+    "q69_substring_dedup"     -> (q69SubstringDedup _),
+    "q72_winnow_pairs"        -> (q72WinnowPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_decontaminate"       -> q60Sql,
@@ -632,5 +713,6 @@ object DedupQueries {
     "q22_dedup_simhash"       -> q22Sql,
     "q23_dedup_simhash_pairs" -> q23Sql,
     "q65_dedup_clusters"      -> q65Sql,
-    "q69_substring_dedup"     -> q69Sql)
+    "q69_substring_dedup"     -> q69Sql,
+    "q72_winnow_pairs"        -> q72Sql)
 }

@@ -310,17 +310,79 @@ object SimilarityQueries {
       .orderBy(col("label"), col("dim"))
   }
 
-  val q68Sql: String =
+  /** The q68 fixed-point centroid as a CTE chain ending in
+    * `c(label, dim, centroid)` — shared by the q68 and q70 oracles. */
+  private val centroidSqlCte: String =
     """WITH ex AS (
       |  SELECT label,
       |    unnest([{'d': i, 'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
       |            for i in range(0, len(embedding))]) AS u
       |  FROM embeddings),
       |g AS (SELECT label, u.d AS dim, count(*) AS n, sum(u.q) AS s
-      |      FROM ex GROUP BY 1, 2)
-      |SELECT label, dim, n,
-      |  CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid
-      |FROM g ORDER BY label, dim""".stripMargin
+      |      FROM ex GROUP BY 1, 2),
+      |c AS (SELECT label, dim, n,
+      |        CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid
+      |      FROM g)""".stripMargin
+
+  val q68Sql: String =
+    s"""$centroidSqlCte
+      |SELECT label, dim, n, centroid FROM c ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Nearest-centroid assignment — the k-means E-step / pseudo-labeling
+    * pass: squared distance from every vector to each of q68's per-label
+    * centroids, argmin with smallest-label tie-break, plus whether it
+    * agrees with the vector's own label.
+    *
+    * Scale shape: the centroid table is labels × dims (tiny — it
+    * BROADCASTS as one array-of-structs row), so the corpus is scanned
+    * once, never shuffled; the per-row argmin is `array_min` over a
+    * (dist², label) struct array — no window, no per-vector shuffle. The
+    * distance fold runs left-to-right over dims in both engines on the
+    * bit-exact centroids, so `dist2` itself is compared unrounded. */
+  def q70CentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val perDim = q68EmbeddingCentroids(spark, dir)
+    val cents = perDim
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
+      .select(col("label").as("clabel"),
+        transform(col("dc"), x => x.getField("centroid")).as("carr"))
+      .agg(sort_array(collect_list(struct(col("clabel"), col("carr")))).as("cents"))
+    val dists = transform(col("cents"), c =>
+      struct(
+        aggregate(
+          zip_with(col("embedding"), c.getField("carr"),
+            (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+          lit(0.0), (a, b) => a + b).as("dist2"),
+        c.getField("clabel").as("clabel")))
+    val best = array_min(dists)
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        best.getField("clabel").as("nearest_label"),
+        best.getField("dist2").as("dist2"))
+      .withColumn("correct", col("label") === col("nearest_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q70Sql: String =
+    s"""$centroidSqlCte,
+      |ca AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS carr
+      |       FROM c GROUP BY label),
+      |d AS (SELECT e.vec_id, e.label, ca.clabel,
+      |        list_reduce(list_prepend(0.0,
+      |          [(CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+      |             * (CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+      |           for i in range(0, len(e.embedding))]),
+      |          (a, b) -> a + b) AS dist2
+      |      FROM embeddings e, ca),
+      |r AS (SELECT vec_id, label, clabel, dist2,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+      |      FROM d)
+      |SELECT vec_id, label, clabel AS nearest_label, dist2,
+      |  label = clabel AS correct
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ----------------------------------------------------------------
 
@@ -330,12 +392,14 @@ object SimilarityQueries {
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q45_sim_ivf"            -> (q45SimIvf _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
-    "q68_embedding_centroids" -> (q68EmbeddingCentroids _))
+    "q68_embedding_centroids" -> (q68EmbeddingCentroids _),
+    "q70_centroid_assign"    -> (q70CentroidAssign _))
 
   /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
     "q24_sim_cosine_topk"    -> q24Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,
-    "q68_embedding_centroids" -> q68Sql)
+    "q68_embedding_centroids" -> q68Sql,
+    "q70_centroid_assign"    -> q70Sql)
 }

@@ -237,7 +237,10 @@ object TextQueries {
         try_element_at(col("fp"), lit(-1)).as("fp_max"))
       .orderBy(col("doc_id"))
 
-  val q50Sql: String = {
+  /** The winnowing fingerprint-set derivation as a DuckDB CTE chain ending
+    * in `f(doc_id, n_grams, fp)` — shared by the q50 oracle and the
+    * winnow-overlap pair oracle (q72, in DedupQueries). */
+  val winnowSqlCte: String = {
     val w = WinnowWindow
     val toksSql = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
@@ -253,12 +256,15 @@ object TextQueries {
        |       WHEN len(hs) >= 1 THEN [list_min(hs)]
        |       ELSE []::BIGINT[] END AS mins
        |  FROM g),
-       |f AS (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS fp FROM m)
+       |f AS (SELECT doc_id, n_grams, list_sort(list_distinct(mins)) AS fp FROM m)""".stripMargin
+  }
+
+  val q50Sql: String =
+    s"""$winnowSqlCte
        |SELECT doc_id, n_grams, len(fp) AS n_fp,
        |  md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',')) AS fp_digest,
        |  fp[1] AS fp_min, fp[-1] AS fp_max
        |FROM f ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q53
   /** Deterministic stratified sampling — the data-mixing step of a
@@ -576,6 +582,61 @@ object TextQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Top-K bigram coverage — a lexical boilerplate signal: how much of a
+    * document is built from the corpus's [[TopBigrams]] most frequent
+    * bigrams (count desc, bigram asc tie-break, so the cut is
+    * deterministic). High coverage → templated/boilerplate text; low →
+    * novel phrasing. Complements q61 (WITHIN-doc repetition) with a
+    * cross-corpus frequency view.
+    *
+    * Scale shape: the bigram kernel is narrow and runs once (digest-only
+    * checkpoint); the top-K is a global count + TakeOrdered (tiny), which
+    * then BROADCASTS into a semi-join — the corpus's bigram positions
+    * never shuffle. */
+  private val TopBigrams = 100
+
+  def q71BigramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    // positional (occurrence-counted) bigrams in one codegen'd kernel pass,
+    // pre-hashed to hex60 longs — the HOF spelling was 7.1 s warm at sf0.1
+    // (CodegenFallback + per-element re-eval of the token split), and
+    // hashing means the count shuffle and the top-K broadcast carry longs
+    val bgs = graft.expr.WordGrams.hashedOf(toks, 2, 1)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), bgs.as("bgs")).localCheckpoint(true)
+    val ex = base.select(col("doc_id"), explode(col("bgs")).as("bg"))
+    val top = ex.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg")).limit(TopBigrams)
+    val hits = ex.join(broadcast(top.select(col("bg"))), Seq("bg"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_top_positions"))
+    base.select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_top_positions"), lit(0L)).as("n_top_positions"),
+        (coalesce(col("n_top_positions"), lit(0L)).cast(DoubleType) /
+          nullif(col("n_bigrams"), lit(0L))).as("top_coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 2
+       |  THEN [('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |  ELSE []::BIGINT[] END AS bgs FROM tk),
+       |ex AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+       |top AS (SELECT bg FROM ex GROUP BY bg ORDER BY count(*) DESC, bg LIMIT $TopBigrams),
+       |hits AS (SELECT doc_id, count(*) AS n_top FROM ex
+       |         WHERE bg IN (SELECT bg FROM top) GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(n_top, 0) AS BIGINT) AS n_top_positions,
+       |  CAST(coalesce(n_top, 0) AS DOUBLE) / nullif(len(bgs), 0) AS top_coverage
+       |FROM b LEFT JOIN hits ON b.doc_id = hits.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -590,7 +651,8 @@ object TextQueries {
     "q50_text_winnow"      -> (q50TextWinnow _),
     "q58_pii_scrub"        -> (q58PiiScrub _),
     "q59_sequence_pack"    -> (q59SequencePack _),
-    "q67_quality_gates"    -> (q67QualityGates _))
+    "q67_quality_gates"    -> (q67QualityGates _),
+    "q71_bigram_coverage"  -> (q71BigramCoverage _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -604,5 +666,6 @@ object TextQueries {
     "q50_text_winnow"      -> q50Sql,
     "q58_pii_scrub"        -> q58Sql,
     "q59_sequence_pack"    -> q59Sql,
-    "q67_quality_gates"    -> q67Sql)
+    "q67_quality_gates"    -> q67Sql,
+    "q71_bigram_coverage"  -> q71Sql)
 }

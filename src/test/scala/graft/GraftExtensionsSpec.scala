@@ -25,6 +25,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hs.length == 2 && hs.forall(h => h >= 0 && h < (1L << 60)))
   }
 
+  test("word_grams / word_gram_hashes from SQL: positional, stride-aware") {
+    // sliding bigrams keep DUPLICATE occurrences (positional, not a set)
+    val bg = spark.sql(
+      "SELECT word_grams(array('a','b','a','b'), 2, 1) AS g").as[Seq[String]].head()
+    assert(bg == Seq("a b", "b a", "a b"))
+    // stride = k → non-overlapping chunks; trailing partial window dropped
+    val ch = spark.sql(
+      "SELECT word_grams(array('a','b','c','d','e'), 2, 2) AS g").as[Seq[String]].head()
+    assert(ch == Seq("a b", "c d"))
+    // fewer than k tokens → empty
+    assert(spark.sql("SELECT word_grams(array('a'), 2, 1) AS g")
+      .as[Seq[String]].head().isEmpty)
+    // hashed mode = hex60 of the same grams
+    val hs = spark.sql(
+      "SELECT word_gram_hashes(array('a','b','a','b'), 2, 1) AS h").as[Seq[Long]].head()
+    val h0 = spark.sql(
+      "SELECT ('0x' || substr(md5('a b'), 1, 15)) AS x").as[String].head()
+    assert(hs.length == 3 && hs(0) == hs(2) && hs(0) == java.lang.Long.decode(h0))
+  }
+
   test("sorted_intersect_count / hyperplane_sigs / winnow_minima from SQL") {
     val n = spark.sql(
       "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")

@@ -46,6 +46,24 @@ class ClusterSpec extends SparkSpec {
     cl.foreach { case (doc, lbl, sz) => assert(sizes(lbl) == sz, s"doc $doc") }
   }
 
+  test("q72 winnow pairs: ordered ids, containment in (0, 1], threshold respected") {
+    val rows = DedupQueries.q72WinnowPairs(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.foreach { case (a, b, shared, cont) =>
+      assert(a < b)
+      assert(shared >= 8)
+      assert(cont > 0.0 && cont <= 1.0, s"($a,$b): $cont")
+    }
+    // exact duplicates (identical normalized text) have IDENTICAL
+    // fingerprint sets — every exact-dup pair that q72 emits must score
+    // containment exactly 1.0
+    val haveExactDups = DedupQueries.q19DedupExact(spark, Sf0001)
+      .filter("n_docs >= 2").limit(1).count() > 0
+    if (haveExactDups && rows.nonEmpty)
+      assert(rows.exists(_._4 == 1.0),
+        "exact-dup clusters exist but no containment-1.0 pair was emitted")
+  }
+
   test("q69 substring-dup counts are bounded and mutual at sf0.001") {
     val rows = DedupQueries.q69SubstringDedup(spark, Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

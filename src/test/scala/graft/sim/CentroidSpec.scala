@@ -29,6 +29,30 @@ class CentroidSpec extends SparkSpec {
     }
   }
 
+  test("q70 assigns every vector to its true argmin centroid (driver-side brute force)") {
+    val got = SimilarityQueries.q70CentroidAssign(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    val raw = graft.sql.Tables(spark, Sf0001).embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    // recompute centroids the same fixed-point way, then brute-force argmin
+    val cents = raw.groupBy(_._2).map { case (label, vs) =>
+      val n = vs.length
+      val dims = vs.head._3.length
+      label -> (0 until dims).map { d =>
+        vs.map(v => math.floor(v._3(d) * 1073741824.0)).sum / (n * 1073741824.0)
+      }
+    }
+    raw.foreach { case (vid, _, v) =>
+      val (bestLabel, bestDist) = cents.map { case (l, c) =>
+        l -> v.zip(c).map { case (x, cc) => (x - cc) * (x - cc) }.sum
+      }.minBy { case (l, d) => (d, l) }
+      val (gotLabel, gotDist) = got(vid)
+      assert(gotLabel == bestLabel, s"vec $vid: $gotLabel vs $bestLabel")
+      assert(math.abs(gotDist - bestDist) < 1e-9, s"vec $vid dist")
+    }
+  }
+
   test("q68 is bit-identical under a different partitioning") {
     val a = SimilarityQueries.q68EmbeddingCentroids(spark, Sf0001).collect().toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

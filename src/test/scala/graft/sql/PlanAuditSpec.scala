@@ -124,6 +124,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q69: expected zero parquet scans (chunk kernel materialized once)\n$plan")
   }
 
+  test("q70 centroid assignment broadcasts the centroid row — the corpus scan never shuffles into a join") {
+    val plan = physical("q70_centroid_assign")
+    // the (labels × dims) centroid table folds to ONE array row and
+    // broadcasts; a SortMergeJoin/shuffled join here would shuffle the
+    // whole corpus at 100 TB
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"q70 lost its centroid broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"q70: corpus should never shuffle-join\n$plan")
+  }
+
+  test("q71 bigram coverage: the top-K set broadcasts into the semi-join") {
+    val plan = physical("q71_bigram_coverage")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"q71: top-K membership should be a broadcast semi-join\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q72 winnow pairs: equi-joins only, fingerprint kernel scans once") {
+    val plan = physical("q72_winnow_pairs")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q72 fell back to a nested loop\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q72: expected zero parquet scans (winnow kernel materialized once)\n$plan")
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel

@@ -25,6 +25,20 @@ class SearchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q71: coverage is a valid fraction and positions are conserved") {
+    val rows = TextQueries.q71BigramCoverage(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_bigrams"))
+      val top = r.getLong(r.fieldIndex("n_top_positions"))
+      assert(top >= 0 && top <= n)
+      if (n > 0) {
+        val cov = r.getDouble(r.fieldIndex("top_coverage"))
+        assert(cov >= 0.0 && cov <= 1.0)
+      }
+    }
+  }
+
   test("q67: keep is exactly the conjunction of the gates; ratios in range") {
     val rows = TextQueries.q67QualityGates(spark, Sf0001).collect()
     assert(rows.nonEmpty)
