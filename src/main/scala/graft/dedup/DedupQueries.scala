@@ -3,6 +3,7 @@ package graft.dedup
 import graft.sql.Tables
 import graft.text.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -164,8 +165,9 @@ object DedupQueries {
   private val NumHashes = 96
   private val BandRows = 3 // 32 bands × 3 rows
 
-  def q21MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val shh = docShingleHashes(spark, dir)
+  /** (doc_id, band, sig) LSH bucket rows from hashed shingle sets — the
+    * q21 signature pipeline, shared with q76's incremental variant. */
+  private def lshBuckets(shh: DataFrame): DataFrame = {
     // base hash = top 32 bits of the shared 60-bit md5 hash (the first 8
     // hex chars of the same digest) — zero extra md5 work
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
@@ -177,9 +179,14 @@ object DedupQueries {
       val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("sig"))
     }
-    val buckets = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  def q21MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val buckets = lshBuckets(shh)
     val cands = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -686,9 +693,63 @@ object DedupQueries {
        |FROM v WHERE n_shared >= $WinnowMinOverlap
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Incremental (cross-corpus) near-dedup: treat one doc in five
+    * (`doc_id % 5 = 0`) as the NEW crawl delta and the rest as the
+    * EXISTING corpus, and report, for every new doc that near-duplicates
+    * (Jaccard ≥ 0.8) something already in the corpus, its best existing
+    * match — the steady-state form of corpus dedup, where each new crawl
+    * is deduped against everything ingested before it, not all-pairs
+    * against itself.
+    *
+    * Reuses the q21 signature pipeline ([[lshBuckets]]): candidates come
+    * from a (band, sig) equi-join of the delta's bucket rows against the
+    * corpus's (no self-join), then exact-verify + a per-new-doc top-1
+    * window. 100 TB shape: the join shuffles bucket rows (longs + md5
+    * strings), never text; the corpus side's signatures are
+    * delta-independent, so a production deployment persists them once and
+    * each nightly crawl only computes delta signatures — the plan here IS
+    * that plan with the persist elided. Banding recall at J=0.8 is
+    * 1 − 6e-10 (q21), so the brute-force oracle compare is safe.
+    */
+  def q76IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val buckets = lshBuckets(shh)
+    val cands = buckets.filter(col("doc_id") % 5 === 0).as("a")
+      .join(buckets.filter(col("doc_id") % 5 =!= 0).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val best = Window.partitionBy(col("ida")).orderBy(col("jaccard").desc, col("idb"))
+    verifyJaccard(cands, shh, 0.8)
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("ida").as("new_doc_id"), col("idb").as("dup_of"), col("jaccard"))
+      .orderBy(col("new_doc_id"))
+  }
+
+  /** Oracle: brute-force new×old Jaccard at 0.8, top-1 per new doc. */
+  val q76Sql: String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s
+       |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+       |      GROUP BY 1, 2),
+       |v AS (SELECT ida, idb, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+       |      FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |      WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+       |r AS (SELECT ida, idb, jaccard,
+       |        row_number() OVER (PARTITION BY ida ORDER BY jaccard DESC, idb) AS rk
+       |      FROM v)
+       |SELECT ida AS new_doc_id, idb AS dup_of, jaccard
+       |FROM r WHERE rk = 1 ORDER BY new_doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
     "q61_repetition"          -> (q61Repetition _),
     "q52_corpus_curation"     -> (q52CorpusCuration _),
@@ -703,6 +764,7 @@ object DedupQueries {
     "q72_winnow_pairs"        -> (q72WinnowPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,
     "q61_repetition"          -> q61Sql,
     "q52_corpus_curation"     -> q52Sql,

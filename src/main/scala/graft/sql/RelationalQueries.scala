@@ -661,7 +661,61 @@ object RelationalQueries {
       |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Strict-order event funnel (view → click → purchase): per user, the
+    * first view, the first click AFTER that view, and the first purchase
+    * AFTER that click; then corpus-level stage conversion counts and the
+    * mean view→purchase latency of completed funnels.
+    *
+    * One-pass shape: ONE shuffle on user_id feeds three chained
+    * whole-partition window mins (each conditions on the previous stage's
+    * time, so the strict ordering needs no self-join and no per-user
+    * sort-based state), the per-user collapse reuses the same partitioning
+    * (no second exchange), and the final global row is a tiny agg. All
+    * stage times are integer microseconds (`unix_micros` ⇔ `epoch_us`);
+    * the single double division at the end is bit-stable.
+    */
+  def q75EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("vmin",
+        min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("cmin",
+        min(when(col("event_type") === "click" && col("us") > col("vmin"), col("us"))).over(byUser))
+      .withColumn("pmin",
+        min(when(col("event_type") === "purchase" && col("us") > col("cmin"), col("us"))).over(byUser))
+    staged
+      .groupBy(col("user_id"))
+      .agg(max(col("vmin")).as("vmin"), max(col("cmin")).as("cmin"), max(col("pmin")).as("pmin"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("vmin")).as("n_viewed"),
+        count(col("cmin")).as("n_clicked"),
+        count(col("pmin")).as("n_purchased"),
+        (sum(when(col("pmin").isNotNull, col("pmin") - col("vmin"))).cast(DoubleType) /
+          nullif(count(col("pmin")), lit(0L))).as("avg_view_to_purchase_us"))
+  }
+
+  val q75Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |                 OVER (PARTITION BY user_id) AS vmin FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > vmin THEN us END)
+      |                 OVER (PARTITION BY user_id) AS cmin FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > cmin THEN us END)
+      |                 OVER (PARTITION BY user_id) AS pmin FROM s2),
+      |u AS (SELECT user_id, max(vmin) AS vmin, max(cmin) AS cmin, max(pmin) AS pmin
+      |      FROM s3 GROUP BY 1)
+      |SELECT count(*) AS n_users, count(vmin) AS n_viewed,
+      |  count(cmin) AS n_clicked, count(pmin) AS n_purchased,
+      |  CAST(sum(CASE WHEN pmin IS NOT NULL THEN pmin - vmin END) AS DOUBLE)
+      |    / nullif(count(pmin), 0) AS avg_view_to_purchase_us
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_event_funnel"          -> (q75EventFunnel _),
     "q51_range_join"            -> (q51RangeJoin _),
     "q55_grouping_sets"         -> (q55GroupingSets _),
     "q56_range_window"          -> (q56RangeWindow _),
@@ -686,6 +740,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q75_event_funnel"          -> q75Sql,
     "q51_range_join"            -> q51Sql,
     "q55_grouping_sets"         -> q55Sql,
     "q56_range_window"          -> q56Sql,

@@ -4,7 +4,7 @@ import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, language identification, and document fingerprinting.
@@ -637,6 +637,147 @@ object TextQueries {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Tokenizer-vocabulary coverage curve: per language, the number of
+    * distinct words needed to cover 50% / 95% of all token occurrences —
+    * the statistic that sizes a tokenizer vocab (or a stopword list) for a
+    * corpus. Rank words by frequency (ties broken lexically), take the
+    * cumulative-count prefix.
+    *
+    * 100 TB shape: the only corpus-sized stage is explode → partial-agg
+    * (map-side combine collapses each partition to its local vocab before
+    * the (lang, word) shuffle). The rank/cumsum windows run over the
+    * DISTINCT vocabulary — Zipf-bounded, orders of magnitude smaller than
+    * the corpus — partitioned by lang. The 95th-percentile thresholds are
+    * integer arithmetic (`20·cum ≥ 19·tot`), not doubles, so the oracle
+    * compare is exact by construction.
+    */
+  def q73VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val ex = d.select(col("lang"), explode(tokens(normText(col("text")))).as("w"))
+    val cnt = ex.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+    val whole  = Window.partitionBy(col("lang"))
+    cnt
+      .withColumn("rk", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(byFreq))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("rk")).as("vocab_size"),
+        max(col("tot")).as("tokens_total"),
+        min(when(col("cum") * 2 >= col("tot"), col("rk"))).as("vocab_half"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("rk"))).as("vocab_p95"))
+      .orderBy(col("lang"))
+  }
+
+  val q73Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT lang, unnest($toks) AS w FROM documents),
+       |cnt AS (SELECT lang, w, count(*) AS cnt FROM tk GROUP BY 1, 2),
+       |cum AS (SELECT lang, cnt,
+       |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk,
+       |  sum(cnt)     OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS cum,
+       |  sum(cnt)     OVER (PARTITION BY lang) AS tot
+       |  FROM cnt)
+       |SELECT lang,
+       |  CAST(max(rk) AS BIGINT) AS vocab_size,
+       |  CAST(max(tot) AS BIGINT) AS tokens_total,
+       |  CAST(min(CASE WHEN cum * 2  >= tot      THEN rk END) AS BIGINT) AS vocab_half,
+       |  CAST(min(CASE WHEN cum * 20 >= tot * 19 THEN rk END) AS BIGINT) AS vocab_p95
+       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Bigram language-model scoring: train an add-one-smoothed bigram LM on
+    * the corpus itself, then score every document's average negative
+    * log-likelihood — the classic KenLM-style quality signal (junk and
+    * boilerplate score high, fluent text low), self-contained because the
+    * corpus is its own training set.
+    *
+    *   P(w2|w1) = (C(w1 w2) + 1) / (C(w1·) + V)
+    *
+    * with C(w1·) = occurrences of w1 as a bigram history and V = distinct
+    * tokens corpus-wide. Both gram streams come from ONE [[WordGrams]]
+    * kernel pass each (hex60 longs), so the model shuffles carry 8-byte
+    * keys.
+    *
+    * 100 TB shape: per-doc duplicate bigrams collapse BEFORE the model
+    * joins (groupBy (doc, history, bigram) with map-side combine), so join
+    * input is bounded by distinct-bigrams-per-doc; the two model joins are
+    * key-key shuffles on long keys (broadcastable under AQE when the Zipf
+    * head fits, a clean df-floor backoff otherwise); V folds to one
+    * broadcast row. Cross-engine float parity: each -ln P is rounded
+    * through DECIMAL(18,6) (the q66 BM25 rule — ln is 1 ulp off between
+    * engines), decimal-summed exactly, and the single final double
+    * division is bit-stable.
+    */
+  def q74BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    // referenced three times (V, model training, scoring) — materialize
+    // the gram kernel once (see docShingleHashes rationale in dedup)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.expr.WordGrams.hashedOf(toks, 1, 1).as("uh"),
+        graft.expr.WordGrams.hashedOf(toks, 2, 1).as("bh"))
+      .localCheckpoint(true)
+    val ex = base
+      .filter(size(col("bh")) > 0)
+      .select(col("doc_id"),
+        explode(zip_with(slice(col("uh"), lit(1), size(col("bh"))), col("bh"),
+          (h, b) => struct(h.as("hh"), b.as("bg")))).as("z"))
+      .select(col("doc_id"), col("z.hh").as("hh"), col("z.bg").as("bg"))
+      .groupBy(col("doc_id"), col("hh"), col("bg")).agg(count(lit(1)).as("occ"))
+    val bc = ex.groupBy(col("bg")).agg(sum(col("occ")).as("c12"))
+    val hc = ex.groupBy(col("hh")).agg(sum(col("occ")).as("ch"))
+    val vv = base.select(explode(col("uh")).as("u"))
+      .agg(countDistinct(col("u")).as("v"))
+    val nllTerm = (-log(
+        (col("c12") + lit(1)).cast(DoubleType) /
+          (col("ch").cast(DoubleType) + col("v"))))
+      .cast(DecimalType(18, 6))
+    val scored = ex
+      .join(bc, "bg").join(hc, "hh")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), (nllTerm * col("occ")).as("term"))
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("nll_dec"))
+    base
+      .select(col("doc_id"), size(col("bh")).cast("long").as("n_bigrams"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_dec").cast(DoubleType) / nullif(col("n_bigrams"), lit(0L)))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q74Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 2
+       |    THEN [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |    ELSE []::BIGINT[] END AS uh1,
+       |  CASE WHEN len(t) >= 2
+       |    THEN [('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |    ELSE []::BIGINT[] END AS bh,
+       |  [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t)+1)] AS uall
+       |  FROM tk),
+       |ex0 AS (SELECT doc_id, unnest(uh1) AS hh, unnest(bh) AS bg FROM g),
+       |ex AS (SELECT doc_id, hh, bg, count(*) AS occ FROM ex0 GROUP BY 1, 2, 3),
+       |bc AS (SELECT bg, CAST(sum(occ) AS BIGINT) AS c12 FROM ex GROUP BY 1),
+       |hc AS (SELECT hh, CAST(sum(occ) AS BIGINT) AS ch FROM ex GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT u) AS v
+       |       FROM (SELECT unnest(uall) AS u FROM g)),
+       |s AS (SELECT doc_id,
+       |  CAST(-ln(CAST(c12 + 1 AS DOUBLE) / (CAST(ch AS DOUBLE) + v)) AS DECIMAL(18,6)) * occ AS term
+       |  FROM ex JOIN bc USING (bg) JOIN hc USING (hh) CROSS JOIN vv),
+       |sc AS (SELECT doc_id, sum(term) AS nll_dec FROM s GROUP BY 1)
+       |SELECT g.doc_id, CAST(len(bh) AS BIGINT) AS n_bigrams,
+       |  CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS avg_nll
+       |FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -652,7 +793,9 @@ object TextQueries {
     "q58_pii_scrub"        -> (q58PiiScrub _),
     "q59_sequence_pack"    -> (q59SequencePack _),
     "q67_quality_gates"    -> (q67QualityGates _),
-    "q71_bigram_coverage"  -> (q71BigramCoverage _))
+    "q71_bigram_coverage"  -> (q71BigramCoverage _),
+    "q73_vocab_coverage"   -> (q73VocabCoverage _),
+    "q74_bigram_lm"        -> (q74BigramLm _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -667,5 +810,7 @@ object TextQueries {
     "q58_pii_scrub"        -> q58Sql,
     "q59_sequence_pack"    -> q59Sql,
     "q67_quality_gates"    -> q67Sql,
-    "q71_bigram_coverage"  -> q71Sql)
+    "q71_bigram_coverage"  -> q71Sql,
+    "q73_vocab_coverage"   -> q73Sql,
+    "q74_bigram_lm"        -> q74Sql)
 }
