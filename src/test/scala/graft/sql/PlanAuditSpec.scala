@@ -149,6 +149,50 @@ class PlanAuditSpec extends SparkSpec {
       s"q72: expected zero parquet scans (winnow kernel materialized once)\n$plan")
   }
 
+  test("q73 vocab coverage: corpus explode shuffles once, windows stay lang-partitioned") {
+    val plan = physical("q73_vocab_coverage")
+    // (lang, word) count exchange + the lang window exchange; the final
+    // per-lang collapse reuses the window's partitioning — a third hash
+    // exchange would mean the vocabulary re-shuffled
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2,
+      s"q73: expected exactly the count and window exchanges\n$plan")
+    // both windows are partitioned — a global (single-partition) window
+    // here would serialize the whole vocabulary through one task
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"q73: unpartitioned window\n$plan")
+  }
+
+  test("q74 bigram LM: V broadcasts as one row; the model joins are equi-joins, not nested loops") {
+    val plan = physical("q74_bigram_lm")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly the 1-row V broadcast — a second nested loop would mean a
+    // model join degenerated
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q74: a model join degenerated to a nested loop\n$plan")
+    // gram kernel is checkpointed once: scoring + V + the doc spine all
+    // read it, never the parquet scan
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q74: expected zero parquet scans (gram kernel materialized once)\n$plan")
+  }
+
+  test("q75 funnel: one user_id exchange feeds windows, collapse, and the global agg") {
+    val plan = physical("q75_event_funnel")
+    // the three stage windows + per-user collapse all share the single
+    // user_id hash exchange; the only other exchange is the global agg's
+    // SinglePartition gather
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"q75: expected exactly one user_id exchange\n$plan")
+    assert(countOccurrences(plan, "Window") >= 3, s"q75: stage windows missing\n$plan")
+  }
+
+  test("q76 incremental dedup: bucket join is an equi-join and reads the materialized kernel") {
+    val plan = physical("q76_incremental_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q76: candidate generation degenerated to an all-pairs plan\n$plan")
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q76: expected zero parquet scans (signature kernel materialized once)\n$plan")
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
