@@ -72,6 +72,44 @@ object KmvSketch {
   def approxDistinct(hashed: Column, k: Int = 256): Column =
     udaf(new KmvAggregator(k), Encoders.LONG).apply(hashed)
 
+  /** State-output variant: emits the sketch itself (a `mins` struct) so a
+    * shard/source-level aggregation can be PERSISTED and re-aggregated
+    * later without touching the raw rows — the mergeable-sketch pattern a
+    * 100 TB rollup needs (q77). Same reduce/merge as [[KmvAggregator]]. */
+  class KmvStateAggregator(k: Int) extends Aggregator[java.lang.Long, State, State] {
+    private val inner = new KmvAggregator(k)
+    override def zero: State = inner.zero
+    override def reduce(s: State, h: java.lang.Long): State = inner.reduce(s, h)
+    override def merge(a: State, b: State): State = inner.merge(a, b)
+    override def finish(s: State): State = s
+    override def bufferEncoder: Encoder[State] = Encoders.product[State]
+    override def outputEncoder: Encoder[State] = Encoders.product[State]
+  }
+
+  /** Merge-only re-aggregator: folds stored sketch states (the
+    * [[KmvStateAggregator]] output) into the estimate. Associativity of
+    * the merge is what makes the two-level cascade exact below k. */
+  class KmvMergeAggregator(k: Int) extends Aggregator[State, State, Double] {
+    private val inner = new KmvAggregator(k)
+    override def zero: State = inner.zero
+    override def reduce(s: State, in: State): State =
+      if (in == null) s else inner.merge(s, in)
+    override def merge(a: State, b: State): State = inner.merge(a, b)
+    override def finish(s: State): Double = inner.finish(s)
+    override def bufferEncoder: Encoder[State] = Encoders.product[State]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Shard sketch state of a pre-hashed long column. */
+  def sketchState(hashed: Column, k: Int = 256): Column =
+    udaf(new KmvStateAggregator(k), Encoders.LONG).apply(hashed)
+
+  /** Distinct estimate from stored sketch states ([[sketchState]] output).
+    * The single-field `State` input encoder flattens to a bare
+    * `ARRAY<BIGINT>`, so the struct's `mins` field is what feeds it. */
+  def mergeDistinct(state: Column, k: Int = 256): Column =
+    udaf(new KmvMergeAggregator(k), Encoders.product[State]).apply(state.getField("mins"))
+
   /** SQL surface: `kmv_distinct(hashed_long)` with the default k=256
     * (UDAFs can't take the sketch size as a per-row argument, so the SQL
     * name pins it). Idempotent per session, like the XmlOps UDFs. */

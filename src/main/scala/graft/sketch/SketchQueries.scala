@@ -46,9 +46,52 @@ object SketchQueries {
        |  count(DISTINCT $hSql) AS exact_distinct
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Two-level mergeable-sketch rollup: per-(source, lang) KMV sketch
+    * STATES first (the shard sketches a 100 TB pipeline persists next to
+    * each ingested shard), then a merge-ONLY re-aggregation to per-lang
+    * distinct estimates — the raw rows are touched exactly once, and the
+    * second level shuffles ≤ k longs per shard regardless of corpus size.
+    * This is the pattern that makes corpus-wide distinct counts cheap to
+    * keep fresh: re-sketch only the shards that changed, re-merge the
+    * rest from storage.
+    *
+    * Exactness contract as q57: below k=256 distincts per lang the merged
+    * sketch IS the distinct hash set (merge = sorted-set union), so the
+    * gate-scale oracle is the exact `count(DISTINCT …)`; above k the
+    * error contract is pinned by `KmvSketchSpec` (which also drives the
+    * state/merge cascade past k). The exact_distinct column shares the
+    * single hash kernel pass with the sketch level. */
+  def q77SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(spark, dir).documents
+      .select(col("source"), col("lang"), hex60(normText(col("text"))).as("h"))
+    val shard = hashed
+      .groupBy(col("source"), col("lang"))
+      .agg(KmvSketch.sketchState(col("h")).as("sk"))
+    val merged = shard
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        KmvSketch.mergeDistinct(col("sk")).as("kmv_distinct"))
+    val exact = hashed.groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    merged.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_shards"), col("kmv_distinct"), col("exact_distinct"))
+      .orderBy(col("lang"))
+  }
+
+  val q77Sql: String =
+    s"""SELECT lang,
+       |  count(DISTINCT source) AS n_shards,
+       |  CAST(count(DISTINCT $hSql) AS DOUBLE) AS kmv_distinct,
+       |  count(DISTINCT $hSql) AS exact_distinct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_kmv_distinct" -> (q57KmvDistinct _))
+    "q57_kmv_distinct" -> (q57KmvDistinct _),
+    "q77_sketch_rollup" -> (q77SketchRollup _))
 
   val oracleSql: Map[String, String] = Map(
-    "q57_kmv_distinct" -> q57Sql)
+    "q57_kmv_distinct" -> q57Sql,
+    "q77_sketch_rollup" -> q77Sql)
 }

@@ -778,6 +778,57 @@ object TextQueries {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+  /** TF-IDF keyword extraction: the top-3 terms per document by
+    * tf · ln(N/df) — the standard corpus-relative salience signal (topic
+    * tagging, index keys, weak labels). Ubiquitous terms get idf → 0 and
+    * drop out without a stopword list.
+    *
+    * 100 TB shape: the only corpus-sized stage is the (doc, term) tf
+    * aggregation (map-side combine). df derives from the tf table (one
+    * row per distinct (doc, term)), so the corpus is scanned once; the
+    * tf⋈df join keys on the term — vocab-sized build side, AQE broadcasts
+    * when the Zipf head fits; the top-3 window runs over each doc's
+    * distinct terms. Scores round through DECIMAL(18,6) (ln parity, the
+    * q66 rule), and ranking compares the rounded decimal with a term
+    * tie-break, so the cut is deterministic cross-engine.
+    */
+  def q78TfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val ex = d.select(col("doc_id"), explode(tokens(normText(col("text")))).as("w"))
+    val tf = ex.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ndocs = d.agg(count(lit(1)).as("n"))
+    val scoreDec = (col("tf").cast(DoubleType) *
+      log(col("n").cast(DoubleType) / col("df"))).cast(DecimalType(18, 6))
+    val top = Window.partitionBy(col("doc_id")).orderBy(col("score_dec").desc, col("w"))
+    tf.join(dfT, "w")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("score_dec", scoreDec)
+      .withColumn("rank", row_number().over(top).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("score_dec").cast(DoubleType).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q78Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |s AS (SELECT doc_id, w,
+       |  CAST(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / df) AS DECIMAL(18,6)) AS score
+       |  FROM tf JOIN df USING (w) CROSS JOIN n),
+       |r AS (SELECT doc_id, w, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+       |  FROM s)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rank, w AS term,
+       |  CAST(score AS DOUBLE) AS tfidf
+       |FROM r WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -795,7 +846,8 @@ object TextQueries {
     "q67_quality_gates"    -> (q67QualityGates _),
     "q71_bigram_coverage"  -> (q71BigramCoverage _),
     "q73_vocab_coverage"   -> (q73VocabCoverage _),
-    "q74_bigram_lm"        -> (q74BigramLm _))
+    "q74_bigram_lm"        -> (q74BigramLm _),
+    "q78_tfidf_keywords"   -> (q78TfidfKeywords _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -812,5 +864,6 @@ object TextQueries {
     "q67_quality_gates"    -> q67Sql,
     "q71_bigram_coverage"  -> q71Sql,
     "q73_vocab_coverage"   -> q73Sql,
-    "q74_bigram_lm"        -> q74Sql)
+    "q74_bigram_lm"        -> q74Sql,
+    "q78_tfidf_keywords"   -> q78Sql)
 }

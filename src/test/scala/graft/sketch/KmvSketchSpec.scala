@@ -97,5 +97,36 @@ class KmvSketchSpec extends SparkSpec {
     }
   }
 
+  test("state/merge cascade: two-level rollup tracks the one-level estimate past k") {
+    // shard by order priority, sketch each shard, then merge ONLY the
+    // stored states — must equal the single-level estimate over the same
+    // rows (the sketch of a union is the merge of the sketches), at a
+    // cardinality (~1k custkeys) well past k=64
+    val t = Tables_orders
+      .select(col("o_orderpriority").as("shard"),
+        graft.text.TextOps.hex60(col("o_custkey").cast("string")).as("h"))
+    val oneLevel = t.select(KmvSketch.approxDistinct(col("h"), 64).as("d"))
+      .head().getDouble(0)
+    val twoLevel = t.groupBy(col("shard"))
+      .agg(KmvSketch.sketchState(col("h"), 64).as("sk"))
+      .select(KmvSketch.mergeDistinct(col("sk"), 64).as("d"))
+      .head().getDouble(0)
+    assert(twoLevel == oneLevel, s"cascade broke associativity: $twoLevel != $oneLevel")
+    val exact = Tables_orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(exact > 64, "test must exercise the past-k regime")
+    assert(math.abs(twoLevel - exact) / exact.toDouble <= 0.5)
+  }
+
+  test("q77 declared query: merged shard sketches equal the exact count below k") {
+    val rows = SketchQueries.q77SketchRollup(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct")
+      assert(r.getAs[Double]("kmv_distinct") == exact.toDouble,
+        s"lang=${r.getAs[String]("lang")}: merged sketch not exact below k")
+      assert(r.getAs[Long]("n_shards") >= 1)
+    }
+  }
+
   private def Tables_orders = graft.sql.Tables(spark, Sf0001).orders
 }
