@@ -829,6 +829,47 @@ object TextQueries {
        |FROM r WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q79
+  /** Temperature-scaled mixture sampling weights: per-source token counts
+    * reweighted by w_s ∝ tokens_s^0.5 (α = 0.5 — the Pile/LLaMA-style
+    * rebalancing that upsamples small high-quality sources), plus the
+    * per-source epoch count a 1M-token budget implies (epochs > 1 =
+    * upsampled source).
+    *
+    * 100 TB shape: one narrow token-count pass with map-side combine into
+    * a source-cardinality aggregate; everything after the per-source
+    * collapse is O(#sources). Parity: sqrt is correctly rounded in IEEE
+    * 754 (both engines bit-equal), each sqrt rounds through
+    * DECIMAL(18,6), and the normalizer is a DECIMAL sum — exact and
+    * summation-ORDER-free, which a double sum across groups would not be.
+    */
+  def q79MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(sum(nTokens(col("text")).cast("long")).as("tokens"))
+      .withColumn("sqrt_dec",
+        sqrt(col("tokens").cast(DoubleType)).cast(DecimalType(18, 6)))
+    val tot = perSource.agg(sum(col("sqrt_dec")).as("tot_dec"))
+    val weight = col("sqrt_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType)
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        weight.as("weight"),
+        (weight * lit(1000000.0) / col("tokens")).as("epochs_at_1m"))
+      .orderBy(col("source"))
+  }
+
+  val q79Sql: String =
+    s"""WITH t AS (SELECT source,
+       |    CAST(sum(${nTokensSql("text")}) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (SELECT source, tokens,
+       |    CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sd FROM t),
+       |g AS (SELECT sum(sd) AS tot FROM s)
+       |SELECT source, tokens,
+       |  CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+       |  CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 / tokens AS epochs_at_1m
+       |FROM s, g ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -847,7 +888,8 @@ object TextQueries {
     "q71_bigram_coverage"  -> (q71BigramCoverage _),
     "q73_vocab_coverage"   -> (q73VocabCoverage _),
     "q74_bigram_lm"        -> (q74BigramLm _),
-    "q78_tfidf_keywords"   -> (q78TfidfKeywords _))
+    "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
+    "q79_mixture_weights"  -> (q79MixtureWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -865,5 +907,6 @@ object TextQueries {
     "q71_bigram_coverage"  -> q71Sql,
     "q73_vocab_coverage"   -> q73Sql,
     "q74_bigram_lm"        -> q74Sql,
-    "q78_tfidf_keywords"   -> q78Sql)
+    "q78_tfidf_keywords"   -> q78Sql,
+    "q79_mixture_weights"  -> q79Sql)
 }

@@ -49,6 +49,24 @@ class LmVocabSpec extends SparkSpec {
     assert(scoredDocs > 0)
   }
 
+  test("q79: weights form a distribution; upsampling inverts token mass") {
+    val rows = TextQueries.q79MixtureWeights(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ws = rows.map(r => r.getDouble(r.fieldIndex("weight")))
+    assert(math.abs(ws.sum - 1.0) < 1e-9, s"weights sum to ${ws.sum}")
+    ws.foreach(w => assert(w > 0.0 && w < 1.0))
+    // α = 0.5 flattens the mixture: the smallest source must get MORE than
+    // its proportional share, the largest less
+    val byTokens = rows.sortBy(r => r.getLong(r.fieldIndex("tokens")))
+    val total = byTokens.map(r => r.getLong(r.fieldIndex("tokens"))).sum.toDouble
+    val small = byTokens.head
+    val large = byTokens.last
+    assert(small.getDouble(small.fieldIndex("weight")) >=
+      small.getLong(small.fieldIndex("tokens")) / total)
+    assert(large.getDouble(large.fieldIndex("weight")) <=
+      large.getLong(large.fieldIndex("tokens")) / total)
+  }
+
   test("q74: a doc made of the corpus's own repeated bigram scores lower than junk") {
     // All docs scored by the same corpus model: the most-frequent-bigram
     // doc must be more probable (lower NLL) than the corpus max.
