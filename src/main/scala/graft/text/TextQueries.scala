@@ -870,6 +870,36 @@ object TextQueries {
        |  CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 / tokens AS epochs_at_1m
        |FROM s, g ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** JSONL export formatting — the interchange format every LLM training
+    * stack ingests. One narrow pass: each doc serializes to a compact
+    * single-line JSON object with a FIXED field order (to_json follows
+    * struct field order in both engines) plus the line's md5 — the
+    * manifest digest a 100 TB export writes next to each shard so
+    * downstream consumers can verify integrity without re-reading. The
+    * cross-engine oracle proves the export is byte-identical to DuckDB's
+    * to_json of the same struct (same key order, spacing, and escaping).
+    */
+  def q80JsonlExport(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text")))
+          .as("jsonl"))
+      .select(col("doc_id"), col("jsonl"),
+        length(col("jsonl")).cast("long").as("n_chars"),
+        md5(col("jsonl")).as("line_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80Sql: String =
+    """WITH j AS (SELECT doc_id,
+      |    to_json(struct_pack(doc_id := doc_id, lang := lang,
+      |                        source := source, text := text)) AS jsonl
+      |  FROM documents)
+      |SELECT doc_id, jsonl, CAST(length(jsonl) AS BIGINT) AS n_chars,
+      |  md5(jsonl) AS line_md5
+      |FROM j ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -889,7 +919,8 @@ object TextQueries {
     "q73_vocab_coverage"   -> (q73VocabCoverage _),
     "q74_bigram_lm"        -> (q74BigramLm _),
     "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
-    "q79_mixture_weights"  -> (q79MixtureWeights _))
+    "q79_mixture_weights"  -> (q79MixtureWeights _),
+    "q80_jsonl_export"     -> (q80JsonlExport _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -908,5 +939,6 @@ object TextQueries {
     "q73_vocab_coverage"   -> q73Sql,
     "q74_bigram_lm"        -> q74Sql,
     "q78_tfidf_keywords"   -> q78Sql,
-    "q79_mixture_weights"  -> q79Sql)
+    "q79_mixture_weights"  -> q79Sql,
+    "q80_jsonl_export"     -> q80Sql)
 }
