@@ -29,6 +29,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
       // read it as raw long nanos and convert at the scan (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // this VM exhibits multi-minute whole-machine I/O stalls; the default
+      // 120 s heartbeat window marks the (only) local executor dead and
+      // wedges the scheduler mid-run. On a real cluster you would keep the
+      // defaults and let the driver reschedule — in single-JVM local mode
+      // there is nothing to reschedule onto, so wait the stall out.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
 
   /** Get-or-create with defaults; used by tests and the local tools. */
   def get(master: String = "local[4]"): SparkSession = {

@@ -746,9 +746,37 @@ object DedupQueries {
        |SELECT ida AS new_doc_id, idb AS dup_of, jaccard
        |FROM r WHERE rk = 1 ORDER BY new_doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Per-source duplicate-rate rollup — the data-card statistic that says
+    * which ingest sources are redundant (a crawl with dup_rate 0.4 gets
+    * deduped or down-weighted before training). Same content key as q19
+    * (md5 of normalized text): the shuffle carries (source, digest), the
+    * per-source distinct count partial-aggregates map-side, and the two
+    * final double ops (one division, one subtraction) are bit-stable
+    * cross-engine. */
+  def q81DupStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .select(col("source"), md5(normText(col("text"))).as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (lit(1.0) - countDistinct(col("h")).cast(DoubleType) / count(lit(1)))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  val q81Sql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))))) AS n_distinct,
+       |  1.0 - CAST(count(DISTINCT md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))))) AS DOUBLE)
+       |    / count(*) AS dup_rate
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_dup_stats"           -> (q81DupStats _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
     "q61_repetition"          -> (q61Repetition _),
@@ -764,6 +792,7 @@ object DedupQueries {
     "q72_winnow_pairs"        -> (q72WinnowPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q81_dup_stats"           -> q81Sql,
     "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,
     "q61_repetition"          -> q61Sql,

@@ -900,6 +900,31 @@ object TextQueries {
       |  md5(jsonl) AS line_md5
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Log₂-bucketed document-length histogram per language — the data-card
+    * length distribution (tokenizer batch sizing, truncation-rate
+    * estimates). The bucket is `length(bin(n_chars))` = ⌊log₂ n⌋ + 1,
+    * INTEGER-exact in both engines — a float `floor(log2(x))` would sit a
+    * ulp below an integer at exact powers of two and mis-bucket. One
+    * narrow pass into a (lang × ~30 buckets)-cardinality aggregate. */
+  def q82LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .groupBy(col("lang"),
+        length(bin(col("n_chars"))).cast("long").as("log2_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("log2_bucket"))
+  }
+
+  val q82Sql: String =
+    """SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS log2_bucket,
+      |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, log2_bucket""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -920,7 +945,8 @@ object TextQueries {
     "q74_bigram_lm"        -> (q74BigramLm _),
     "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
     "q79_mixture_weights"  -> (q79MixtureWeights _),
-    "q80_jsonl_export"     -> (q80JsonlExport _))
+    "q80_jsonl_export"     -> (q80JsonlExport _),
+    "q82_length_histogram" -> (q82LengthHistogram _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -940,5 +966,6 @@ object TextQueries {
     "q74_bigram_lm"        -> q74Sql,
     "q78_tfidf_keywords"   -> q78Sql,
     "q79_mixture_weights"  -> q79Sql,
-    "q80_jsonl_export"     -> q80Sql)
+    "q80_jsonl_export"     -> q80Sql,
+    "q82_length_histogram" -> q82Sql)
 }
