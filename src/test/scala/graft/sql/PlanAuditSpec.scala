@@ -193,6 +193,30 @@ class PlanAuditSpec extends SparkSpec {
       s"q76: expected zero parquet scans (signature kernel materialized once)\n$plan")
   }
 
+  test("q78 TF-IDF: only the 1-row N broadcast is non-equi; df join never nests") {
+    val plan = physical("q78_tfidf_keywords")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q78: the tf-df join degenerated\n$plan")
+  }
+
+  test("q80/q82 export and histogram stay single-narrow-pass (no hash shuffle beyond the agg)") {
+    // q80 is a pure projection: the only exchange is the presentation sort
+    val p80 = physical("q80_jsonl_export")
+    assert(!p80.contains("Exchange hashpartitioning"), s"q80: unexpected shuffle\n$p80")
+    // q82 aggregates into (lang × bucket) cardinality: exactly one hash
+    // exchange (the agg), plus the sort
+    val p82 = physical("q82_length_histogram")
+    assert(countOccurrences(p82, "Exchange hashpartitioning") == 1,
+      s"q82: expected only the aggregation exchange\n$p82")
+  }
+
+  test("q82 scan prunes to (lang, n_chars) — never reads text") {
+    val plan = physical("q82_length_histogram")
+    assert(plan.contains("ReadSchema: struct<lang:string,n_chars:bigint>"),
+      s"q82: column pruning regressed\n$plan")
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
