@@ -386,7 +386,88 @@ object SimilarityQueries {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q83
+  /** Per-label dispersion vs separation — the embedding-space quality
+    * card (a Davies–Bouldin-flavored diagnostic): within-class variance
+    * (trace of the per-dim variances around q68's centroid) against the
+    * squared distance to the NEAREST other centroid. ratio ≫ 1 means the
+    * classes overlap; drift monitoring watches this per ingest batch.
+    *
+    * Determinism at any scale, same playbook as q68: per-dim x and x²
+    * accumulate in fixed point (DECIMAL(38,0) of floor(x·2³⁰) /
+    * floor(x²·2³⁰)), so partial aggregation is associative; per-dim
+    * variances then round through DECIMAL(18,12) and decimal-sum into the
+    * trace (order-free); centroid separations round per-dim the same way.
+    * The label×label separation table is tiny (labels², computed from the
+    * bit-exact centroids) and never touches the corpus — one scan total.
+    */
+  def q83EmbeddingDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"),
+        floor(col("x").cast(DoubleType) * col("x").cast(DoubleType) * lit(FpScale))
+          .cast("decimal(38,0)").as("q2"))
+    val perDim = ex.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"), sum(col("q2")).as("s2"))
+      .select(col("label"), col("dim"), col("n"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale)))
+          .as("centroid"),
+        (col("s2").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale)) -
+          (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))) *
+          (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))))
+          .as("var_dim"))
+    val disp = perDim.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        sum(col("var_dim").cast("decimal(18,12)")).as("trace_dec"))
+    val sep = perDim.select(col("label").as("la"), col("dim"), col("centroid").as("ca"))
+      .join(perDim.select(col("label").as("lb"), col("dim"), col("centroid").as("cb")),
+        Seq("dim"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .cast("decimal(18,12)")).as("sep_dec"))
+      .groupBy(col("la"))
+      .agg(min(col("sep_dec").cast(DoubleType)).as("min_sep2"))
+    disp.join(sep, col("label") === col("la"))
+      .select(col("label"), col("n_vectors"),
+        col("trace_dec").cast(DoubleType).as("trace_var"),
+        col("min_sep2"),
+        (col("trace_dec").cast(DoubleType) / col("min_sep2")).as("overlap_ratio"))
+      .orderBy(col("label"))
+  }
+
+  val q83Sql: String =
+    """WITH ex AS (
+      |  SELECT label,
+      |    unnest([{'d': i,
+      |             'q':  CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0)),
+      |             'q2': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
+      |            for i in range(0, len(embedding))]) AS u
+      |  FROM embeddings),
+      |g AS (SELECT label, u.d AS dim, count(*) AS n, sum(u.q) AS s, sum(u.q2) AS s2
+      |      FROM ex GROUP BY 1, 2),
+      |pd AS (SELECT label, dim, n,
+      |        CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) AS centroid,
+      |        CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0) -
+      |          (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)) *
+      |          (CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1073741824.0)) AS var_dim
+      |      FROM g),
+      |disp AS (SELECT label, max(n) AS n_vectors,
+      |           sum(CAST(var_dim AS DECIMAL(18,12))) AS trace_dec
+      |         FROM pd GROUP BY 1),
+      |sep AS (SELECT a.label AS la, min(CAST(sep_dec AS DOUBLE)) AS min_sep2
+      |        FROM (SELECT a.label, b.label AS lb,
+      |                sum(CAST((a.centroid - b.centroid) * (a.centroid - b.centroid) AS DECIMAL(18,12))) AS sep_dec
+      |              FROM pd a JOIN pd b ON a.dim = b.dim AND a.label <> b.label
+      |              GROUP BY 1, 2) a
+      |        GROUP BY 1)
+      |SELECT label, n_vectors, CAST(trace_dec AS DOUBLE) AS trace_var, min_sep2,
+      |  CAST(trace_dec AS DOUBLE) / min_sep2 AS overlap_ratio
+      |FROM disp JOIN sep ON label = la ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_embedding_dispersion" -> (q83EmbeddingDispersion _),
     "q24_sim_cosine_topk"    -> (q24CosineTopK _),
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
@@ -397,6 +478,7 @@ object SimilarityQueries {
 
   /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
+    "q83_embedding_dispersion" -> q83Sql,
     "q24_sim_cosine_topk"    -> q24Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,

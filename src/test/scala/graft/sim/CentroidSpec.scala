@@ -53,6 +53,27 @@ class CentroidSpec extends SparkSpec {
     }
   }
 
+  test("q83: dispersion and separation are positive; ratio is their quotient; partition-invariant") {
+    val rows = SimilarityQueries.q83EmbeddingDispersion(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val trace = r.getDouble(r.fieldIndex("trace_var"))
+      val sep = r.getDouble(r.fieldIndex("min_sep2"))
+      val ratio = r.getDouble(r.fieldIndex("overlap_ratio"))
+      assert(trace > 0.0 && sep > 0.0)
+      assert(ratio == trace / sep)
+      assert(r.getLong(r.fieldIndex("n_vectors")) > 0)
+    }
+    // fixed-point accumulation ⇒ bit-identical under a different shuffle
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val b =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        SimilarityQueries.q83EmbeddingDispersion(spark, Sf0001).collect()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(rows.toSeq == b.toSeq)
+  }
+
   test("q68 is bit-identical under a different partitioning") {
     val a = SimilarityQueries.q68EmbeddingCentroids(spark, Sf0001).collect().toSeq
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
