@@ -714,7 +714,52 @@ object RelationalQueries {
       |    / nullif(count(pmin), 0) AS avg_view_to_purchase_us
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Shuffle-key skew diagnosis card — the prepass a 100 TB join/agg
+    * planner runs BEFORE committing to a shuffle key: per candidate key,
+    * the distinct-key count, the heaviest key's row count and share, and
+    * the top-to-mean ratio that decides whether the plain shuffle is safe
+    * (ratio ≈ 1), AQE's skew-join split suffices (moderate), or the q46
+    * salting pattern is required (ratio ≫ #partitions). Each key's stats
+    * are one map-side-combined count aggregation (the same work the real
+    * shuffle would do, minus the data movement) collapsed to a single
+    * row; the card is the union of those rows. All ratios are single
+    * double divisions over exact longs — bit-stable cross-engine. */
+  def q84SkewCard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def card(df: DataFrame, table: String, key: String): DataFrame =
+      df.select(col(key).cast("string").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("top_cnt"))
+        .select(
+          lit(s"$table.$key").as("shuffle_key"),
+          col("n_rows"), col("n_keys"), col("top_cnt"),
+          (col("top_cnt").cast(DoubleType) / col("n_rows")).as("top_share"),
+          (col("top_cnt").cast(DoubleType) * col("n_keys") / col("n_rows"))
+            .as("top_to_mean"))
+    card(t.events, "events", "user_id")
+      .unionByName(card(t.documents, "documents", "lang"))
+      .unionByName(card(t.documents, "documents", "source"))
+      .unionByName(card(t.lineitem, "lineitem", "l_orderkey"))
+      .orderBy(col("shuffle_key"))
+  }
+
+  val q84Sql: String = {
+    def card(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS shuffle_key,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |  CAST(max(cnt) AS BIGINT) AS top_cnt,
+         |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_share,
+         |  CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS top_to_mean
+         |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS cnt FROM $table GROUP BY 1)""".stripMargin
+    Seq(card("events", "user_id"), card("documents", "lang"),
+      card("documents", "source"), card("lineitem", "l_orderkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_skew_card"             -> (q84SkewCard _),
     "q75_event_funnel"          -> (q75EventFunnel _),
     "q51_range_join"            -> (q51RangeJoin _),
     "q55_grouping_sets"         -> (q55GroupingSets _),
@@ -740,6 +785,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q84_skew_card"             -> q84Sql,
     "q75_event_funnel"          -> q75Sql,
     "q51_range_join"            -> q51Sql,
     "q55_grouping_sets"         -> q55Sql,
