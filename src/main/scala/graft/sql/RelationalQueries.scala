@@ -758,7 +758,57 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY shuffle_key")
   }
 
+  // ---------------------------------------------------------------- q85
+  /** Last-touch attribution: every purchase's `value` is credited to the
+    * most recent at-or-before event of any other type by the same user
+    * (`none` when the purchase is the user's first event) — the
+    * engagement-attribution rollup behind "which surface drives
+    * conversions".
+    *
+    * Same single-shuffle shape as the q14 as-of join: union both event
+    * roles, ONE window per user ordered by (time, role, event_id) with a
+    * running ignore-nulls `last` — no per-purchase subquery, no range
+    * join. Purchase values round to DECIMAL(18,6) per ROW, so the
+    * per-type sums are exact and summation-order-free cross-engine. */
+  def q85Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        lit(1).as("is_left"), lit(null).cast("string").as("src_type"),
+        col("value").cast(DecimalType(18, 6)).as("val_dec"))
+    val others = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        lit(0).as("is_left"), col("event_type").as("src_type"),
+        lit(null).cast(DecimalType(18, 6)).as("val_dec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(others)
+      .withColumn("attr_type", last(col("src_type"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .groupBy(coalesce(col("attr_type"), lit("none")).as("attributed_to"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("val_dec")).as("value_dec"))
+      .select(col("attributed_to"), col("n_purchases"),
+        col("value_dec").cast(DoubleType).as("attributed_value"))
+      .orderBy(col("attributed_to"))
+  }
+
+  val q85Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_left,
+      |    CASE WHEN event_type <> 'purchase' THEN event_type END AS src_type,
+      |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END AS val_dec
+      |  FROM events),
+      |a AS (SELECT *, last_value(src_type IGNORE NULLS) OVER (
+      |        PARTITION BY user_id ORDER BY us, is_left, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_type
+      |      FROM e)
+      |SELECT coalesce(attr_type, 'none') AS attributed_to, count(*) AS n_purchases,
+      |  CAST(sum(val_dec) AS DOUBLE) AS attributed_value
+      |FROM a WHERE is_left = 1 GROUP BY 1 ORDER BY attributed_to""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_attribution"           -> (q85Attribution _),
     "q84_skew_card"             -> (q84SkewCard _),
     "q75_event_funnel"          -> (q75EventFunnel _),
     "q51_range_join"            -> (q51RangeJoin _),
@@ -785,6 +835,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q85_attribution"           -> q85Sql,
     "q84_skew_card"             -> q84Sql,
     "q75_event_funnel"          -> q75Sql,
     "q51_range_join"            -> q51Sql,
