@@ -773,9 +773,34 @@ object DedupQueries {
        |    / count(*) AS dup_rate
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Duplicate-cluster size distribution — how redundancy is SHAPED: many
+    * 2-dup clusters (benign boilerplate) vs a few huge ones (a mirror or
+    * crawler loop; at 100 TB the giant cluster is also the groupBy skew
+    * key the q84 card would flag). Two cascaded digest-keyed
+    * aggregations, both map-side combinable; output is bounded by the
+    * largest cluster size. */
+  def q87DupSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .select(md5(normText(col("text"))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val q87Sql: String =
+    s"""WITH g AS (SELECT md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS h,
+       |  count(*) AS cluster_size FROM documents GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+       |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_dup_size_histogram"  -> (q87DupSizeHistogram _),
     "q81_dup_stats"           -> (q81DupStats _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
@@ -792,6 +817,7 @@ object DedupQueries {
     "q72_winnow_pairs"        -> (q72WinnowPairs _))
 
   val oracleSql: Map[String, String] = Map(
+    "q87_dup_size_histogram"  -> q87Sql,
     "q81_dup_stats"           -> q81Sql,
     "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,

@@ -925,6 +925,37 @@ object TextQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY lang, log2_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Per-source language-mix entropy — the data-card diversity statistic
+    * (a monolingual crawl scores 0; a uniform 5-language mix ln 5 ≈ 1.61).
+    * One corpus pass collapses to (source × lang) counts; the entropy
+    * window runs over that tiny table. Parity: each p·ln p term rounds
+    * through DECIMAL(18,12) (ln is 1 ulp off cross-engine) and the
+    * per-source sum is an exact, order-free decimal sum. */
+  def q86LangEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir).documents
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+    val p = col("c").cast(DoubleType) / col("tot")
+    cnt
+      .withColumn("tot", sum(col("c")).over(bySrc))
+      .withColumn("term", (p * log(p)).cast(DecimalType(18, 12)))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_docs"), count(lit(1)).as("n_langs"),
+        (-sum(col("term"))).cast(DoubleType).as("lang_entropy"))
+      .orderBy(col("source"))
+  }
+
+  val q86Sql: String =
+    """WITH cnt AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      |t AS (SELECT source, c, sum(c) OVER (PARTITION BY source) AS tot FROM cnt),
+      |s AS (SELECT source, tot,
+      |  CAST(CAST(c AS DOUBLE) / tot * ln(CAST(c AS DOUBLE) / tot) AS DECIMAL(18,12)) AS term
+      |  FROM t)
+      |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs, count(*) AS n_langs,
+      |  CAST(-sum(term) AS DOUBLE) AS lang_entropy
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -946,7 +977,8 @@ object TextQueries {
     "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
     "q79_mixture_weights"  -> (q79MixtureWeights _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
-    "q82_length_histogram" -> (q82LengthHistogram _))
+    "q82_length_histogram" -> (q82LengthHistogram _),
+    "q86_lang_entropy"     -> (q86LangEntropy _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -967,5 +999,6 @@ object TextQueries {
     "q78_tfidf_keywords"   -> q78Sql,
     "q79_mixture_weights"  -> q79Sql,
     "q80_jsonl_export"     -> q80Sql,
-    "q82_length_histogram" -> q82Sql)
+    "q82_length_histogram" -> q82Sql,
+    "q86_lang_entropy"     -> q86Sql)
 }
