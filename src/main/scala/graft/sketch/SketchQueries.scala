@@ -3,6 +3,7 @@ package graft.sketch
 import graft.sql.Tables
 import graft.text.TextOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declared sketch queries — the approximate-distinct surface a 100 TB
@@ -87,11 +88,57 @@ object SketchQueries {
        |  count(DISTINCT $hSql) AS exact_distinct
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Rolling 7-day active users (WAU) from DAILY sketches — the canonical
+    * mergeable-sketch deployment: a trailing-window distinct is NOT
+    * decomposable from per-day exact counts (users repeat across days),
+    * so the naive form re-deduplicates raw events per window. Here each
+    * day folds once into a ≤k-long KMV state and the trailing window
+    * merges 7 STATES per day — the raw corpus is touched once, and the
+    * window input is day-cardinality, not event-cardinality. The daily
+    * exact DAU rides along from the same single pass.
+    *
+    * Exactness contract as q57/q77: below k=256 distinct users per
+    * trailing window the merged sketch is the exact distinct set, so the
+    * gate-scale oracle is exact; past k, `KmvSketchSpec`'s cascade test
+    * covers the estimator. The global (unpartitioned) day window is
+    * deliberate: its input is one row per day. */
+  def q88RollingActives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(to_date(col("ts")).as("day"),
+        hex60(col("user_id").cast("string")).as("uh"))
+    val daily = e.groupBy(col("day"))
+      .agg(countDistinct(col("uh")).as("dau"),
+        KmvSketch.sketchState(col("uh")).as("sk"))
+      .withColumn("day_i", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val trailing = Window.orderBy(col("day_i")).rangeBetween(-6, 0)
+    daily
+      .withColumn("wau_kmv", KmvSketch.mergeDistinct(col("sk")).over(trailing))
+      // day as STRING: pandas renders engine-native dates differently
+      // (datetime64 vs date) even when equal — the ISO string is canonical
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau_kmv"))
+      .orderBy(col("day"))
+  }
+
+  private val uhSql = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+  val q88Sql: String =
+    s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, $uhSql AS uh FROM events),
+       |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+       |w AS (SELECT d.day, count(DISTINCT du.uh) AS wau
+       |      FROM (SELECT DISTINCT day FROM du) d
+       |      JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+       |      GROUP BY 1)
+       |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, CAST(w.wau AS DOUBLE) AS wau_kmv
+       |FROM dau JOIN w ON dau.day = w.day ORDER BY dau.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_kmv_distinct" -> (q57KmvDistinct _),
-    "q77_sketch_rollup" -> (q77SketchRollup _))
+    "q77_sketch_rollup" -> (q77SketchRollup _),
+    "q88_rolling_actives" -> (q88RollingActives _))
 
   val oracleSql: Map[String, String] = Map(
     "q57_kmv_distinct" -> q57Sql,
-    "q77_sketch_rollup" -> q77Sql)
+    "q77_sketch_rollup" -> q77Sql,
+    "q88_rolling_actives" -> q88Sql)
 }
