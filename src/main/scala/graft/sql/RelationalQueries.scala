@@ -807,7 +807,51 @@ object RelationalQueries {
       |  CAST(sum(val_dec) AS DOUBLE) AS attributed_value
       |FROM a WHERE is_left = 1 GROUP BY 1 ORDER BY attributed_to""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Join-cardinality estimation vs actual — the CBO-validation card: the
+    * exact join output size is Σ_key cnt_a(key)·cnt_b(key), computable
+    * from the two per-key count tables WITHOUT materializing the join.
+    * At 100 TB this per-key-histogram product is the cheap prepass that
+    * decides whether a join is safe to run at all (and is exactly what a
+    * cost model's ndv-based estimate approximates — here both the exact
+    * prediction and the measured row count are emitted side by side, plus
+    * the row-expansion factor).
+    *
+    * Shapes: two map-side-combined count aggs (key-cardinality outputs),
+    * an equi-join between them (key-cardinality, not row-cardinality),
+    * and the actual join count for the audit column. Integer arithmetic
+    * throughout except the final expansion ratio (one double division). */
+  def q89JoinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ca = t.orders.groupBy(col("o_orderkey").as("key"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = t.lineitem.groupBy(col("l_orderkey").as("key"))
+      .agg(count(lit(1)).as("cb"))
+    val est = ca.join(cb, "key")
+      .agg(sum(col("ca") * col("cb")).as("predicted_rows"),
+        count(lit(1)).as("matching_keys"))
+    val actual = t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(actual)
+      .select(col("matching_keys"), col("predicted_rows"), col("actual_rows"),
+        (col("actual_rows").cast(DoubleType) / col("matching_keys"))
+          .as("rows_per_key"))
+  }
+
+  val q89Sql: String =
+    """WITH ca AS (SELECT o_orderkey AS key, count(*) AS ca FROM orders GROUP BY 1),
+      |cb AS (SELECT l_orderkey AS key, count(*) AS cb FROM lineitem GROUP BY 1),
+      |est AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS predicted_rows,
+      |               count(*) AS matching_keys
+      |        FROM ca JOIN cb USING (key)),
+      |act AS (SELECT count(*) AS actual_rows
+      |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT matching_keys, predicted_rows, actual_rows,
+      |  CAST(actual_rows AS DOUBLE) / matching_keys AS rows_per_key
+      |FROM est, act""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
     "q84_skew_card"             -> (q84SkewCard _),
     "q75_event_funnel"          -> (q75EventFunnel _),
@@ -835,6 +879,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q89_join_cardinality"      -> q89Sql,
     "q85_attribution"           -> q85Sql,
     "q84_skew_card"             -> q84Sql,
     "q75_event_funnel"          -> q75Sql,
