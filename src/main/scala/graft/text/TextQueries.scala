@@ -956,6 +956,44 @@ object TextQueries {
       |  CAST(-sum(term) AS DOUBLE) AS lang_entropy
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** JSONL round-trip: q80 proves the engine WRITES the interchange
+    * format byte-exactly; this proves it READS it back losslessly —
+    * serialize each doc to a JSONL line, re-parse with a typed schema
+    * (`from_json`), and count field-exact recoveries. A training stack
+    * that exports through q80 and re-ingests through this path loses
+    * nothing. One narrow pass (serialize + parse live in the same
+    * projection), collapsing to a single audit row. */
+  def q90JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Tables(spark, dir).documents
+      .withColumn("line",
+        to_json(struct(col("doc_id"), col("lang"), col("source"), col("text"))))
+      .withColumn("r", from_json(col("line"), schema))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(
+          col("r.doc_id") === col("doc_id") && col("r.lang") === col("lang") &&
+            col("r.source") === col("source") && col("r.text") === col("text"),
+          1)).as("n_lossless"))
+  }
+
+  val q90Sql: String =
+    """WITH j AS (SELECT doc_id, lang, source, text,
+      |    to_json(struct_pack(doc_id := doc_id, lang := lang,
+      |                        source := source, text := text)) AS line
+      |  FROM documents)
+      |SELECT count(*) AS n_lines,
+      |  count(CASE WHEN CAST(json_extract_string(line, '$.doc_id') AS BIGINT) = doc_id
+      |         AND json_extract_string(line, '$.lang') = lang
+      |         AND json_extract_string(line, '$.source') = source
+      |         AND json_extract_string(line, '$.text') = text THEN 1 END) AS n_lossless
+      |FROM j""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -978,7 +1016,8 @@ object TextQueries {
     "q79_mixture_weights"  -> (q79MixtureWeights _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
-    "q86_lang_entropy"     -> (q86LangEntropy _))
+    "q86_lang_entropy"     -> (q86LangEntropy _),
+    "q90_jsonl_roundtrip"  -> (q90JsonlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -1000,5 +1039,6 @@ object TextQueries {
     "q79_mixture_weights"  -> q79Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
-    "q86_lang_entropy"     -> q86Sql)
+    "q86_lang_entropy"     -> q86Sql,
+    "q90_jsonl_roundtrip"  -> q90Sql)
 }
