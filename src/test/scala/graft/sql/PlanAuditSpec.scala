@@ -217,6 +217,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q82: column pruning regressed\n$plan")
   }
 
+  test("q85 attribution: the union window shuffles on user_id once; no nested loop") {
+    val plan = physical("q85_attribution")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // one user_id exchange for the window + one for the attributed_to
+    // collapse — a third would mean the union re-shuffled
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 2,
+      s"q85: expected the window and collapse exchanges only\n$plan")
+  }
+
+  test("q88 rolling actives: one event-cardinality exchange; the trailing merge runs over day rows") {
+    val plan = physical("q88_rolling_actives")
+    // the daily agg is the only hash exchange over event-scale data; the
+    // trailing-window merge input is one row per day (its global window
+    // single-partition gather is deliberate and tiny)
+    assert(countOccurrences(plan, "Exchange hashpartitioning") <= 2,
+      s"q88: the sketch window must not re-shuffle events\n$plan")
+  }
+
+  test("q89 join-cardinality: the estimate side joins key histograms, never raw rows") {
+    val plan = physical("q89_join_cardinality")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the est⋈act combine is a 1-row cross — exactly one BNLJ
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1, plan)
+  }
+
   test("dedup pair pipelines read the materialized shingle/simhash kernel, not repeated document scans") {
     // candidate generation + both verify sides reference the ONE
     // localCheckpoint'd kernel — if the checkpoint is dropped, the kernel
