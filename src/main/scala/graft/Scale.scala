@@ -32,10 +32,11 @@ object Scale {
   private val Queries = Seq(
     "q19_dedup_exact", "q51_range_join", "q57_kmv_distinct", "q60_decontaminate",
     "q66_bm25_search", "q69_substring_dedup", "q71_bigram_coverage",
-    // round-7 additions: vocab/LM/funnel are aggregation-shaped (no pair
-    // fan-out) so the replica is an honest stress; q76 stays excluded
-    // with the other pair queries (see scaladoc above)
-    "q73_vocab_coverage", "q74_bigram_lm", "q75_event_funnel")
+    // round-7 additions: vocab/LM/funnel/TF-IDF are aggregation-shaped
+    // (no pair fan-out) so the replica is an honest stress; q76 stays
+    // excluded with the other pair queries (see scaladoc above)
+    "q73_vocab_coverage", "q74_bigram_lm", "q75_event_funnel",
+    "q78_tfidf_keywords")
 
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
     val done = new java.io.File(s"$out/_BUILT")
