@@ -994,6 +994,63 @@ object TextQueries {
       |         AND json_extract_string(line, '$.text') = text THEN 1 END) AS n_lossless
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Mixture materialization — the step after q79: expand each source's
+    * epoch count into a deterministic per-document copy count for a
+    * 1M-token training budget. Full epochs copy every doc; the fractional
+    * epoch admits each doc independently by a salted hash threshold
+    * (`u(doc) < frac`), so the expansion needs NO ranking, NO shuffle,
+    * and resamples identically on every run and any cluster — the
+    * property a reproducible training run needs from its sampler. At
+    * 100 TB: one broadcast of the #sources-row epoch table into a narrow
+    * corpus pass.
+    *
+    * Expected tokens from the plan ≈ budget by construction (the hash
+    * admission is an unbiased Bernoulli per doc); exactness of the COUNTS
+    * is what the oracle pins — both engines compute the identical salted
+    * hash and the identical double threshold chain (sqrt → DECIMAL →
+    * division, see q79). */
+  def q91MixtureExpand(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .groupBy(col("source"))
+      .agg(sum(nTokens(col("text")).cast("long")).as("tokens"))
+      .withColumn("sqrt_dec",
+        sqrt(col("tokens").cast(DoubleType)).cast(DecimalType(18, 6)))
+    val tot = perSource.agg(sum(col("sqrt_dec")).as("tot_dec"))
+    val weight = col("sqrt_dec").cast(DoubleType) / col("tot_dec").cast(DoubleType)
+    val epochs = perSource.crossJoin(broadcast(tot))
+      .select(col("source"),
+        (weight * lit(1000000.0) / col("tokens")).as("epochs"))
+    val u = (hex60(concat(lit("sample:"), col("doc_id"))) % lit(1000000L))
+      .cast(DoubleType) / lit(1000000.0)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(epochs), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (floor(col("epochs")) +
+          when(u < col("epochs") - floor(col("epochs")).cast(DoubleType), 1L)
+            .otherwise(0L)).cast("long").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String = {
+    val uSql = """CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS DOUBLE) / 1000000.0"""
+    s"""WITH t AS (SELECT source,
+       |    CAST(sum(${nTokensSql("text")}) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |s AS (SELECT source, tokens,
+       |    CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)) AS sd FROM t),
+       |g AS (SELECT sum(sd) AS tot FROM s),
+       |e AS (SELECT source,
+       |    CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 / tokens AS epochs
+       |  FROM s, g)
+       |SELECT d.doc_id, d.source,
+       |  CAST(floor(epochs) +
+       |    CASE WHEN $uSql < epochs - floor(epochs) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM documents d JOIN e ON d.source = e.source
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1017,7 +1074,8 @@ object TextQueries {
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
-    "q90_jsonl_roundtrip"  -> (q90JsonlRoundtrip _))
+    "q90_jsonl_roundtrip"  -> (q90JsonlRoundtrip _),
+    "q91_mixture_expand"   -> (q91MixtureExpand _))
 
   val oracleSql: Map[String, String] = Map(
     "q64_chunk_plan"       -> q64Sql,
@@ -1040,5 +1098,6 @@ object TextQueries {
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
-    "q90_jsonl_roundtrip"  -> q90Sql)
+    "q90_jsonl_roundtrip"  -> q90Sql,
+    "q91_mixture_expand"   -> q91Sql)
 }
