@@ -67,6 +67,20 @@ class LmVocabSpec extends SparkSpec {
       large.getLong(large.fieldIndex("tokens")) / total)
   }
 
+  test("q91: copy counts take only the two adjacent epoch values per source; deterministic") {
+    val rows = TextQueries.q91MixtureExpand(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(r => r.getString(r.fieldIndex("source")))
+    bySource.foreach { case (src, rs) =>
+      val copies = rs.map(r => r.getLong(r.fieldIndex("n_copies"))).distinct.sorted
+      assert(copies.length <= 2, s"$src: more than two copy levels: ${copies.toSeq}")
+      if (copies.length == 2)
+        assert(copies(1) == copies(0) + 1, s"$src: non-adjacent levels ${copies.toSeq}")
+    }
+    val again = TextQueries.q91MixtureExpand(spark, Sf0001).collect()
+    assert(rows.toSeq == again.toSeq) // the sampler is a pure hash — no RNG
+  }
+
   test("q74: a doc made of the corpus's own repeated bigram scores lower than junk") {
     // All docs scored by the same corpus model: the most-frequent-bigram
     // doc must be more probable (lower NLL) than the corpus max.
