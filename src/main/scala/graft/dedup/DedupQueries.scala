@@ -797,6 +797,64 @@ object DedupQueries {
        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
        |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Cross-source n-gram profile overlap — the source-level contamination
+    * matrix a corpus-mixing decision reads: for every source pair, the
+    * Jaccard similarity of their distinct 3-gram shingle sets. High
+    * overlap between two "independent" sources means one mirrors the
+    * other (dedup them jointly, or drop one from the mixture); near-zero
+    * overlap justifies sampling them as independent strata. Doc-level
+    * exact overlap (q19's key) is the wrong granularity for this — mirrors
+    * re-wrap text so whole-doc hashes diverge while the n-gram profile
+    * stays ~identical.
+    *
+    * Scale shape: the shuffle carries distinct (shingle-hex60, source)
+    * longs, never text; per-shingle fan-out is a `collect_set` bounded by
+    * the SOURCE cardinality (a mixture has tens..thousands of sources, not
+    * billions), and the ordered-pair expansion happens inside that bounded
+    * array — no shingle self-join, no d² explosion. Per-source set sizes
+    * are a tiny aggregate broadcast back onto the ≤|sources|² pair rows. */
+  def q92SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // referenced three times (pair side + both per-source count joins) —
+    // materialize so the shingle kernel and the distinct run ONCE (the
+    // docShingleHashes pattern; without this the plan scans documents 3×)
+    val ss = Tables(spark, dir).documents
+      .select(col("source"), explode(shingleHashes(tokens(normText(col("text"))))).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val ns = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ss.groupBy(col("h"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))")).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (col("n_shared").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("profile_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q92Sql: String =
+    s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents),
+       |shs AS (SELECT source,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+       |  FROM tk),
+       |ss AS (SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |       FROM (SELECT source, unnest(sh) AS s FROM shs)),
+       |ns AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       |c AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |      FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, na.n AS n_a, nb.n AS n_b,
+       |  CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS profile_jaccard
+       |FROM c JOIN ns na ON c.src_a = na.source JOIN ns nb ON c.src_b = nb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -814,7 +872,8 @@ object DedupQueries {
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
     "q65_dedup_clusters"      -> (q65DedupClusters _),
     "q69_substring_dedup"     -> (q69SubstringDedup _),
-    "q72_winnow_pairs"        -> (q72WinnowPairs _))
+    "q72_winnow_pairs"        -> (q72WinnowPairs _),
+    "q92_source_overlap"      -> (q92SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_dup_size_histogram"  -> q87Sql,
@@ -831,5 +890,6 @@ object DedupQueries {
     "q23_dedup_simhash_pairs" -> q23Sql,
     "q65_dedup_clusters"      -> q65Sql,
     "q69_substring_dedup"     -> q69Sql,
-    "q72_winnow_pairs"        -> q72Sql)
+    "q72_winnow_pairs"        -> q72Sql,
+    "q92_source_overlap"      -> q92Sql)
 }

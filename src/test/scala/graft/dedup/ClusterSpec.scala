@@ -76,4 +76,27 @@ class ClusterSpec extends SparkSpec {
     val withDups = rows.count(_._3 > 0)
     assert(withDups != 1)
   }
+
+  test("q92 source-overlap matrix matches a brute-force per-source set computation") {
+    import org.apache.spark.sql.functions.{col, collect_set, explode}
+    import graft.text.TextOps._
+    val got = DedupQueries.q92SourceOverlap(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // independent spelling: whole per-source shingle sets on the driver
+    val sets = graft.sql.Tables(spark, Sf0001).documents
+      .select(col("source"), explode(shingleHashes(tokens(normText(col("text"))))).as("h"))
+      .groupBy("source").agg(collect_set("h").as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val want = sets.keys.toSeq.sorted.combinations(2).flatMap { case Seq(a, b) =>
+      val shared = (sets(a) & sets(b)).size.toLong
+      if (shared == 0) None
+      else Some((a, b) -> (shared, sets(a).size.toLong, sets(b).size.toLong,
+        shared.toDouble / (sets(a).size + sets(b).size - shared)))
+    }.toMap
+    assert(got == want)
+    got.values.foreach { case (shared, na, nb, j) =>
+      assert(shared <= math.min(na, nb) && j > 0.0 && j <= 1.0)
+    }
+  }
 }

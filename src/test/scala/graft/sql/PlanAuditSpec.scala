@@ -253,4 +253,16 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: expected zero parquet scans (kernel materialized once)\n$plan")
     }
   }
+
+  test("q92 source overlap: one materialized kernel pass, count joins broadcast, no nested loop") {
+    val plan = physical("q92_source_overlap")
+    // the (source, shingle) frame is checkpointed — pair expansion and both
+    // per-source count joins must read it, not re-scan documents
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q92: expected zero parquet scans (kernel materialized once)\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q92: pair expansion degenerated to an all-pairs join\n$plan")
+    // the tiny per-source count frames broadcast onto the pair matrix
+    assert(plan.contains("BroadcastHashJoin"), s"q92: count joins did not broadcast\n$plan")
+  }
 }
