@@ -28,7 +28,8 @@ object SparkEntry {
       graft.store.UpsertQueries.queries ++
       graft.store.PublishQueries.queries ++
       graft.media.MediaQueries.queries ++
-      graft.sketch.SketchQueries.queries
+      graft.sketch.SketchQueries.queries ++
+      graft.graph.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.store.UpsertQueries.oracleSql ++
       graft.store.PublishQueries.oracleSql ++
       graft.media.MediaQueries.oracleSql ++
-      graft.sketch.SketchQueries.oracleSql
+      graft.sketch.SketchQueries.oracleSql ++
+      graft.graph.GraphQueries.oracleSql
 }

@@ -1,0 +1,53 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Pins [[GraphQueries.pageRank]] on hand-analyzable graphs (exact values
+  * where symmetry forces them, ordering/conservation invariants
+  * elsewhere), then q93's structural invariants at sf0.001. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pr(edges: Seq[(Long, Long)], rounds: Int = 3): Map[Long, BigDecimal] =
+    GraphQueries.pageRank(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+  test("4-cycle stays exactly uniform at 1/4 per node") {
+    // every node has degree 2 and receives two equal contributions:
+    // 0.85·0.25/2 rounds exactly at 6 dp, so uniformity is EXACT
+    val m = pr(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(m.keySet == Set(0L, 1L, 2L, 3L))
+    m.values.foreach(v => assert(v == BigDecimal("0.250000")))
+  }
+
+  test("star: hub outranks leaves, leaves are equal, mass conserves") {
+    val m = pr(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+    val leaves = Seq(1L, 2L, 3L, 4L).map(m)
+    assert(leaves.distinct.size == 1)
+    assert(m(10L) > leaves.head)
+    // each per-edge contribution loses ≤ 5e-7 to rounding per round
+    assert((m.values.sum - 1).abs < BigDecimal("0.0001"))
+  }
+
+  test("disjoint isomorphic components get identical distributions") {
+    val m = pr(Seq((1L, 2L), (2L, 3L), (11L, 12L), (12L, 13L)))
+    assert(m(1L) == m(11L) && m(2L) == m(12L) && m(3L) == m(13L))
+    assert(m(2L) > m(1L)) // path center outranks endpoints
+  }
+
+  test("q93 at sf0.001: node namespaces, positive mass, conservation") {
+    val rows = GraphQueries.q93PageRank(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (n, p) =>
+      (n.startsWith("c:") || n.startsWith("s:")) && p > 0.0 && p < 1.0
+    })
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 0.001, s"mass drifted: $total")
+    // suppliers are ~100× fewer than customers in a TPC-H-shaped graph —
+    // the rank mass concentrates there; the top node must be a supplier
+    val top = rows.maxBy(_._2)._1
+    assert(top.startsWith("s:"), s"expected a supplier hub on top, got $top")
+  }
+}

@@ -265,4 +265,15 @@ class PlanAuditSpec extends SparkSpec {
     // the tiny per-source count frames broadcast onto the pair matrix
     assert(plan.contains("BroadcastHashJoin"), s"q92: count joins did not broadcast\n$plan")
   }
+
+  test("q93 pagerank: rounds read the materialized edge frame (zero file re-scans), equi-joins only") {
+    val plan = physical("q93_pagerank")
+    // the symmetrized edge list and the degree-annotated edge frame are
+    // checkpointed once — if either checkpoint is dropped, every round
+    // regrows the orders⨝lineitem scan and this plan sprouts parquet
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q93: expected zero parquet scans across rounds\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q93: rank propagation degenerated to a nested loop\n$plan")
+  }
 }
