@@ -5,7 +5,7 @@ import graft.text.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Deduplication operators over the `documents` table: exact, n-gram
   * Jaccard, MinHash+LSH, and SimHash — the standard toolkit for
@@ -855,6 +855,108 @@ object DedupQueries {
        |FROM c JOIN ns na ON c.src_a = na.source JOIN ns nb ON c.src_b = nb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Bloom-prefiltered decontamination — q60's scrub restated in the shape
+    * that actually ships at 100 TB. q60 semi-joins every corpus shingle
+    * against the benchmark set; fine when the set broadcasts, but the join
+    * still evaluates per shingle. Here the benchmark set is compiled into
+    * a FIXED-SIZE Bloom bitmap ([[BloomBits]] bits = 64 longs, built with
+    * `bit_or` partial aggregation), broadcast as ONE row, and probed with
+    * pure integer ops (shift/mask on the shingle's existing hex60 hash —
+    * zero extra hashing); only the shingles that pass all [[BloomShifts]]
+    * probes reach the exact verify join, whose input shrinks by the FP
+    * rate (~0.6% at gate scale). No false negatives by construction, so
+    * `n_hits` and the contamination verdict match q60 exactly; the card
+    * also reports `n_bloom_pass`/`n_false_pos` so the prefilter's
+    * selectivity is itself gated.
+    *
+    * Scale shape: the bitmap is O(m) bytes regardless of corpus size and
+    * reaches executors as a 1-row broadcast nested-loop join (single-row
+    * side — NOT a cartesian risk); the corpus side stays narrow through
+    * probe + filter; the only shuffle is the per-doc count on `doc_id`,
+    * the key the shingle kernel already carries. At a real eval-suite size
+    * m scales as ~1.44·j·n/ln 2 bits and stays executor-memory-trivial. */
+  private val BloomBits = 4096 // 2^12 bits = 64 longs; ~0.6% FP at 270 keys
+  private val BloomShifts = Seq(0, 15, 30) // j=3 probes from disjoint hex60 bit ranges
+
+  /** Bloom membership probe for shift `s`, evaluated against the 1-row
+    * broadcast bitmap column `bm: map<int,bigint>` (absent word = 0). */
+  private def bloomProbeSql(s: Int): String = {
+    val p = s"(shiftright(h, $s) % $BloomBits)"
+    s"((shiftright(coalesce(element_at(bm, CAST(shiftright($p, 6) AS INT)), " +
+      s"CAST(0 AS BIGINT)), CAST($p % 64 AS INT)) & 1) = 1)"
+  }
+
+  def q94BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
+    // referenced twice (bitmap build + exact verify) off the checkpointed base
+    val bench = ex.filter(col("doc_id") % BenchMod === 0).select(col("h")).distinct()
+    val bitmap = BloomShifts
+      .map(s => bench.select((shiftright(col("h"), s) % BloomBits).as("pos")))
+      .reduce(_ union _)
+      .groupBy(shiftright(col("pos"), 6).cast(IntegerType).as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("bits"))).as("bm"))
+    val cand = ex.filter(col("doc_id") % BenchMod =!= 0)
+      .crossJoin(broadcast(bitmap)) // single-row side: the compiled filter
+      .filter(BloomShifts.map(s => expr(bloomProbeSql(s))).reduce(_ && _))
+      .select(col("doc_id"), col("h"))
+    // ONE aggregation computes both counts: exact-verify via broadcast
+    // left join against the (tiny) true benchmark set
+    val agg = cand
+      .join(broadcast(bench.withColumn("is_hit", lit(true))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_pass"),
+        sum(when(col("is_hit"), 1L).otherwise(0L)).as("n_hits"))
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"))
+      .join(shh.select(col("doc_id"), size(col("shh")).cast(LongType).as("n_shingles")),
+        Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_bloom_pass"), lit(0L)).as("n_bloom_pass"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_bloom_pass"), lit(0L)) - coalesce(col("n_hits"), lit(0L)))
+          .as("n_false_pos"),
+        (coalesce(col("n_hits"), lit(0L)) > 0 &&
+          coalesce(col("n_hits"), lit(0L)) * 100 >=
+            coalesce(col("n_shingles"), lit(0L)) * ContamPct).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same Bloom SEMANTICS (position-set membership ≡ bitmap-bit
+    * membership, exactly) via IN-subqueries on the distinct position set —
+    * DuckDB needs no bitmap to agree bit-for-bit on which shingles pass. */
+  val q94Sql: String =
+    s"""$shinglesSqlCte,
+       |ex AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |       FROM (SELECT doc_id, unnest(sh) AS s FROM sh)),
+       |bench AS (SELECT DISTINCT h FROM ex WHERE doc_id % $BenchMod = 0),
+       |bloom AS (SELECT DISTINCT pos FROM (
+       |  ${BloomShifts.map(s => s"SELECT (h >> $s) % $BloomBits AS pos FROM bench")
+            .mkString("\n  UNION ALL ")})),
+       |cand AS (SELECT doc_id, h FROM ex WHERE doc_id % $BenchMod != 0
+       |  ${BloomShifts.map(s => s"AND (h >> $s) % $BloomBits IN (SELECT pos FROM bloom)")
+            .mkString("\n  ")}),
+       |agg AS (SELECT c.doc_id, count(*) AS n_bloom_pass, count(b.h) AS n_hits
+       |        FROM cand c LEFT JOIN bench b ON c.h = b.h GROUP BY 1),
+       |sizes AS (SELECT doc_id, len(sh) AS n_shingles FROM sh)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(z.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(a.n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass,
+       |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(a.n_bloom_pass, 0) - coalesce(a.n_hits, 0) AS BIGINT) AS n_false_pos,
+       |  coalesce(a.n_hits, 0) > 0 AND
+       |    coalesce(a.n_hits, 0) * 100 >= coalesce(z.n_shingles, 0) * $ContamPct
+       |    AS contaminated
+       |FROM documents d
+       |LEFT JOIN sizes z ON d.doc_id = z.doc_id
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.doc_id % $BenchMod != 0 ORDER BY d.doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -873,7 +975,8 @@ object DedupQueries {
     "q65_dedup_clusters"      -> (q65DedupClusters _),
     "q69_substring_dedup"     -> (q69SubstringDedup _),
     "q72_winnow_pairs"        -> (q72WinnowPairs _),
-    "q92_source_overlap"      -> (q92SourceOverlap _))
+    "q92_source_overlap"      -> (q92SourceOverlap _),
+    "q94_bloom_decontaminate" -> (q94BloomDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q87_dup_size_histogram"  -> q87Sql,
@@ -891,5 +994,6 @@ object DedupQueries {
     "q65_dedup_clusters"      -> q65Sql,
     "q69_substring_dedup"     -> q69Sql,
     "q72_winnow_pairs"        -> q72Sql,
-    "q92_source_overlap"      -> q92Sql)
+    "q92_source_overlap"      -> q92Sql,
+    "q94_bloom_decontaminate" -> q94Sql)
 }

@@ -93,6 +93,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q42's optimized plan still contains the decode chain above the checkpoint\n$opt")
   }
 
+  test("q94 bloom decontamination: 1-row bitmap broadcast, all data joins broadcast-hash, no cartesian") {
+    val plan = physical("q94_bloom_decontaminate")
+    // exactly ONE nested-loop join — the single-row bitmap broadcast; a
+    // second one would mean a data-to-data cartesian crept in
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") == 1,
+      s"q94: expected exactly the 1-row bitmap broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q94: cartesian\n$plan")
+    // the exact-verify and report joins ride broadcasts; the corpus side's
+    // only hash exchanges are the tiny bench/bitmap aggregations + the
+    // per-doc count — never a corpus-shingle shuffle into a join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q94: exact verify should broadcast the bench set\n$plan")
+  }
+
   test("q66 BM25 plans as two narrow scans + a 1-row broadcast + top-k (no global sort, no corpus shuffle)") {
     val plan = physical("q66_bm25_search")
     // global top-k via TakeOrderedAndProject — a full Sort+Exchange of the
