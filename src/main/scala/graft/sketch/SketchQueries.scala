@@ -132,13 +132,88 @@ object SketchQueries {
        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, CAST(w.wau AS DOUBLE) AS wau_kmv
        |FROM dau JOIN w ON dau.day = w.day ORDER BY dau.day""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** CountMin heavy hitters — token frequency estimated from a FIXED
+    * [[CmsRows]]×[[CmsWidth]] counter grid and validated against the exact
+    * top-K counts. The sketch build is one narrow pass + a groupBy on
+    * (row, cell): hash partial aggregation collapses each map task's
+    * output to ≤ rows×width cells, so the shuffle is bounded by the SKETCH
+    * size regardless of corpus size — the property that lets a 100 TB scan
+    * keep frequency state in kilobytes. Probes reuse the token's existing
+    * hex60 hash (shift+mask per row, zero extra hashing — q94's trick) and
+    * the estimate is the min over rows, so `n_est ≥ n_exact` always (CMS
+    * never undercounts); `overestimate` materializes the collision error
+    * the min is there to suppress.
+    *
+    * The exact side (one shuffle keyed on token) exists to GATE the
+    * estimator; at 100 TB the deployment keeps only the grid + a
+    * per-partition candidate heap. Width 64 is sized to the gate corpus's
+    * vocabulary so collisions are present but sparse — production sizing
+    * is w = ⌈e/ε⌉ for an ε·N error bound, still kilobytes at w = 2²⁰. */
+  private val CmsWidth = 64
+  private val CmsShifts = Seq(0, 15, 30) // 3 rows probed from disjoint hex60 bit ranges
+  private val CmsRows = CmsShifts.length
+  private val TopK = 20
+
+  def q95HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(tokens(normText(col("text")))).as("tok"))
+      .select(col("tok"), hex60(col("tok")).as("h"))
+    val cells = CmsShifts.zipWithIndex.map { case (s, r) =>
+      struct(lit(r).as("r"), (shiftright(col("h"), s) % CmsWidth).as("p"))
+    }
+    val counters = toks
+      .select(explode(array(cells: _*)).as("rp"))
+      .groupBy(col("rp.r").as("r"), col("rp.p").as("p"))
+      .agg(count(lit(1)).as("c"))
+    val topk = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")) // token tie-break: deterministic K
+      .limit(TopK)
+    val probes = CmsShifts.zipWithIndex.map { case (s, r) =>
+      topk.select(col("tok"), col("n_exact"),
+        lit(r).as("r"), (shiftright(col("h"), s) % CmsWidth).as("p"))
+    }.reduce(_ union _)
+    probes
+      .join(broadcast(counters), Seq("r", "p")) // grid is ≤ rows×width cells
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("tok").as("token"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overestimate"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  private val toksSql =
+    s"string_split(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g'))), ' ')"
+
+  val q95Sql: String =
+    s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+       |ex AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tk),
+       |cnt AS (SELECT r, p, count(*) AS c FROM (
+       |  ${CmsShifts.zipWithIndex
+            .map { case (s, r) => s"SELECT $r AS r, (h >> $s) % $CmsWidth AS p FROM ex" }
+            .mkString("\n  UNION ALL ")}) GROUP BY 1, 2),
+       |topk AS (SELECT tok, h, count(*) AS n_exact FROM ex GROUP BY 1, 2
+       |         ORDER BY n_exact DESC, tok LIMIT $TopK),
+       |probes AS (
+       |  ${CmsShifts.zipWithIndex
+            .map { case (s, r) =>
+              s"SELECT tok, n_exact, $r AS r, (h >> $s) % $CmsWidth AS p FROM topk" }
+            .mkString("\n  UNION ALL ")}),
+       |est AS (SELECT tok, n_exact, min(c.c) AS n_est
+       |        FROM probes JOIN cnt c USING (r, p) GROUP BY 1, 2)
+       |SELECT tok AS token, n_exact, n_est, n_est - n_exact AS overestimate
+       |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q77_sketch_rollup" -> (q77SketchRollup _),
-    "q88_rolling_actives" -> (q88RollingActives _))
+    "q88_rolling_actives" -> (q88RollingActives _),
+    "q95_heavy_hitters" -> (q95HeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
     "q57_kmv_distinct" -> q57Sql,
     "q77_sketch_rollup" -> q77Sql,
-    "q88_rolling_actives" -> q88Sql)
+    "q88_rolling_actives" -> q88Sql,
+    "q95_heavy_hitters" -> q95Sql)
 }
