@@ -340,25 +340,32 @@ object SimilarityQueries {
     * (dist², label) struct array — no window, no per-vector shuffle. The
     * distance fold runs left-to-right over dims in both engines on the
     * bit-exact centroids, so `dist2` itself is compared unrounded. */
-  def q70CentroidAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    val perDim = q68EmbeddingCentroids(spark, dir)
-    val cents = perDim
+  /** q68's centroids folded to ONE broadcastable row
+    * `cents: array<struct<clabel, carr>>` — shared by q70 and q96. */
+  private def centroidRow(spark: SparkSession, dir: String): DataFrame =
+    q68EmbeddingCentroids(spark, dir)
       .groupBy(col("label"))
       .agg(sort_array(collect_list(struct(col("dim"), col("centroid")))).as("dc"))
       .select(col("label").as("clabel"),
         transform(col("dc"), x => x.getField("centroid")).as("carr"))
       .agg(sort_array(collect_list(struct(col("clabel"), col("carr")))).as("cents"))
-    val dists = transform(col("cents"), c =>
+
+  /** Nearest centroid of `emb` against the broadcast `cents` column:
+    * struct(dist2, clabel) argmin with smallest-label tie-break. */
+  private def nearestOf(emb: Column): Column =
+    array_min(transform(col("cents"), c =>
       struct(
         aggregate(
-          zip_with(col("embedding"), c.getField("carr"),
+          zip_with(emb, c.getField("carr"),
             (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
           lit(0.0), (a, b) => a + b).as("dist2"),
-        c.getField("clabel").as("clabel")))
-    val best = array_min(dists)
+        c.getField("clabel").as("clabel"))))
+
+  def q70CentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val best = nearestOf(col("embedding"))
     e.select(col("vec_id"), col("label"), col("embedding"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroidRow(spark, dir)))
       .select(col("vec_id"), col("label"),
         best.getField("clabel").as("nearest_label"),
         best.getField("dist2").as("dist2"))
@@ -466,7 +473,89 @@ object SimilarityQueries {
       |  CAST(trace_dec AS DOUBLE) / min_sep2 AS overlap_ratio
       |FROM disp JOIN sep ON label = la ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** SemDeDup — semantic deduplication the way it ships at corpus scale
+    * (Abbas et al. 2023, arXiv:2303.09540): partition the embedding space
+    * into clusters, then search for near-duplicate pairs ONLY within each
+    * cluster, turning the N² all-pairs cost into Σ|cluster|². Clusters
+    * here are q68/q70's deterministic nearest-centroid assignment (a
+    * 1-row broadcast, corpus never shuffles to be labeled); within a
+    * cluster, unit-vector cosine ≥ [[SemDupThreshold]] marks a duplicate
+    * and the deterministic keep rule retains the LOWEST vec_id of each
+    * similar pair — one pass, no sequential state, stable under any
+    * partitioning (a chain a~b~c may drop both b and c where greedy
+    * sequential keeps c; that stricter-but-deterministic contract is
+    * documented here and pinned by `SemDedupSpec`).
+    *
+    * Scale shape: assignment is a broadcast probe (q70's plan); the pair
+    * stage is an equi-self-join on the cluster key, so the shuffle
+    * carries each unit vector once per side keyed by cluster and the
+    * quadratic blow-up is bounded per cluster (k is chosen at deployment
+    * so |cluster| ≈ N/k keeps Σ|cluster|² tractable — 100k clusters for
+    * 100M docs in the paper). Cross-cluster near-dups are missed BY
+    * DESIGN (the paper's approximation); q26 is the exact-global
+    * comparison point at the same threshold. */
+  private val SemDupThreshold = 0.4 // q26's regime: true pairs sit at 0.40-0.48 here
+
+  def q96SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // assignment + normalization in ONE narrow pass, materialized because
+    // the pair stage self-joins it (and the report reads it again)
+    val clustered = e
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nn"))
+      .crossJoin(broadcast(centroidRow(spark, dir)))
+      .select(col("vec_id"),
+        nearestOf(col("embedding")).getField("clabel").as("cluster"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nn")).as("u"))
+      .localCheckpoint(true)
+    val pairs = clustered.select(col("cluster"), col("vec_id").as("ida"), col("u").as("ua"))
+      .join(clustered.select(col("cluster"), col("vec_id").as("idb"), col("u").as("ub")),
+        Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), dot(col("ua"), col("ub")).as("sim"))
+      .filter(col("sim") >= SemDupThreshold)
+    val drops = pairs
+      .groupBy(col("idb").as("vec_id"))
+      .agg(count(lit(1)).as("n_smaller_dups"), max(round(col("sim"), 4)).as("max_sim"))
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+        col("max_sim"), // null when no smaller-id duplicate exists
+        (coalesce(col("n_smaller_dups"), lit(0L)) === 0).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q96Sql: String =
+    s"""$centroidSqlCte,
+       |ca AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS carr
+       |       FROM c GROUP BY label),
+       |d AS (SELECT e.vec_id, ca.clabel,
+       |        list_reduce(list_prepend(0.0,
+       |          [(CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+       |             * (CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+       |           for i in range(0, len(e.embedding))]),
+       |          (a, b) -> a + b) AS dist2
+       |      FROM embeddings e, ca),
+       |r AS (SELECT vec_id, clabel,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+       |      FROM d),
+       |cl AS (SELECT r.vec_id, r.clabel AS cluster,
+       |         list_transform(e.embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS u
+       |       FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1),
+       |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, list_dot_product(a.u, b.u) AS sim
+       |      FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |dup AS (SELECT idb AS vec_id, count(*) AS n_smaller_dups, max(round(sim, 4)) AS max_sim
+       |      FROM p WHERE sim >= $SemDupThreshold GROUP BY 1)
+       |SELECT cl.vec_id, cl.cluster,
+       |  CAST(coalesce(dup.n_smaller_dups, 0) AS BIGINT) AS n_smaller_dups,
+       |  dup.max_sim,
+       |  coalesce(dup.n_smaller_dups, 0) = 0 AS kept
+       |FROM cl LEFT JOIN dup ON cl.vec_id = dup.vec_id ORDER BY cl.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_semdedup"           -> (q96SemDedup _),
     "q83_embedding_dispersion" -> (q83EmbeddingDispersion _),
     "q24_sim_cosine_topk"    -> (q24CosineTopK _),
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
@@ -478,6 +567,7 @@ object SimilarityQueries {
 
   /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
+    "q96_semdedup"           -> q96Sql,
     "q83_embedding_dispersion" -> q83Sql,
     "q24_sim_cosine_topk"    -> q24Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
