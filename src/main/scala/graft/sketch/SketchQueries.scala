@@ -170,10 +170,15 @@ object SketchQueries {
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok")) // token tie-break: deterministic K
       .limit(TopK)
-    val probes = CmsShifts.zipWithIndex.map { case (s, r) =>
-      topk.select(col("tok"), col("n_exact"),
-        lit(r).as("r"), (shiftright(col("h"), s) % CmsWidth).as("p"))
-    }.reduce(_ union _)
+    // probes explode from the ONE top-k subtree — a union of per-row
+    // selects would re-run the exact aggregation (and its shuffle) once
+    // per sketch row
+    val probeCells = CmsShifts.zipWithIndex.map { case (s, r) =>
+      struct(lit(r).as("r"), (shiftright(col("h"), s) % CmsWidth).as("p"))
+    }
+    val probes = topk
+      .select(col("tok"), col("n_exact"), explode(array(probeCells: _*)).as("rp"))
+      .select(col("tok"), col("n_exact"), col("rp.r").as("r"), col("rp.p").as("p"))
     probes
       .join(broadcast(counters), Seq("r", "p")) // grid is ≤ rows×width cells
       .groupBy(col("tok"), col("n_exact"))

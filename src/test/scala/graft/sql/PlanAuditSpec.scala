@@ -290,4 +290,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q93: rank propagation degenerated to a nested loop\n$plan")
   }
+
+  test("q95 heavy hitters: exactly two corpus scans (sketch + exact gate), grid broadcasts") {
+    val plan = physical("q95_heavy_hitters")
+    // the exact top-k subtree feeds all three probe rows via ONE explode —
+    // a per-row union would re-run the token aggregation (and re-scan
+    // documents) once per sketch row, which is how this plan regresses
+    assert(countOccurrences(plan, "FileScan parquet") == 2,
+      s"q95: expected exactly 2 scans (sketch pass + exact pass)\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q95: the ≤rows×width counter grid should broadcast onto the probes\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q95: cartesian\n$plan")
+  }
+
+  test("q96 semdedup: pair stage reads the one materialized assignment, cluster equi-join only") {
+    val plan = physical("q96_semdedup")
+    // clustered (assignment + unit vectors) is localCheckpoint'd — the
+    // self-join, the drop aggregation, and the report all read it; a
+    // dropped checkpoint regrows the centroid probe (a parquet scan of
+    // embeddings) once per reference
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q96: expected zero parquet scans (assignment materialized once)\n$plan")
+    // the within-cluster pair join must stay an equi-join on the cluster
+    // key — a nested loop here is the N² all-pairs plan SemDeDup exists
+    // to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q96: pair stage degenerated to an all-pairs join\n$plan")
+  }
 }
