@@ -850,7 +850,62 @@ object RelationalQueries {
       |  CAST(actual_rows AS DOUBLE) / matching_keys AS rows_per_key
       |FROM est, act""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Weekly cohort retention matrix — the classic product-analytics card:
+    * users are grouped by the week of their FIRST event (the cohort) and
+    * each cell reports how many of them were active `weeks_since` weeks
+    * later, as a fraction of the cohort. The reference's event stream has
+    * no analytics tier at all; at corpus scale this is the card every
+    * events warehouse serves daily.
+    *
+    * Scale shape, in decreasing cardinality: (1) one distinct on
+    * (user, week) — map-side combinable, collapses event-cardinality to
+    * user-week-cardinality before anything wide; (2) the cohort week is a
+    * `min` window keyed on user_id (user-cardinality shuffle — no
+    * self-join back to the raw events); (3) the matrix agg keys on
+    * (cohort, weeks_since), weeks²-cardinality. Cohort size is read off
+    * the weeks_since=0 cell (every user is active in their own first
+    * week) via an order-free window over the tiny matrix — no extra join,
+    * no second pass over users. Retention rounds through DECIMAL(18,6)
+    * before the final double cast so the ratio is bit-stable
+    * cross-engine. */
+  def q97CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val userWeeks = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("wk"))
+      .groupBy(col("user_id"), col("wk")).agg(count(lit(1)).as("_n")).drop("_n")
+    val withCohort = userWeeks.withColumn("cohort_wk",
+      min(col("wk")).over(Window.partitionBy(col("user_id"))))
+    val matrix = withCohort
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast(IntegerType).as("weeks_since"))
+      .agg(count(lit(1)).as("n_active"))
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort_wk"))))
+      .select(col("cohort_wk").cast(StringType).as("cohort_week"), col("weeks_since"),
+        col("n_active"), col("cohort_size"),
+        (col("n_active").cast(DecimalType(18, 6)) / col("cohort_size"))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("retention"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  val q97Sql: String =
+    """WITH uw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |            FROM events),
+      |c AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM uw),
+      |m AS (SELECT cohort_wk,
+      |        CAST(datediff('day', cohort_wk, wk) // 7 AS INTEGER) AS weeks_since,
+      |        count(*) AS n_active
+      |      FROM c GROUP BY 1, 2),
+      |s AS (SELECT *, max(CASE WHEN weeks_since = 0 THEN n_active END)
+      |        OVER (PARTITION BY cohort_wk) AS cohort_size FROM m)
+      |SELECT CAST(cohort_wk AS VARCHAR) AS cohort_week, weeks_since, n_active, cohort_size,
+      |  CAST(CAST(CAST(n_active AS DECIMAL(18,6)) / cohort_size AS DECIMAL(18,6)) AS DOUBLE) AS retention
+      |FROM s ORDER BY cohort_week, weeks_since""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
     "q84_skew_card"             -> (q84SkewCard _),
@@ -879,6 +934,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q97_cohort_retention"      -> q97Sql,
     "q89_join_cardinality"      -> q89Sql,
     "q85_attribution"           -> q85Sql,
     "q84_skew_card"             -> q84Sql,

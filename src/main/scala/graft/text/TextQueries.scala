@@ -1051,9 +1051,86 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Train/val/test split + cross-split leakage audit. Assignment is a
+    * pure per-row hash gate (`hex60("split:"+doc_id) % 100` against the
+    * 90/5/5 bounds) — like q53's sampler it is replayable on any cluster
+    * and stable under repartitioning, which is the leakage-PROOF half.
+    * The leakage-AUDIT half is what a deterministic doc_id split cannot
+    * guarantee: the same CONTENT arriving under two doc_ids can land in
+    * train and test. Grouping the exact-dup digest (q19's content hash)
+    * and counting distinct splits per digest flags every such doc.
+    *
+    * Scale shape: assignment + digest ride the one corpus scan; leakage
+    * is a digest-keyed agg (exactly q19's shuffle) whose output joins
+    * back on the same key — co-partitioned, no second wide shuffle; the
+    * report is a (source × split)-cardinality map-side-combinable agg.
+    * Fractions and deviations round through DECIMAL(18,6) before the
+    * final double cast so they are bit-stable cross-engine. */
+  private val SplitBounds: Seq[(String, Int, Int)] = // (name, upper %, target %)
+    Seq(("train", 90, 90), ("val", 95, 5), ("test", 100, 5))
+
+  def q98SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = hex60(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val split = SplitBounds.init.foldRight(lit(SplitBounds.last._1)) {
+      case ((name, upper, _), rest) => when(bucket < upper, lit(name)).otherwise(rest)
+    }
+    val target = SplitBounds.foldRight(lit(null).cast(DecimalType(18, 6))) {
+      case ((name, _, pct), rest) =>
+        when(col("split") === name, lit(pct / 100.0).cast(DecimalType(18, 6))).otherwise(rest)
+    }
+    val assigned = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        hex60(normText(col("text"))).as("ch"), split.as("split"))
+    val perDigest = assigned.groupBy(col("ch"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    assigned.join(perDigest, Seq("ch"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_splits") > 1, 1)).as("n_leaked"))
+      .withColumn("src_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+      .withColumn("frac_dec",
+        (col("n_docs").cast(DecimalType(18, 6)) / col("src_total"))
+          .cast(DecimalType(18, 6)))
+      .select(col("source"), col("split"), col("n_docs"), col("n_leaked"),
+        col("frac_dec").cast(DoubleType).as("frac"),
+        (col("frac_dec") - target).cast(DecimalType(18, 6))
+          .cast(DoubleType).as("target_deviation"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q98Sql: String = {
+    val splitCase = SplitBounds.init
+      .map { case (n, u, _) => s"WHEN b < $u THEN '$n'" }
+      .mkString("CASE ", " ", s" ELSE '${SplitBounds.last._1}' END")
+    val targetCase = SplitBounds
+      .map { case (n, _, p) => s"WHEN split = '$n' THEN CAST(${p / 100.0} AS DECIMAL(18,6))" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH a AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g')))), 1, 15))::BIGINT AS ch,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 15))::BIGINT % 100 AS b
+       |  FROM documents),
+       |s AS (SELECT doc_id, source, ch, $splitCase AS split FROM a),
+       |pd AS (SELECT ch, count(DISTINCT split) AS n_splits FROM s GROUP BY 1),
+       |g AS (SELECT source, split, count(*) AS n_docs,
+       |        count(CASE WHEN pd.n_splits > 1 THEN 1 END) AS n_leaked
+       |      FROM s JOIN pd USING (ch) GROUP BY 1, 2),
+       |w AS (SELECT *, sum(n_docs) OVER (PARTITION BY source) AS src_total,
+       |        CAST(CAST(n_docs AS DECIMAL(18,6)) / sum(n_docs) OVER (PARTITION BY source)
+       |          AS DECIMAL(18,6)) AS frac_dec
+       |      FROM g)
+       |SELECT source, split, n_docs, n_leaked,
+       |  CAST(frac_dec AS DOUBLE) AS frac,
+       |  CAST(CAST(frac_dec - ($targetCase) AS DECIMAL(18,6)) AS DOUBLE) AS target_deviation
+       |FROM w ORDER BY source, split""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_split_leakage"    -> (q98SplitLeakage _),
     "q64_chunk_plan"       -> (q64ChunkPlan _),
     "q63_shuffle_shards"   -> (q63ShuffleShards _),
     "q62_mixture_shares"   -> (q62MixtureShares _),
@@ -1078,6 +1155,7 @@ object TextQueries {
     "q91_mixture_expand"   -> (q91MixtureExpand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q98_split_leakage"    -> q98Sql,
     "q64_chunk_plan"       -> q64Sql,
     "q63_shuffle_shards"   -> q63Sql,
     "q62_mixture_shares"   -> q62Sql,
