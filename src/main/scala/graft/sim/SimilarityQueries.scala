@@ -4,7 +4,7 @@ import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -497,17 +497,22 @@ object SimilarityQueries {
     * comparison point at the same threshold. */
   private val SemDupThreshold = 0.4 // q26's regime: true pairs sit at 0.40-0.48 here
 
-  def q96SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    // assignment + normalization in ONE narrow pass, materialized because
-    // the pair stage self-joins it (and the report reads it again)
-    val clustered = e
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nn"))
+  /** (vec_id, vlabel, cluster, u): nearest-centroid assignment + unit
+    * normalization in ONE narrow pass over the broadcast centroid row,
+    * materialized (localCheckpoint) because every caller self-joins it —
+    * shared by q96 (SemDeDup) and q99 (1-NN purity). */
+  private def clusterAssigned(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").as("vlabel"),
+        col("embedding"), norm(col("embedding")).as("nn"))
       .crossJoin(broadcast(centroidRow(spark, dir)))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("vlabel"),
         nearestOf(col("embedding")).getField("clabel").as("cluster"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nn")).as("u"))
       .localCheckpoint(true)
+
+  def q96SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = clusterAssigned(spark, dir)
     val pairs = clustered.select(col("cluster"), col("vec_id").as("ida"), col("u").as("ua"))
       .join(clustered.select(col("cluster"), col("vec_id").as("idb"), col("u").as("ub")),
         Seq("cluster"))
@@ -526,7 +531,9 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
-  val q96Sql: String =
+  /** The DuckDB mirror of [[clusterAssigned]]: CTE `cl` =
+    * (vec_id, vlabel, cluster, u) — shared by q96 and q99. */
+  private val clusterSqlCte: String =
     s"""$centroidSqlCte,
        |ca AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS carr
        |       FROM c GROUP BY label),
@@ -540,10 +547,13 @@ object SimilarityQueries {
        |r AS (SELECT vec_id, clabel,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
        |      FROM d),
-       |cl AS (SELECT r.vec_id, r.clabel AS cluster,
+       |cl AS (SELECT r.vec_id, e.label AS vlabel, r.clabel AS cluster,
        |         list_transform(e.embedding::DOUBLE[],
        |           x -> x / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS u
-       |       FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1),
+       |       FROM r JOIN embeddings e ON r.vec_id = e.vec_id WHERE r.rn = 1)""".stripMargin
+
+  val q96Sql: String =
+    s"""$clusterSqlCte,
        |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, list_dot_product(a.u, b.u) AS sim
        |      FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
        |dup AS (SELECT idb AS vec_id, count(*) AS n_smaller_dups, max(round(sim, 4)) AS max_sim
@@ -554,7 +564,70 @@ object SimilarityQueries {
        |  coalesce(dup.n_smaller_dups, 0) = 0 AS kept
        |FROM cl LEFT JOIN dup ON cl.vec_id = dup.vec_id ORDER BY cl.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** 1-NN label purity — the label-noise / embedding-quality audit run
+    * before trusting labels for curation: for each vector, find its
+    * nearest neighbor (cosine) and report, per label, the fraction whose
+    * neighbor shares the label. Low purity for a label means its region
+    * of embedding space is entangled — the signal that label-conditioned
+    * filtering or classifier training on these embeddings will be noisy.
+    *
+    * The search is cluster-bucketed exactly like q96 (nearest-centroid
+    * buckets from the shared [[clusterAssigned]] pass; neighbors are
+    * searched only within the vector's own cluster), and the ORACLE
+    * implements the same bucketed contract — so the gate is hash-exact on
+    * the approximation itself, not on a looser rows-only check. Vectors
+    * alone in their cluster have no neighbor and are reported in
+    * `n_isolated`, not silently dropped. Similarities round to 6 decimals
+    * BEFORE the per-vector argmax (ties then break to the smallest
+    * neighbor id) so the winner is bit-stable cross-engine.
+    *
+    * Scale shape: identical to q96 — broadcast assignment, equi-self-join
+    * on the cluster key (Σ|cluster|² bounded per cluster), then a
+    * label-cardinality aggregate. The argmax is `max(struct(sim, -id))`,
+    * map-side combinable — no per-vector window over the pair stream. */
+  def q99NeighborPurity(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = clusterAssigned(spark, dir)
+    val pairs = clustered
+      .select(col("cluster"), col("vec_id").as("ida"), col("vlabel").as("la"), col("u").as("ua"))
+      .join(clustered
+        .select(col("cluster"), col("vec_id").as("idb"), col("vlabel").as("lb"), col("u").as("ub")),
+        Seq("cluster"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("la"),
+        round(dot(col("ua"), col("ub")), 6).as("sim"), col("idb"), col("lb"))
+    val nn1 = pairs.groupBy(col("ida"), col("la"))
+      .agg(max(struct(col("sim").as("s"), (-col("idb")).as("nid"), col("lb").as("nlb"))).as("best"))
+    val perLabel = nn1.groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("best").getField("nlb") === col("la"), 1)).as("n_pure"))
+    val totals = clustered.groupBy(col("vlabel").as("label"))
+      .agg(count(lit(1)).as("n_total"))
+    perLabel.join(totals, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (col("n_total") - col("n_vecs")).as("n_isolated"), col("n_pure"),
+        (col("n_pure").cast(DecimalType(18, 6)) / col("n_vecs"))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("purity"))
+      .orderBy(col("label"))
+  }
+
+  val q99Sql: String =
+    s"""$clusterSqlCte,
+       |p AS (SELECT a.vec_id AS ida, a.vlabel AS la, b.vec_id AS idb, b.vlabel AS lb,
+       |        round(list_dot_product(a.u, b.u), 6) AS sim
+       |      FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY ida ORDER BY sim DESC, idb) AS rn
+       |       FROM p),
+       |n AS (SELECT ida, la, lb FROM r1 WHERE rn = 1),
+       |t AS (SELECT vlabel AS label, count(*) AS n_total FROM cl GROUP BY 1),
+       |pg AS (SELECT la AS label, count(*) AS n_vecs,
+       |        count(CASE WHEN lb = la THEN 1 END) AS n_pure FROM n GROUP BY 1)
+       |SELECT label, n_vecs, n_total - n_vecs AS n_isolated, n_pure,
+       |  CAST(CAST(CAST(n_pure AS DECIMAL(18,6)) / n_vecs AS DECIMAL(18,6)) AS DOUBLE) AS purity
+       |FROM pg JOIN t USING (label) ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_neighbor_purity"    -> (q99NeighborPurity _),
     "q96_semdedup"           -> (q96SemDedup _),
     "q83_embedding_dispersion" -> (q83EmbeddingDispersion _),
     "q24_sim_cosine_topk"    -> (q24CosineTopK _),
@@ -567,6 +640,7 @@ object SimilarityQueries {
 
   /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
   val oracleSql: Map[String, String] = Map(
+    "q99_neighbor_purity"    -> q99Sql,
     "q96_semdedup"           -> q96Sql,
     "q83_embedding_dispersion" -> q83Sql,
     "q24_sim_cosine_topk"    -> q24Sql,

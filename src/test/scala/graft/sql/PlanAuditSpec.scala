@@ -303,18 +303,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q95: cartesian\n$plan")
   }
 
-  test("q96 semdedup: pair stage reads the one materialized assignment, cluster equi-join only") {
-    val plan = physical("q96_semdedup")
-    // clustered (assignment + unit vectors) is localCheckpoint'd — the
-    // self-join, the drop aggregation, and the report all read it; a
-    // dropped checkpoint regrows the centroid probe (a parquet scan of
-    // embeddings) once per reference
-    assert(!plan.toLowerCase.contains("parquet"),
-      s"q96: expected zero parquet scans (assignment materialized once)\n$plan")
-    // the within-cluster pair join must stay an equi-join on the cluster
-    // key — a nested loop here is the N² all-pairs plan SemDeDup exists
-    // to avoid
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"q96: pair stage degenerated to an all-pairs join\n$plan")
+  test("q96/q99: pair stage reads the one materialized assignment, cluster equi-join only") {
+    for (q <- Seq("q96_semdedup", "q99_neighbor_purity")) {
+      val plan = physical(q)
+      // clusterAssigned (assignment + unit vectors) is localCheckpoint'd —
+      // the self-join, the aggregations, and the report all read it; a
+      // dropped checkpoint regrows the centroid probe (a parquet scan of
+      // embeddings) once per reference
+      assert(!plan.toLowerCase.contains("parquet"),
+        s"$q: expected zero parquet scans (assignment materialized once)\n$plan")
+      // the within-cluster pair join must stay an equi-join on the cluster
+      // key — a nested loop here is the N² all-pairs plan the cluster
+      // bucketing exists to avoid
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q: pair stage degenerated to an all-pairs join\n$plan")
+    }
   }
 }
