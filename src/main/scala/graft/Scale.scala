@@ -36,7 +36,14 @@ object Scale {
     // (no pair fan-out) so the replica is an honest stress; q76 stays
     // excluded with the other pair queries (see scaladoc above)
     "q73_vocab_coverage", "q74_bigram_lm", "q75_event_funnel",
-    "q78_tfidf_keywords")
+    "q78_tfidf_keywords",
+    // round-7 late additions, all aggregation-shaped: q95's shuffle is
+    // bounded by the sketch grid; q97's time-shifted replicas ARE organic
+    // growth for retention (longer history, same users); q98 is q19's
+    // digest agg + a co-partitioned join-back. q93 reads tables the
+    // replica doesn't build; q96/q99 are excluded with the pair queries
+    // (replicated vectors would fake 10-deep near-dup clusters).
+    "q95_heavy_hitters", "q97_cohort_retention", "q98_split_leakage")
 
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
     val done = new java.io.File(s"$out/_BUILT")

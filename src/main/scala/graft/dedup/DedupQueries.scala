@@ -959,7 +959,71 @@ object DedupQueries {
 
   // ----------------------------------------------------------------
 
+  // ---------------------------------------------------------------- q100
+  /** Snapshot diff — the corpus-versioning audit between two crawl
+    * snapshots: every doc_id is classified added / removed / changed /
+    * unchanged by a FULL OUTER join on the id with a content-digest
+    * compare, rolled up per (source, status) with a doc_id-sum checksum
+    * that pins cell MEMBERSHIP, not just size. The two snapshots are
+    * derived deterministically from the one gate table (q76's `doc_id %
+    * k` device): OLD omits `doc_id % 7 = 0` (those are "added" later),
+    * NEW omits `doc_id % 11 = 0` ("removed") and edits the text of
+    * `doc_id % 5 = 0` ("changed"); in production the two sides are real
+    * snapshot paths and everything from the join on is identical.
+    *
+    * Scale shape: each side is one narrow scan computing (id, source,
+    * digest) — the shuffle carries 16-byte digests, never text; the full
+    * outer join is a co-partitioned hash join on the id key; the report
+    * is a (source × status)-cardinality map-side-combinable agg. This is
+    * the engine's only FULL OUTER join surface, exercised where the
+    * shape genuinely needs one (presence on either side is the
+    * signal). */
+  def q100SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def digested = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = digested.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("old_id"), col("source").as("old_src"),
+        md5(normText(col("text"))).as("old_h"))
+    val neu = digested.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id").as("new_id"), col("source").as("new_src"),
+        md5(normText(col("text"))).as("new_h"))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(
+        coalesce(col("new_src"), col("old_src")).as("source"),
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_h") =!= col("new_h"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("new_id"), col("old_id")).as("id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("id_sum"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val q100Sql: String =
+    s"""WITH o AS (SELECT doc_id AS old_id, source AS old_src,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS old_h
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |n AS (SELECT doc_id AS new_id, source AS new_src,
+       |    md5(lower(trim(regexp_replace(
+       |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+       |      '$WsSql+', ' ', 'g')))) AS new_h
+       |  FROM documents WHERE doc_id % 11 <> 0),
+       |j AS (SELECT coalesce(new_src, old_src) AS source,
+       |        CASE WHEN old_id IS NULL THEN 'added'
+       |             WHEN new_id IS NULL THEN 'removed'
+       |             WHEN old_h <> new_h THEN 'changed'
+       |             ELSE 'unchanged' END AS status,
+       |        coalesce(new_id, old_id) AS id
+       |      FROM o FULL OUTER JOIN n ON old_id = new_id)
+       |SELECT source, status, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_sum
+       |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_snapshot_diff"      -> (q100SnapshotDiff _),
     "q87_dup_size_histogram"  -> (q87DupSizeHistogram _),
     "q81_dup_stats"           -> (q81DupStats _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
@@ -979,6 +1043,7 @@ object DedupQueries {
     "q94_bloom_decontaminate" -> (q94BloomDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q100_snapshot_diff"      -> q100Sql,
     "q87_dup_size_histogram"  -> q87Sql,
     "q81_dup_stats"           -> q81Sql,
     "q76_incremental_dedup"   -> q76Sql,

@@ -1,0 +1,129 @@
+package graft.plans
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftDatasetBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Group top-k as a WHOLE-OPERATOR custom plan — the §7.4 escalation
+  * point past custom expressions: a `LogicalPlan` node, a
+  * `SparkStrategy` that plans it, and a physical `TopKPerKeyExec` pair,
+  * registered through `SparkSessionExtensions`
+  * (`GraftExtensions.injectPlannerStrategy`).
+  *
+  * Why the built-ins aren't enough: the idiomatic
+  * `row_number().over(partitionBy(key).orderBy(...)) <= k` plan
+  * shuffles EVERY row to its key's reducer and fully sorts each
+  * partition — O(n log n) per partition, all n rows across the wire.
+  * This operator keeps a bounded k-row heap per key on the MAP side
+  * (partial exec, no distribution requirement), so the shuffle carries
+  * at most `keys-per-partition × k` rows, then merges heaps on the
+  * reduce side (final exec, `ClusteredDistribution` — EnsureRequirements
+  * inserts exactly one hash exchange between the two). O(n log k)
+  * compute, shuffle shrunk by the per-key selectivity — the same
+  * partial/final contract a HashAggregate uses, applied to order
+  * statistics.
+  *
+  * Semantics: per distinct key, the first k rows of `ORDER BY ordering`
+  * (ties beyond the ordering are non-deterministic — pass a unique
+  * tiebreaker column as the last sort key, as q101 does with
+  * o_orderkey). Output rows are unsorted across and within keys; sort
+  * downstream for presentation. */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKey]] as partial-over-final [[TopKPerKeyExec]]s. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, ordering, k, child) =>
+      TopKPerKeyExec(keys, ordering, k, partial = false,
+        TopKPerKeyExec(keys, ordering, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded per-key heap pass. `partial` runs map-side on whatever
+  * partitioning arrives; the final copy declares
+  * [[ClusteredDistribution]] on the keys so every key's survivors meet
+  * on one reducer. Both sides run the identical heap fold — the merge
+  * of two k-bounded heaps is just the fold over their union. */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val order = ordering
+    val limit = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // codegen'd comparator over the bound sort order: "smaller" = earlier
+      // in ORDER BY = better; the scala PriorityQueue surfaces the MAX
+      // (= current worst) at the head, which is what bounded top-k evicts
+      val cmp = RowOrdering.create(order, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val probe = keyProj(row)
+        var heap = heaps.get(probe)
+        if (heap == null) {
+          heap = mutable.PriorityQueue.empty[InternalRow](cmp)
+          heaps.put(probe.copy(), heap)
+        }
+        if (heap.size < limit) heap.enqueue(row.copy())
+        else if (cmp.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Public entry: `TopK.perKey(df, keys, Seq(col -> desc, ...), k)`. Key
+  * and order columns are resolved by name against `df` through the
+  * normal analyzer (the node goes in unresolved, `Dataset.ofRows` runs
+  * analysis). */
+object TopK {
+  def perKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val keys = keyCols.map(c => UnresolvedAttribute.quoted(c): Expression)
+    val so = orderCols.map { case (c, desc) =>
+      SortOrder(UnresolvedAttribute.quoted(c), if (desc) Descending else Ascending)
+    }
+    GraftDatasetBridge.ofRows(df.sparkSession,
+      TopKPerKey(keys, so, k, GraftDatasetBridge.analyzedPlan(df)))
+  }
+}

@@ -904,7 +904,35 @@ object RelationalQueries {
       |  CAST(CAST(CAST(n_active AS DECIMAL(18,6)) / cohort_size AS DECIMAL(18,6)) AS DOUBLE) AS retention
       |FROM s ORDER BY cohort_week, weeks_since""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Group top-k through the CUSTOM WHOLE-OPERATOR plan
+    * ([[graft.plans.TopKPerKey]]): top-3 orders per customer by price,
+    * planned as the partial/final bounded-heap exec pair the
+    * `TopKStrategy` extension injects — not the window. The shuffle
+    * carries at most keys-per-partition × 3 rows instead of every order
+    * row, and no partition is ever fully sorted; `TopKNativeSpec` pins
+    * both the plan shape (two TopKPerKeyExec, one exchange between, no
+    * Window/Sort below) and row-equality with the window formulation.
+    * o_orderkey is the final sort key, making the top-3 total-ordered
+    * and therefore oracle-exact. */
+  def q101TopkNative(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopK.perKey(o, Seq("o_custkey"),
+        Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q101Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_topk_native"          -> (q101TopkNative _),
     "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
@@ -934,6 +962,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q101_topk_native"          -> q101Sql,
     "q97_cohort_retention"      -> q97Sql,
     "q89_join_cardinality"      -> q89Sql,
     "q85_attribution"           -> q85Sql,

@@ -291,6 +291,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q93: rank propagation degenerated to a nested loop\n$plan")
   }
 
+  test("q100 snapshot diff: full outer stays a hash/merge equi-join on the id, digests computed in-scan") {
+    val plan = physical("q100_snapshot_diff")
+    assert(plan.contains("FullOuter"), s"q100: expected a full outer join\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q100: the diff join degenerated\n$plan")
+    // the text column must die at the scan: only (id, source, digest)
+    // reach the join (and therefore the shuffle)
+    val opt = graft.SparkEntry.queries("q100_snapshot_diff")(spark, Sf0001)
+      .queryExecution.optimizedPlan
+    opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      .foreach { j =>
+        val joinInputs = j.children.flatMap(_.output).map(_.name)
+        assert(!joinInputs.contains("text"),
+          s"q100: raw text crossed into the diff join\n$opt")
+      }
+  }
+
   test("q95 heavy hitters: exactly two corpus scans (sketch + exact gate), grid broadcasts") {
     val plan = physical("q95_heavy_hitters")
     // the exact top-k subtree feeds all three probe rows via ONE explode —
