@@ -37,6 +37,17 @@ class TopKNativeSpec extends SparkSpec {
       s"the native operator must not fall back to sort/window\n$plan")
   }
 
+  test("partial key-cap overflow: rows past the cap ship unreduced, result unchanged") {
+    val df = (0L until 1000L).map(i => (i % 50, i, (i * 37 % 101).toDouble))
+      .toDF("key", "id", "value").repartition(8)
+    val capped = TopK.perKey(df, Seq("key"), Seq("value" -> true, "id" -> false), 3,
+        maxPartialKeys = 1) // nearly every key overflows the partial map
+      .orderBy(col("key"), col("value").desc, col("id")).collect()
+    val uncapped = TopK.perKey(df, Seq("key"), Seq("value" -> true, "id" -> false), 3)
+      .orderBy(col("key"), col("value").desc, col("id")).collect()
+    assert(capped.length == 150 && capped.sameElements(uncapped))
+  }
+
   test("bounded heap: ties beyond k broken by the total order, short groups kept whole") {
     val df = Seq(
       // key 1: four rows, two tied at the top value — total order on
