@@ -1127,9 +1127,52 @@ object TextQueries {
        |FROM w ORDER BY source, split""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Weighted priority sampling, per source: keep the k docs with the
+    * smallest `u / w` where `u` is a deterministic per-doc uniform (the
+    * salted 60-bit hash, q53's device) and `w = n_chars` — selection is
+    * pairwise-proportional to length (P(a beats b) = w_a/(w_a+w_b)),
+    * the sampling step a mixture pipeline runs when it wants LONG
+    * documents over-represented without an RNG. This is the
+    * scaled-uniform cousin of Efraimidis–Spirakis exponential clocks
+    * (−ln(u)/w); the log is deliberately avoided: `(h+1)/w` is one IEEE
+    * division of exact integers, so the rank — and therefore the
+    * SELECTION — is bit-identical in any engine, no rounding, no ulp
+    * tie-break risk.
+    *
+    * The per-source top-k runs through the custom [[graft.plans.TopK]]
+    * whole-operator plan (q101's bounded-heap partial/final pair) — the
+    * operator's first in-pipeline deployment: 5 sources ≪ the partial
+    * key cap, exactly its winning regime, so the shuffle carries ≤
+    * sources × k rows per map partition instead of the corpus. */
+  private val WSampleK = 5
+
+  def q102WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables(spark, dir).documents
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        ((hex60(concat(lit("wsamp:"), col("doc_id").cast("string"))) + 1).cast(DoubleType)
+          / col("n_chars").cast(DoubleType)).as("rank"))
+    graft.plans.TopK.perKey(ranked, Seq("source"),
+        Seq("rank" -> false, "doc_id" -> false), WSampleK)
+      .orderBy(col("source"), col("rank"), col("doc_id"))
+  }
+
+  val q102Sql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(('0x' || substr(md5('wsamp:' || doc_id), 1, 15))::BIGINT + 1 AS DOUBLE)
+       |      / CAST(n_chars AS DOUBLE) AS rank
+       |  FROM documents WHERE n_chars > 0),
+       |t AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY rank, doc_id) AS rn
+       |      FROM r)
+       |SELECT source, doc_id, n_chars, rank FROM t
+       |WHERE rn <= $WSampleK ORDER BY source, rank, doc_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_weighted_sample" -> (q102WeightedSample _),
     "q98_split_leakage"    -> (q98SplitLeakage _),
     "q64_chunk_plan"       -> (q64ChunkPlan _),
     "q63_shuffle_shards"   -> (q63ShuffleShards _),
@@ -1155,6 +1198,7 @@ object TextQueries {
     "q91_mixture_expand"   -> (q91MixtureExpand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q102_weighted_sample" -> q102Sql,
     "q98_split_leakage"    -> q98Sql,
     "q64_chunk_plan"       -> q64Sql,
     "q63_shuffle_shards"   -> q63Sql,
