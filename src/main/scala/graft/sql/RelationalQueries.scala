@@ -931,7 +931,92 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Unpivot/melt — the inverse of q40's pivot: the four lineitem
+    * measures fold into (measure, value) rows and aggregate per measure.
+    * The unpivot is a narrow generate (4× row fan-out map-side, no
+    * shuffle until the 4-group agg, which map-side combines to nothing);
+    * sums ride DECIMAL(18,2) like q01 so they are order-free. */
+  def q103Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables(spark, dir).lineitem
+      .select(measures.map(col): _*)
+      .unpivot(Array.empty[Column], measures.map(col).toArray, "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total_dec"),
+        max(col("value")).as("max_value"))
+      .select(col("measure"), col("n"),
+        col("total_dec").cast(DoubleType).as("total"), col("max_value"))
+      .orderBy(col("measure"))
+  }
+
+  val q103Sql: String =
+    """WITH u AS (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT measure, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  max(value) AS max_value
+      |FROM u GROUP BY 1 ORDER BY measure""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** Time-series gap fill — the dashboard-feed regularizer: the hourly
+    * per-type event series re-gridded onto a complete hour spine
+    * (missing hours exist with n_events = 0) with the last observed
+    * max_value carried forward across gaps (`last ignoreNulls`; `max`
+    * per hour rather than a float mean so the carried value is
+    * summation-order-free cross-engine).
+    *
+    * Scale shape: the hourly agg is map-side combinable down to
+    * (type × hour) cardinality; the spine is types × a broadcast 1-row
+    * bounds frame exploded by `sequence` — no corpus-sized join side;
+    * the fill window partitions by type over hour-cardinality rows. */
+  def q104GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    val hourly = e
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+    val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("filled_max", last(col("max_value"), ignoreNulls = true)
+        .over(Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+      .select(col("event_type"), col("hour").cast(StringType).as("hour"),
+        col("n_events"), col("max_value"), col("filled_max"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q104Sql: String =
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                  date_trunc('hour', max(ts)) AS h1 FROM events),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |sp AS (SELECT ty.event_type,
+      |         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+      |       FROM ty, b),
+      |hr AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+      |         count(*) AS n_events, max(value) AS max_value
+      |       FROM events GROUP BY 1, 2),
+      |f AS (SELECT sp.event_type, sp.hour,
+      |        coalesce(hr.n_events, 0) AS n_events, hr.max_value,
+      |        last_value(hr.max_value IGNORE NULLS) OVER (
+      |          PARTITION BY sp.event_type ORDER BY sp.hour
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max
+      |      FROM sp LEFT JOIN hr
+      |        ON sp.event_type = hr.event_type AND sp.hour = hr.hour)
+      |SELECT event_type, CAST(hour AS VARCHAR) AS hour, n_events, max_value, filled_max
+      |FROM f ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_gap_fill"             -> (q104GapFill _),
+    "q103_unpivot"              -> (q103Unpivot _),
     "q101_topk_native"          -> (q101TopkNative _),
     "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
@@ -962,6 +1047,8 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q104_gap_fill"             -> q104Sql,
+    "q103_unpivot"              -> q103Sql,
     "q101_topk_native"          -> q101Sql,
     "q97_cohort_retention"      -> q97Sql,
     "q89_join_cardinality"      -> q89Sql,
