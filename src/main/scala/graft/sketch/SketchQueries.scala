@@ -210,13 +210,101 @@ object SketchQueries {
        |SELECT tok AS token, n_exact, n_est, n_est - n_exact AS overestimate
        |FROM est ORDER BY n_exact DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Histogram quantile sketch vs exact — completing the sketch family
+    * (distinct = KMV q57, frequency = CountMin q95, quantiles = this):
+    * per event_type, p50/p95 estimated from a FIXED 128-bin histogram
+    * over the global value range, beside the exact discrete percentiles
+    * (q39's counts→cumulative-window device) and the estimator error.
+    * The histogram is the simplest MERGEABLE quantile state — merging
+    * shards is elementwise vector addition, so a 100 TB deployment keeps
+    * 128 longs per (shard, group) and re-merges only changed shards
+    * (q77's rollup pattern); the shuffle carries bin counts, never
+    * values.
+    *
+    * Everything is deterministic cross-engine by construction: bin
+    * arithmetic is IEEE double ops in identical order (no rounding
+    * needed), quantile thresholds compare in INTEGER arithmetic
+    * (`2·cum ≥ tot`, q39's rule), the estimate is the selected bin's
+    * upper edge, and the exact side returns actual data values. The
+    * estimate always lands in the same bin as the exact value, so
+    * `0 ≤ err < bin width` — pinned by `QuantileSketchSpec`. */
+  private val QBins = 128
+
+  def q105QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .filter(col("value").isNotNull).select(col("event_type"), col("value"))
+    val bounds = e.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .select(col("lo"), ((col("hi") - col("lo")) / QBins).as("w"))
+    val binned = e.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("lo"), col("w"),
+        least(floor((col("value") - col("lo")) / col("w")).cast("int"), lit(QBins - 1)).as("bin"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = binned.groupBy(col("event_type"), col("bin"))
+      .agg(min(col("lo")).as("lo"), min(col("w")).as("w"), count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(byType))
+    val edge = col("lo") + (col("bin") + 1).cast("double") * col("w")
+    val est = cum.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n"),
+        min(when(col("cum") * 2 >= col("tot"), edge)).as("p50_est"),
+        min(when(col("cum") * 20 >= col("tot") * 19, edge)).as("p95_est"))
+    val cum2 = e.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(byType))
+    val exact = cum2.groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("value"))).as("p50_exact"),
+        min(when(col("cum") * 20 >= col("tot") * 19, col("value"))).as("p95_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        col("p50_est"), col("p50_exact"), (col("p50_est") - col("p50_exact")).as("p50_err"),
+        col("p95_est"), col("p95_exact"), (col("p95_est") - col("p95_exact")).as("p95_err"))
+      .orderBy(col("event_type"))
+  }
+
+  val q105Sql: String =
+    s"""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events WHERE value IS NOT NULL),
+       |b2 AS (SELECT lo, (hi - lo) / $QBins AS w FROM b),
+       |bi AS (SELECT event_type, b2.lo, b2.w,
+       |         least(CAST(floor((value - b2.lo) / b2.w) AS INTEGER), ${QBins - 1}) AS bin
+       |       FROM events, b2 WHERE value IS NOT NULL),
+       |h AS (SELECT event_type, bin, min(lo) AS lo, min(w) AS w, count(*) AS cnt
+       |      FROM bi GROUP BY 1, 2),
+       |c AS (SELECT *,
+       |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |        sum(cnt) OVER (PARTITION BY event_type) AS tot FROM h),
+       |est AS (SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+       |          min(CASE WHEN cum * 2 >= tot THEN lo + CAST(bin + 1 AS DOUBLE) * w END) AS p50_est,
+       |          min(CASE WHEN cum * 20 >= tot * 19 THEN lo + CAST(bin + 1 AS DOUBLE) * w END) AS p95_est
+       |        FROM c GROUP BY 1),
+       |vc AS (SELECT event_type, value, count(*) AS cnt FROM events
+       |       WHERE value IS NOT NULL GROUP BY 1, 2),
+       |c2 AS (SELECT *,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(cnt) OVER (PARTITION BY event_type) AS tot FROM vc),
+       |ex AS (SELECT event_type,
+       |         min(CASE WHEN cum * 2 >= tot THEN value END) AS p50_exact,
+       |         min(CASE WHEN cum * 20 >= tot * 19 THEN value END) AS p95_exact
+       |       FROM c2 GROUP BY 1)
+       |SELECT est.event_type, est.n,
+       |  p50_est, p50_exact, p50_est - p50_exact AS p50_err,
+       |  p95_est, p95_exact, p95_est - p95_exact AS p95_err
+       |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_quantile_sketch" -> (q105QuantileSketch _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q77_sketch_rollup" -> (q77SketchRollup _),
     "q88_rolling_actives" -> (q88RollingActives _),
     "q95_heavy_hitters" -> (q95HeavyHitters _))
 
   val oracleSql: Map[String, String] = Map(
+    "q105_quantile_sketch" -> q105Sql,
     "q57_kmv_distinct" -> q57Sql,
     "q77_sketch_rollup" -> q77Sql,
     "q88_rolling_actives" -> q88Sql,
