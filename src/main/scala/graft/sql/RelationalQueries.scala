@@ -1014,7 +1014,118 @@ object RelationalQueries {
       |SELECT event_type, CAST(hour AS VARCHAR) AS hour, n_events, max_value, filled_max
       |FROM f ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Z-order layout card — the audit behind a `OPTIMIZE ZORDER BY`-style
+    * write: events are assigned to 64 simulated files under two sort
+    * layouts — linear (hour, then user) and the bit-interleaved Z-curve
+    * over (hour, user) — and a representative box query (middle quarter
+    * of each dimension) counts how many files its min/max ranges force
+    * it to read. Linear sort packs the leading dimension tightly and
+    * scatters the second; the Z-curve bounds BOTH dimensions per file,
+    * which is why multi-dimension point/box workloads Z-order their
+    * layout. Everything is integer arithmetic (normalized dims, bit
+    * interleave, `div`-based file assignment, range-intersection
+    * counts) — bit-identical cross-engine by construction.
+    *
+    * Scale shape: the card itself is the small audit (its global
+    * row_number is over the shard being laid out); the production WRITE
+    * path is `repartitionByRange(z)` + sortWithinPartitions — the
+    * shuffle is the same one any sorted write pays, and the win is read
+    * -side file skipping, which this card quantifies (`ZorderSpec` pins
+    * zorder strictly beating linear on the trailing dimension). */
+  private val ZBits = 16
+  private val ZFiles = 64
+
+  private def zCol(a: Column, b: Column): Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  private def zSqlExpr(a: String, b: String): String =
+    (0 until ZBits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) | ((($b >> $i) & 1) << ${2 * i})")
+      .mkString(" | ")
+
+  def q106ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), expr("unix_micros(ts) div 3600000000").as("h"),
+        col("user_id"))
+    val bounds = e.agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+      min(col("user_id")).as("u0"), max(col("user_id")).as("u1"))
+    val zMax = (1 << ZBits) - 1
+    val d = e.crossJoin(broadcast(bounds))
+      .select(col("event_id"),
+        (col("h") - col("h0")).as("d1"), (col("user_id") - col("u0")).as("d2"),
+        (col("h1") - col("h0")).as("s1"), (col("u1") - col("u0")).as("s2"))
+      // scale both dims to the SAME bit width before interleaving —
+      // raw ranges of unequal width let the wider dim monopolize the
+      // curve's top bits and the layout degrades toward linear
+      .withColumn("z", zCol(
+        expr(s"(d1 * $zMax) div greatest(s1, 1)"),
+        expr(s"(d2 * $zMax) div greatest(s2, 1)")))
+    def layout(name: String, order: Seq[Column]): DataFrame =
+      d.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(lit(0))))
+        .withColumn("file", expr(s"((rn - 1) * $ZFiles) div cnt"))
+        .groupBy(col("file"))
+        .agg(min(col("d1")).as("min1"), max(col("d1")).as("max1"),
+          min(col("d2")).as("min2"), max(col("d2")).as("max2"),
+          min(col("s1")).as("s1"), min(col("s2")).as("s2"))
+        .agg(count(lit(1)).as("n_files"),
+          // three probes: a box on the LEADING dim only (linear's home
+          // game), on the TRAILING dim only (where linear reads every
+          // file), and on both (the point-lookup regime)
+          count(when(
+            col("min1") <= expr("s1 div 2") && col("max1") >= expr("s1 div 4"),
+            1)).as("hit_d1box"),
+          count(when(
+            col("min2") <= expr("s2 div 2") && col("max2") >= expr("s2 div 4"),
+            1)).as("hit_d2box"),
+          count(when(
+            col("min1") <= expr("s1 div 2") && col("max1") >= expr("s1 div 4") &&
+              col("min2") <= expr("s2 div 2") && col("max2") >= expr("s2 div 4"),
+            1)).as("hit_both"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("hit_d1box"), col("hit_d2box"), col("hit_both"))
+    layout("linear", Seq(col("d1"), col("d2"), col("event_id")))
+      .unionByName(layout("zorder", Seq(col("z"), col("event_id"))))
+      .orderBy(col("layout"))
+  }
+
+  val q106Sql: String = {
+    def layoutSql(name: String, order: String): String =
+      s"""SELECT '$name' AS layout, count(*) AS n_files,
+         |  count(CASE WHEN min1 <= s1 // 2 AND max1 >= s1 // 4 THEN 1 END) AS hit_d1box,
+         |  count(CASE WHEN min2 <= s2 // 2 AND max2 >= s2 // 4 THEN 1 END) AS hit_d2box,
+         |  count(CASE WHEN min1 <= s1 // 2 AND max1 >= s1 // 4
+         |              AND min2 <= s2 // 2 AND max2 >= s2 // 4 THEN 1 END) AS hit_both
+         |FROM (
+         |  SELECT ((rn - 1) * $ZFiles) // cnt AS file,
+         |    min(d1) AS min1, max(d1) AS max1, min(d2) AS min2, max(d2) AS max2,
+         |    min(s1) AS s1, min(s2) AS s2
+         |  FROM (SELECT *, row_number() OVER (ORDER BY $order) AS rn,
+         |          count(*) OVER () AS cnt FROM z)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH b AS (SELECT min(epoch_us(ts) // 3600000000) AS h0,
+       |                  max(epoch_us(ts) // 3600000000) AS h1,
+       |                  min(user_id) AS u0, max(user_id) AS u1 FROM events),
+       |d AS (SELECT event_id,
+       |        epoch_us(ts) // 3600000000 - b.h0 AS d1, user_id - b.u0 AS d2,
+       |        b.h1 - b.h0 AS s1, b.u1 - b.u0 AS s2
+       |      FROM events, b),
+       |z AS (SELECT *, ${zSqlExpr(s"((d1 * ${(1 << ZBits) - 1}) // greatest(s1, 1))",
+                                   s"((d2 * ${(1 << ZBits) - 1}) // greatest(s2, 1))")} AS z
+       |      FROM d)
+       |${layoutSql("linear", "d1, d2, event_id")}
+       |UNION ALL
+       |${layoutSql("zorder", "z, event_id")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_zorder_layout"        -> (q106ZorderLayout _),
     "q104_gap_fill"             -> (q104GapFill _),
     "q103_unpivot"              -> (q103Unpivot _),
     "q101_topk_native"          -> (q101TopkNative _),
@@ -1047,6 +1158,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q106_zorder_layout"        -> q106Sql,
     "q104_gap_fill"             -> q104Sql,
     "q103_unpivot"              -> q103Sql,
     "q101_topk_native"          -> q101Sql,
