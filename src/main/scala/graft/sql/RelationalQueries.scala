@@ -1124,7 +1124,63 @@ object RelationalQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q107
+  /** The flagship multi-way join (TPC-H Q5's shape): local-supplier
+    * revenue by nation for one region-year — six tables, five join
+    * conditions, where join ORDER and STRATEGY decide the plan. The
+    * declarative form lets Catalyst do what a 100 TB plan needs: region
+    * prunes nation (25 rows), nation prunes customer and supplier, and
+    * every dimension ends up BROADCAST against the one fact chain
+    * (orders⨝lineitem, the only real shuffle, co-keyed on orderkey);
+    * the date filter pushes into the orders scan. `PlanAuditSpec` pins
+    * it: exactly one hash-shuffle pair (the fact join), everything else
+    * BroadcastHashJoin, PushedFilters on the orders scan. Revenue rides
+    * q01's DECIMAL(30,4) rule so sums are order-free cross-engine. */
+  def q107RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders96 = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val asiaNations = t.nation
+      .join(t.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = (dec(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+      .cast(DecimalType(30, 4))
+    t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(orders96, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")) // LOCAL supplier
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q107Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_regional_revenue"     -> (q107RegionalRevenue _),
     "q106_zorder_layout"        -> (q106ZorderLayout _),
     "q104_gap_fill"             -> (q104GapFill _),
     "q103_unpivot"              -> (q103Unpivot _),
@@ -1158,6 +1214,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q107_regional_revenue"     -> q107Sql,
     "q106_zorder_layout"        -> q106Sql,
     "q104_gap_fill"             -> q104Sql,
     "q103_unpivot"              -> q103Sql,

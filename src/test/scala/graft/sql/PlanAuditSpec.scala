@@ -291,6 +291,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q93: rank propagation degenerated to a nested loop\n$plan")
   }
 
+  test("q107 five-way join: dimensions broadcast, no nested loop, date filter pushed to the orders scan") {
+    val plan = physical("q107_regional_revenue")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q107: a join degenerated\n$plan")
+    // region/nation/customer/supplier always broadcast (at gate SF the
+    // filtered orders side does too — ≥4 is the scale-stable floor)
+    assert(countOccurrences(plan, "BroadcastHashJoin") >= 4,
+      s"q107: expected the dimension broadcast cascade\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q107: the date filter did not reach the orders scan\n$plan")
+  }
+
   test("q100 snapshot diff: full outer stays a hash/merge equi-join on the id, digests computed in-scan") {
     val plan = physical("q100_snapshot_diff")
     assert(plan.contains("FullOuter"), s"q100: expected a full outer join\n$plan")
