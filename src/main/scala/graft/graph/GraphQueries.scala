@@ -108,9 +108,88 @@ object GraphQueries {
        |FROM p$PrRounds ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q108
+  /** Triangle census on the supplier CO-TRADE graph — the clustering
+    * card for entity graphs (community density, fraud-ring signal). The
+    * q93 trade graph is bipartite (triangle-free by construction), so
+    * the triangles live in its supplier projection: an edge joins two
+    * suppliers who share a customer. The projection is the quadratic
+    * step, so it is DEGREE-CAPPED exactly like q20's df-capped inverted
+    * index — customers trading with more than [[CoCap]] suppliers are
+    * hub noise and contribute O(cap²) pairs at most; the cap is part of
+    * the operator contract and the ORACLE applies the same cap.
+    *
+    * Triangle counting itself is the classic oriented-wedge join: edges
+    * are kept as a < b only, wedges a<b<c close via one equi-join back
+    * on (a, c) — each triangle counted exactly once, no orientation
+    * dedup pass. Shuffles carry long pairs keyed on the shared vertex;
+    * the output is a 1-row census (nodes, edges, triangles, wedges,
+    * global transitivity = 3T/wedges through the DECIMAL(18,6) rule). */
+  private val CoCap = 64
+
+  def q108Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("ss")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ss"))),
+        j => struct(element_at(col("ss"), i).as("a"), element_at(col("ss"), j).as("b")))))
+    val edges = cs.groupBy(col("c"))
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .filter(size(col("ss")).between(2, CoCap))
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e2.b").as("c"))
+    val triangles = wedges
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    degStats.crossJoin(edgeCount).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          ((col("n_triangles") * 3).cast(DecimalType(18, 6)) / col("n_wedges"))
+            .cast(DecimalType(18, 6)).cast(DoubleType)).as("transitivity"))
+  }
+
+  val q108Sql: String =
+    s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |cd AS (SELECT c, count(*) AS d FROM cs GROUP BY 1),
+       |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+       |      FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
+       |      WHERE x.c IN (SELECT c FROM cd WHERE d BETWEEN 2 AND $CoCap)),
+       |tri AS (SELECT count(*) AS n_triangles
+       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (SELECT v, count(*) AS d
+       |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |ds AS (SELECT count(*) AS n_nodes,
+       |         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |ec AS (SELECT count(*) AS n_edges FROM e)
+       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |  CASE WHEN n_wedges > 0 THEN
+       |    CAST(CAST(CAST(n_triangles * 3 AS DECIMAL(18,6)) / n_wedges AS DECIMAL(18,6)) AS DOUBLE)
+       |  END AS transitivity
+       |FROM ds, ec, tri""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_triangles" -> (q108Triangles _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
+    "q108_triangles" -> q108Sql,
     "q93_pagerank" -> q93Sql)
 }
