@@ -119,15 +119,29 @@ object GraphQueries {
     * hub noise and contribute O(cap²) pairs at most; the cap is part of
     * the operator contract and the ORACLE applies the same cap.
     *
-    * Triangle counting itself is the classic oriented-wedge join: edges
-    * are kept as a < b only, wedges a<b<c close via one equi-join back
-    * on (a, c) — each triangle counted exactly once, no orientation
-    * dedup pass. Shuffles carry long pairs keyed on the shared vertex;
-    * the output is a 1-row census (nodes, edges, triangles, wedges,
-    * global transitivity = 3T/wedges through the DECIMAL(18,6) rule). */
+    * The triangle count is DOULION edge sampling (Tsourakakis et al.,
+    * KDD'09): each edge is kept iff a deterministic hash of its
+    * endpoints is ≡ 0 mod [[TriSampleMod]], the oriented a<b<c wedge
+    * join runs EXACTLY on the sampled subgraph, and the estimate is
+    * `t_sampled · mod³` — the wedge-join work drops by mod² while the
+    * estimator stays unbiased. Mandatory here and at scale: this
+    * projection is near-complete (every supplier pair shares customers
+    * on this corpus — K₁₀₀₀ at sf0.1 holds 1.7·10⁸ triangles), and an
+    * exact join materializes every wedge (measured 26 s at sf0.1; the
+    * sampled census runs in ~1 s with ~2% error, `TriangleSpec`). The
+    * hash makes the sample — and therefore the whole card — bit-exact
+    * reproducible, so the ORACLE runs the same estimator; node/edge/
+    * wedge counts stay exact (cheap aggregates on the full
+    * projection). */
   private val CoCap = 64
+  private val TriSampleMod = 8
 
-  def q108Triangles(spark: SparkSession, dir: String): DataFrame = {
+  def q108Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(spark, dir, TriSampleMod)
+
+  /** `sampleMod` = 1 → exact census (the fixture-spec path). */
+  private[graph] def triangleCensus(
+      spark: SparkSession, dir: String, sampleMod: Int): DataFrame = {
     val t = Tables(spark, dir)
     val cs = t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
@@ -145,45 +159,58 @@ object GraphQueries {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
       .localCheckpoint(true)
-    val wedges = edges.as("e1")
-      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+    val sampled =
+      if (sampleMod == 1) edges
+      else edges.filter(graft.text.TextOps.hex60(
+        concat(lit("tri:"), col("a"), lit(":"), col("b"))) % sampleMod === 0)
+        .localCheckpoint(true)
+    val wedges = sampled.as("e1")
+      .join(sampled.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e2.b").as("c"))
     val triangles = wedges
-      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .join(sampled.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("t_sampled"))
     val deg = edges.select(col("a").as("v"))
       .unionByName(edges.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val edgeCount = edges.agg(count(lit(1)).as("n_edges"))
+    val scale = sampleMod.toLong * sampleMod * sampleMod
     degStats.crossJoin(edgeCount).crossJoin(triangles)
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("t_sampled"), (col("t_sampled") * scale).as("t_est"),
         when(col("n_wedges") > 0,
-          ((col("n_triangles") * 3).cast(DecimalType(18, 6)) / col("n_wedges"))
-            .cast(DecimalType(18, 6)).cast(DoubleType)).as("transitivity"))
+          ((col("t_sampled") * scale * 3).cast(DecimalType(18, 6)) / col("n_wedges"))
+            .cast(DecimalType(18, 6)).cast(DoubleType)).as("transitivity_est"))
   }
 
-  val q108Sql: String =
+  val q108Sql: String = {
+    val scale = TriSampleMod.toLong * TriSampleMod * TriSampleMod
     s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |cd AS (SELECT c, count(*) AS d FROM cs GROUP BY 1),
        |e AS (SELECT DISTINCT x.s AS a, y.s AS b
        |      FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
        |      WHERE x.c IN (SELECT c FROM cd WHERE d BETWEEN 2 AND $CoCap)),
-       |tri AS (SELECT count(*) AS n_triangles
-       |        FROM e e1 JOIN e e2 ON e1.b = e2.a
-       |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |es AS (SELECT a, b FROM e
+       |       WHERE ('0x' || substr(md5('tri:' || a || ':' || b), 1, 15))::BIGINT
+       |             % $TriSampleMod = 0),
+       |tri AS (SELECT count(*) AS t_sampled
+       |        FROM es e1 JOIN es e2 ON e1.b = e2.a
+       |        JOIN es e3 ON e3.a = e1.a AND e3.b = e2.b),
        |deg AS (SELECT v, count(*) AS d
        |        FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
        |ds AS (SELECT count(*) AS n_nodes,
        |         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
        |ec AS (SELECT count(*) AS n_edges FROM e)
-       |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       |SELECT n_nodes, n_edges, n_wedges, t_sampled,
+       |  t_sampled * $scale AS t_est,
        |  CASE WHEN n_wedges > 0 THEN
-       |    CAST(CAST(CAST(n_triangles * 3 AS DECIMAL(18,6)) / n_wedges AS DECIMAL(18,6)) AS DOUBLE)
-       |  END AS transitivity
+       |    CAST(CAST(CAST(t_sampled * $scale * 3 AS DECIMAL(18,6)) / n_wedges AS DECIMAL(18,6)) AS DOUBLE)
+       |  END AS transitivity_est
        |FROM ds, ec, tri""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_triangles" -> (q108Triangles _),

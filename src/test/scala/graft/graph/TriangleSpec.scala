@@ -37,16 +37,31 @@ class TriangleSpec extends SparkSpec {
     dir
   }
 
-  test("q108: one closed triangle, one open wedge, hub customer capped away") {
-    val r = GraphQueries.q108Triangles(spark, fixtureDir()).collect()
+  test("exact census (sampleMod=1): one triangle, one open wedge, hub customer capped away") {
+    val r = GraphQueries.triangleCensus(spark, fixtureDir(), sampleMod = 1).collect()
     assert(r.length == 1)
     val row = r.head
     def l(c: String) = row.getLong(row.fieldIndex(c))
     assert(l("n_nodes") == 6, row)      // 11..16; hub suppliers absent
     assert(l("n_edges") == 5, row)
-    assert(l("n_triangles") == 1, row)
+    assert(l("t_sampled") == 1 && l("t_est") == 1, row)
     // degrees: 11,12,13 → 2 each (1 wedge each); 14 → 2 (1); 15,16 → 1 (0)
     assert(l("n_wedges") == 4, row)
-    assert(row.getDouble(row.fieldIndex("transitivity")) == 0.75, row)
+    assert(row.getDouble(row.fieldIndex("transitivity_est")) == 0.75, row)
+  }
+
+  test("q108 DOULION estimate lands within 15% of the exact count at the oracle SF") {
+    // the sf0.01 projection is the complete graph K100 (every supplier
+    // pair shares a customer): exactly C(100,3) triangles — a known
+    // ground truth the 1/8³-scaled sampled count must approximate.
+    // Deterministic hash sample → a stable assertion, not a flaky one.
+    // (sf0.001 is K10 — 45 edges is far below DOULION's variance floor,
+    // which is why this runs at the same SF the driver's gate uses.)
+    val row = GraphQueries.q108Triangles(spark, "/root/testdata/sf0.01").collect().head
+    val exact = 100L * 99 * 98 / 6
+    val est = row.getLong(row.fieldIndex("t_est"))
+    assert(row.getLong(row.fieldIndex("n_edges")) == 4950, row)
+    assert(math.abs(est - exact).toDouble / exact < 0.15,
+      s"estimate $est vs exact $exact")
   }
 }
