@@ -1179,7 +1179,122 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** IQR outlier bands per event type — the monitoring-feed anomaly
+    * gate: exact discrete quartiles (q39's counts→cumulative-window
+    * device, integer thresholds `4·cum ≥ tot` / `4·cum ≥ 3·tot`),
+    * Tukey fences at 1.5·IQR, and the outlier count per type. ONE
+    * corpus scan: the (type, value) count table feeds both the
+    * quartile selection and — joined back against the broadcast
+    * type-cardinality fence row — the outlier tally. Quartiles are
+    * actual data values and the fence arithmetic is three IEEE ops on
+    * them, so every column is bit-stable cross-engine except the rate,
+    * which rides DECIMAL(18,6). */
+  def q109OutlierBands(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(byType))
+    val fences = cum.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n"),
+        min(when(col("cum") * 4 >= col("tot"), col("value"))).as("q1"),
+        min(when(col("cum") * 4 >= col("tot") * 3, col("value"))).as("q3"))
+      .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    counts.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+        max(col("lo_fence")).as("lo_fence"), max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("value") < col("lo_fence") || col("value") > col("hi_fence"),
+          col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_rate",
+        (col("n_outliers").cast(DecimalType(18, 6)) / col("n"))
+          .cast(DecimalType(18, 6)).cast(DoubleType))
+      .orderBy(col("event_type"))
+  }
+
+  val q109Sql: String =
+    """WITH vc AS (SELECT event_type, value, count(*) AS cnt FROM events
+      |            WHERE value IS NOT NULL GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |        sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER (PARTITION BY event_type) AS tot FROM vc),
+      |f AS (SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+      |        min(CASE WHEN cum * 4 >= tot THEN value END) AS q1,
+      |        min(CASE WHEN cum * 4 >= tot * 3 THEN value END) AS q3
+      |      FROM c GROUP BY 1),
+      |f2 AS (SELECT *, q1 - (q3 - q1) * 1.5 AS lo_fence, q3 + (q3 - q1) * 1.5 AS hi_fence
+      |       FROM f),
+      |o AS (SELECT vc.event_type,
+      |        CAST(sum(CASE WHEN vc.value < f2.lo_fence OR vc.value > f2.hi_fence
+      |                 THEN vc.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      |      FROM vc JOIN f2 USING (event_type) GROUP BY 1)
+      |SELECT event_type, n, q1, q3, lo_fence, hi_fence, n_outliers,
+      |  CAST(CAST(CAST(n_outliers AS DECIMAL(18,6)) / n AS DECIMAL(18,6)) AS DOUBLE) AS outlier_rate
+      |FROM f2 JOIN o USING (event_type) ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Referential-integrity audit — the data-quality card a warehouse
+    * runs after every load: for each FK relation, child rows, distinct
+    * child keys, orphan child rows (anti-join against the parent — the
+    * hard failure), and childless parents (the benign-but-reported
+    * inverse). Anti-joins are key-cardinality co-partitioned probes;
+    * dimension parents broadcast. Everything is integer counts. */
+  def q110IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def rel(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val stats = child.agg(count(lit(1)).as("child_rows"),
+        countDistinct(col("k")).as("child_keys"))
+      val orphans = child.join(parent, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      val childless = parent.join(child.select(col("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("childless_parents"))
+      stats.crossJoin(orphans).crossJoin(childless)
+        .select(lit(name).as("relation"), col("child_rows"), col("child_keys"),
+          col("orphan_rows"), col("childless_parents"))
+    }
+    rel("lineitem->orders",
+        t.lineitem.select(col("l_orderkey").as("k")),
+        t.orders.select(col("o_orderkey").as("k")))
+      .unionByName(rel("orders->customer",
+        t.orders.select(col("o_custkey").as("k")),
+        t.customer.select(col("c_custkey").as("k"))))
+      .unionByName(rel("lineitem->supplier",
+        t.lineitem.select(col("l_suppkey").as("k")),
+        t.supplier.select(col("s_suppkey").as("k"))))
+      .unionByName(rel("customer->nation",
+        t.customer.select(col("c_nationkey").as("k")),
+        t.nation.select(col("n_nationkey").as("k"))))
+      .orderBy(col("relation"))
+  }
+
+  val q110Sql: String = {
+    def rel(name: String, child: String, ck: String, parent: String, pk: String): String =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT count(*) FROM $child) AS child_rows,
+         |  (SELECT count(DISTINCT $ck) FROM $child) AS child_keys,
+         |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+         |     (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS orphan_rows,
+         |  (SELECT count(*) FROM $parent p WHERE NOT EXISTS
+         |     (SELECT 1 FROM $child c WHERE c.$ck = p.$pk)) AS childless_parents""".stripMargin
+    Seq(
+      rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_integrity_audit"      -> (q110IntegrityAudit _),
+    "q109_outlier_bands"        -> (q109OutlierBands _),
     "q107_regional_revenue"     -> (q107RegionalRevenue _),
     "q106_zorder_layout"        -> (q106ZorderLayout _),
     "q104_gap_fill"             -> (q104GapFill _),
@@ -1214,6 +1329,8 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q110_integrity_audit"      -> q110Sql,
+    "q109_outlier_bands"        -> q109Sql,
     "q107_regional_revenue"     -> q107Sql,
     "q106_zorder_layout"        -> q106Sql,
     "q104_gap_fill"             -> q104Sql,
