@@ -1292,7 +1292,63 @@ object RelationalQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Funnel time-to-convert distribution — q75's strict-order funnel
+    * composed with q39's discrete-percentile device: per converted user,
+    * the view→purchase latency in whole seconds (integer `div`, so the
+    * values — and therefore the percentiles — are bit-exact), then
+    * p50/p90/max over the per-user latencies with integer-threshold
+    * selection. The chain stays one user-keyed window pass + aggregates
+    * over user- then latency-cardinality frames — nothing touches the
+    * event stream twice. */
+  def q111FunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("vmin",
+        min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("cmin",
+        min(when(col("event_type") === "click" && col("us") > col("vmin"), col("us"))).over(byUser))
+      .withColumn("pmin",
+        min(when(col("event_type") === "purchase" && col("us") > col("cmin"), col("us"))).over(byUser))
+    val lat = staged.groupBy(col("user_id"))
+      .agg(max(col("vmin")).as("vmin"), max(col("pmin")).as("pmin"))
+      .filter(col("pmin").isNotNull)
+      .select(expr("(pmin - vmin) div 1000000").as("lat_s"))
+    val all = Window.partitionBy(lit(0))
+    lat.groupBy(col("lat_s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(all.orderBy(col("lat_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(all))
+      .agg(max(col("tot")).as("n_converted"),
+        min(when(col("cum") * 2 >= col("tot"), col("lat_s"))).as("p50_s"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("lat_s"))).as("p90_s"),
+        max(col("lat_s")).as("max_s"))
+  }
+
+  val q111Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+      |                 OVER (PARTITION BY user_id) AS vmin FROM e),
+      |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > vmin THEN us END)
+      |                 OVER (PARTITION BY user_id) AS cmin FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > cmin THEN us END)
+      |                 OVER (PARTITION BY user_id) AS pmin FROM s2),
+      |u AS (SELECT user_id, max(vmin) AS vmin, max(pmin) AS pmin FROM s3 GROUP BY 1),
+      |lat AS (SELECT (pmin - vmin) // 1000000 AS lat_s FROM u WHERE pmin IS NOT NULL),
+      |lc AS (SELECT lat_s, count(*) AS cnt FROM lat GROUP BY 1),
+      |c AS (SELECT *,
+      |        sum(cnt) OVER (ORDER BY lat_s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        sum(cnt) OVER () AS tot FROM lc)
+      |SELECT CAST(max(tot) AS BIGINT) AS n_converted,
+      |  min(CASE WHEN cum * 2 >= tot THEN lat_s END) AS p50_s,
+      |  min(CASE WHEN cum * 10 >= tot * 9 THEN lat_s END) AS p90_s,
+      |  max(lat_s) AS max_s
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_funnel_latency"       -> (q111FunnelLatency _),
     "q110_integrity_audit"      -> (q110IntegrityAudit _),
     "q109_outlier_bands"        -> (q109OutlierBands _),
     "q107_regional_revenue"     -> (q107RegionalRevenue _),
@@ -1329,6 +1385,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q111_funnel_latency"       -> q111Sql,
     "q110_integrity_audit"      -> q110Sql,
     "q109_outlier_bands"        -> q109Sql,
     "q107_regional_revenue"     -> q107Sql,

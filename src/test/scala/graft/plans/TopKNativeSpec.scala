@@ -37,6 +37,21 @@ class TopKNativeSpec extends SparkSpec {
       s"the native operator must not fall back to sort/window\n$plan")
   }
 
+  test("column pruning flows through the custom node: scan reads only referenced columns") {
+    // Catalyst's generic ColumnPruning inserts a Project below any unary
+    // node from its references — this pins that the custom operator keeps
+    // qualifying (a node that stopped reporting references would silently
+    // re-widen every scan under it)
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+    val out = TopK.perKey(li, Seq("l_orderkey"),
+        Seq("l_extendedprice" -> true, "l_linenumber" -> false), 2)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val scans = out.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(scans.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"expected the scan pruned to the 3 referenced columns\n$scans")
+  }
+
   test("partial key-cap overflow: rows past the cap ship unreduced, result unchanged") {
     val df = (0L until 1000L).map(i => (i % 50, i, (i * 37 % 101).toDouble))
       .toDF("key", "id", "value").repartition(8)
