@@ -1347,7 +1347,42 @@ object RelationalQueries {
       |  max(lat_s) AS max_s
       |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Weekly revenue with week-over-week growth — the lead/lag report
+    * card: revenue sums ride DECIMAL(18,2) (order-free), the previous
+    * week arrives via `lag` over the week-cardinality frame, and the
+    * growth ratio is computed as exact-decimal differences cast to
+    * DOUBLE before ONE IEEE multiply+divide — identical operation order
+    * in both engines, so the percentage is bit-exact with no rounding
+    * step. The global week window's input is week-cardinality, not
+    * order-cardinality. */
+  def q112WeeklyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables(spark, dir).orders
+      .groupBy(date_trunc("week", col("o_orderdate")).cast(DateType).as("week"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_dec"), count(lit(1)).as("n_orders"))
+    weekly
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(
+        Window.partitionBy(lit(0)).orderBy(col("week"))))
+      .select(col("week").cast(StringType).as("week"), col("n_orders"),
+        col("rev_dec").cast(DoubleType).as("revenue"),
+        ((col("rev_dec") - col("prev_dec")).cast(DoubleType) * 100
+          / col("prev_dec").cast(DoubleType)).as("wow_pct"))
+      .orderBy(col("week"))
+  }
+
+  val q112Sql: String =
+    """WITH w AS (SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+      |             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+      |             count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |l AS (SELECT *, lag(rev_dec, 1) OVER (ORDER BY week) AS prev_dec FROM w)
+      |SELECT CAST(week AS VARCHAR) AS week, n_orders,
+      |  CAST(rev_dec AS DOUBLE) AS revenue,
+      |  CAST(rev_dec - prev_dec AS DOUBLE) * 100 / CAST(prev_dec AS DOUBLE) AS wow_pct
+      |FROM l ORDER BY week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_weekly_growth"        -> (q112WeeklyGrowth _),
     "q111_funnel_latency"       -> (q111FunnelLatency _),
     "q110_integrity_audit"      -> (q110IntegrityAudit _),
     "q109_outlier_bands"        -> (q109OutlierBands _),
@@ -1385,6 +1420,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q112_weekly_growth"        -> q112Sql,
     "q111_funnel_latency"       -> q111Sql,
     "q110_integrity_audit"      -> q110Sql,
     "q109_outlier_bands"        -> q109Sql,

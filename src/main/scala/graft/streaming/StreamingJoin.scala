@@ -38,13 +38,33 @@ object StreamingJoin {
       imps: Dataset[Impression],
       convs: Dataset[Conversion],
       window: String = "30 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes"): DataFrame =
+    joined(imps, convs, window, watermark, "inner")
+
+  /** LEFT OUTER variant — the unmatched-impression report: an
+    * impression with no conversion inside its window emits exactly once
+    * with null conversion columns, and only AFTER the watermark proves
+    * no match can still arrive (outer results are held back until then;
+    * an early emit would be retractable, which append mode forbids).
+    * Same bounded state as the inner join. */
+  def attributedLeftOuter(
+      imps: Dataset[Impression],
+      convs: Dataset[Conversion],
+      window: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    joined(imps, convs, window, watermark, "left_outer")
+
+  private def joined(
+      imps: Dataset[Impression],
+      convs: Dataset[Conversion],
+      window: String, watermark: String, how: String): DataFrame = {
     val i = imps.withWatermark("impTs", watermark)
     val c = convs.withWatermark("convTs", watermark)
     i.join(c,
       i("userId") === c("userId") &&
         c("convTs") >= i("impTs") &&
-        c("convTs") <= i("impTs") + expr(s"INTERVAL $window"))
+        c("convTs") <= i("impTs") + expr(s"INTERVAL $window"),
+      how)
       .select(i("userId").as("user_id"),
         c("conversionId").as("conversion_id"),
         i("impressionId").as("impression_id"),

@@ -56,4 +56,39 @@ class StreamingJoinSpec extends SparkSpec {
     q.stop()
     assert(removed > 0, "watermark advance did not evict any join state")
   }
+
+  test("left outer: unmatched impression emits null-extended exactly once, AFTER the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[StreamingJoin.Impression]
+    val convs = MemoryStream[StreamingJoin.Conversion]
+    val q = StreamingJoin.attributedLeftOuter(imps.toDS(), convs.toDS())
+      .writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+
+    imps.addData(
+      StreamingJoin.Impression(1L, 100L, t("2024-01-01 10:00:00")), // will match
+      StreamingJoin.Impression(2L, 200L, t("2024-01-01 10:00:00"))) // never matches
+    convs.addData(StreamingJoin.Conversion(1L, 500L, t("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    val matchedOnly = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2))).toSet
+    // the match may emit immediately; the unmatched row MUST NOT yet —
+    // its window is still open and a conversion could still arrive
+    assert(!matchedOnly.exists(_._1 == 2L),
+      s"unmatched impression emitted before its window closed: $matchedOnly")
+
+    // watermark far past 10:30 (imp_ts + window): user 2's null row is due
+    imps.addData(StreamingJoin.Impression(9L, 900L, t("2024-01-01 12:00:00")))
+    convs.addData(StreamingJoin.Conversion(9L, 901L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    imps.addData(StreamingJoin.Impression(9L, 902L, t("2024-01-01 13:00:00")))
+    convs.addData(StreamingJoin.Conversion(9L, 903L, t("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getLong(2)))
+    assert(rows.count(_ == ((2L, None, 200L))) == 1,
+      s"expected exactly one null-extended row for impression 200 — got ${rows.toSeq}")
+    assert(rows.contains((1L, Some(500L), 100L)), s"matched pair missing: ${rows.toSeq}")
+  }
 }
