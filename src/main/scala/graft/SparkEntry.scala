@@ -22,6 +22,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.queries ++
       graft.sim.SimilarityQueries.queries ++
       graft.tar.PackageQueries.queries ++
+      graft.sources.SourceQueries.queries ++
       graft.ingest.Messages.queries ++
       graft.ingest.Resolution.queries ++
       graft.ingest.IngestQueries.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.dedup.DedupQueries.oracleSql ++
       graft.sim.SimilarityQueries.oracleSql ++
       graft.tar.PackageQueries.oracleSql ++
+      graft.sources.SourceQueries.oracleSql ++
       graft.ingest.Messages.oracleSql ++
       graft.ingest.Resolution.oracleSql ++
       graft.ingest.IngestQueries.oracleSql ++

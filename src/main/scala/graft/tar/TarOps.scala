@@ -62,6 +62,27 @@ object TarOps {
     } finally tar.close()
   }
 
+  /** Header-only walk: (name, size) per regular member. Payloads are
+    * skipped by `getNextEntry`, never buffered — the pruned-scan path of
+    * the `graftpkg` DSv2 source ([[graft.sources.PackageTableProvider]]). */
+  def listMembers(archive: Array[Byte]): Seq[(String, Long)] = {
+    val raw: InputStream = new ByteArrayInputStream(archive)
+    val in: InputStream =
+      if (archive.length >= 2 && archive(0) == GzipMagic0 && archive(1) == GzipMagic1)
+        new GZIPInputStream(raw)
+      else raw
+    val tar = new TarArchiveInputStream(in)
+    try {
+      val out = Seq.newBuilder[(String, Long)]
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (entry.isFile) out += ((entry.getName, entry.getSize))
+        entry = tar.getNextEntry
+      }
+      out.result()
+    } finally tar.close()
+  }
+
   /** Deterministically pack (name, bytes) members into a tar.gz. */
   def pack(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
