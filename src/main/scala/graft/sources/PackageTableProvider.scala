@@ -9,9 +9,11 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,14 +60,18 @@ object PackageTable {
     StructField("content", BinaryType, nullable = false)))
 }
 
-class PackageTable(path: String) extends Table with SupportsRead {
+class PackageTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graftpkg requires a path: spark.read.format(\"graftpkg\").load(uri)")
   override def name(): String = s"graftpkg($path)"
   override def schema(): StructType = PackageTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PackageScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new PackageWrite(path, info.schema())
+    }
 }
 
 class PackageScanBuilder(path: String)
@@ -138,5 +144,94 @@ class PackageReader(uri: String, fields: Array[String])
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
 
+  override def close(): Unit = ()
+}
+
+/** DSv2 writer: one archive per `pkg_name`, packed from (member,
+  * content) rows. The write DECLARES its layout needs through
+  * [[RequiresDistributionAndOrdering]] — clustered + sorted on
+  * `pkg_name` — so Spark plans the shuffle/sort for it and each
+  * package's rows arrive contiguously at exactly one task; the task
+  * packs key-change-delimited runs with the deterministic
+  * [[TarOps.pack]].
+  *
+  * Commit protocol (the crash-safety contract a distributed writer
+  * owes): tasks write only under `.staging-<queryId>/`, name the files
+  * in their [[WriterCommitMessage]], and the DRIVER publishes them with
+  * per-file renames on [[BatchWrite.commit]] — a task that dies mid-tar
+  * leaves staging garbage that [[BatchWrite.abort]] deletes; no
+  * partially-written archive is ever visible under the table path. */
+class PackageWrite(path: String, schema: StructType)
+    extends Write with RequiresDistributionAndOrdering {
+  override def requiredDistribution(): VDistribution =
+    Distributions.clustered(Array(Expressions.identity("pkg_name")))
+  override def requiredOrdering(): Array[VSortOrder] =
+    Array(Expressions.sort(Expressions.identity("pkg_name"), SortDirection.ASCENDING))
+  override def toBatch: BatchWrite = new PackageBatchWrite(path, schema)
+}
+
+case class StagedFiles(paths: Seq[String]) extends WriterCommitMessage
+
+class PackageBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PackageWriterFactory(stagingDir, schema.fieldNames)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case StagedFiles(staged) => staged.foreach { s =>
+        val src = new Path(s)
+        val dst = new Path(path, src.getName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+class PackageWriterFactory(stagingDir: String, fields: Array[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new PackageWriter(stagingDir, fields)
+}
+
+class PackageWriter(stagingDir: String, fields: Array[String])
+    extends DataWriter[InternalRow] {
+  private val iPkg = fields.indexOf("pkg_name")
+  private val iMember = fields.indexOf("member")
+  private val iContent = fields.indexOf("content")
+  require(iPkg >= 0 && iMember >= 0 && iContent >= 0,
+    "graftpkg write needs pkg_name, member, content columns")
+  private val fs = new Path(stagingDir).getFileSystem(new Configuration())
+  private var currentPkg: String = _
+  private val buf = Seq.newBuilder[(String, Array[Byte])]
+  private val staged = Seq.newBuilder[String]
+
+  private def flush(): Unit = if (currentPkg != null) {
+    val members = buf.result()
+    buf.clear()
+    val out = new Path(stagingDir, s"$currentPkg.tar.gz")
+    val os = fs.create(out, true)
+    try os.write(TarOps.pack(members)) finally os.close()
+    staged += out.toString
+    currentPkg = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val pkg = row.getUTF8String(iPkg).toString
+    if (pkg != currentPkg) { flush(); currentPkg = pkg }
+    buf += ((row.getUTF8String(iMember).toString, row.getBinary(iContent).clone()))
+  }
+
+  override def commit(): WriterCommitMessage = { flush(); StagedFiles(staged.result()) }
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }

@@ -39,6 +39,32 @@ class PackageTableSpec extends SparkSpec {
     assert(listing.count() > 0)
   }
 
+  test("DSv2 write: writer-declared clustering packs one archive per package, round-trips byte-exact, no staging residue") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graftpkg_w").toString
+    val rows = (0L until 60L).map { i =>
+      val pkg = s"OUT-${i % 4}"
+      val content = s"payload $i for $pkg".getBytes("UTF-8")
+      (pkg, s"$pkg.tar.gz", s"$pkg/m_$i.txt", content.length.toLong, content)
+    }
+    val df = rows.toDF("pkg_name", "tar_name", "member", "member_size", "content")
+      .repartition(8) // scattered input: the WRITE's declared distribution must regroup it
+    df.write.format("graftpkg").mode("append").save(out)
+
+    // ignore Hadoop LocalFileSystem's .crc checksum sidecars
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("OUT-0.tar.gz", "OUT-1.tar.gz", "OUT-2.tar.gz", "OUT-3.tar.gz"),
+      s"expected one committed archive per package and no staging residue — got ${files.toSeq}")
+
+    val back = spark.read.format("graftpkg").load(out)
+      .select(col("pkg_name"), col("member"), col("content")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    val expected = rows.map(r => (r._1, r._3, new String(r._5, "UTF-8"))).toSet
+    assert(back == expected)
+  }
+
   test("one input partition per archive") {
     assume(Files.exists(Paths.get(fixtureDir)), "reference fixtures not present")
     val nArchives = spark.read.format("binaryFile")
