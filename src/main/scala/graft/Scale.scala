@@ -43,7 +43,13 @@ object Scale {
     // digest agg + a co-partitioned join-back. q93 reads tables the
     // replica doesn't build; q96/q99 are excluded with the pair queries
     // (replicated vectors would fake 10-deep near-dup clusters).
-    "q95_heavy_hitters", "q97_cohort_retention", "q98_split_leakage")
+    "q95_heavy_hitters", "q97_cohort_retention", "q98_split_leakage",
+    // late round-7: q100 is a digest-keyed full outer (documents); q109's
+    // quartile table and q111's staged funnel windows ride events — all
+    // aggregation-shaped, honest under replication. q101/q102 read
+    // orders (not replicated); q103/q107/q112 likewise; q113 reads
+    // staged archives.
+    "q100_snapshot_diff", "q109_outlier_bands", "q111_funnel_latency")
 
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
     val done = new java.io.File(s"$out/_BUILT")

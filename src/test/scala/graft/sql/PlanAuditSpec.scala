@@ -291,6 +291,29 @@ class PlanAuditSpec extends SparkSpec {
       s"q93: rank propagation degenerated to a nested loop\n$plan")
   }
 
+  test("round-7 cards (q97/q98/q104/q109-q112) never degenerate to cartesian/nested-loop plans") {
+    for (q <- Seq("q97_cohort_retention", "q98_split_leakage", "q104_gap_fill",
+        "q109_outlier_bands", "q110_integrity_audit", "q111_funnel_latency",
+        "q112_weekly_growth")) {
+      val plan = physical(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian\n$plan")
+      // broadcast NLJ is legitimate ONLY against literal 1-row frames —
+      // q104's bounds spine and q110's 1-row census crossJoins; a
+      // data-sized NLJ is a bug
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(Set("q104_gap_fill", "q110_integrity_audit").contains(q),
+          s"$q: unexpected nested loop\n$plan")
+    }
+  }
+
+  test("q98 leakage join stays digest-co-partitioned: one wide exchange on ch, none after") {
+    val plan = physical("q98_split_leakage")
+    // the digest agg and the join-back share the ch key; the only other
+    // exchanges are the (source×split)-cardinality report agg and sort
+    assert(countOccurrences(plan, "Exchange hashpartitioning(ch") <= 2,
+      s"q98: the digest join-back re-shuffled beyond the ch key\n$plan")
+  }
+
   test("q107 five-way join: dimensions broadcast, no nested loop, date filter pushed to the orders scan") {
     val plan = physical("q107_regional_revenue")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
