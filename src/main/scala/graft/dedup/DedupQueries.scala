@@ -1022,7 +1022,88 @@ object DedupQueries {
        |SELECT source, status, count(*) AS n_docs, CAST(sum(id) AS BIGINT) AS id_sum
        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin
 
+  // ---------------------------------------------------------------- q114
+  /** SCD2 historization — the warehouse pattern that turns q100's
+    * snapshot pair into a versioned dimension: unchanged docs keep one
+    * open version, changed docs CLOSE v1 at the new snapshot time and
+    * open v2, removed docs close without a successor (tombstone), added
+    * docs open at T1. One full outer join on the id (q100's plan — the
+    * shuffle carries digests), then each row EXPLODES into its 1-or-2
+    * version records from a case-built struct array — no second pass,
+    * no window. Validity bounds are literal snapshot timestamps, so
+    * every column is exact. */
+  private val ScdT0 = "2026-01-01 00:00:00"
+  private val ScdT1 = "2026-02-01 00:00:00"
+
+  def q114Scd2(spark: SparkSession, dir: String): DataFrame = {
+    def digested = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = digested.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("old_id"), col("source").as("old_src"),
+        md5(normText(col("text"))).as("old_h"))
+    val neu = digested.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id").as("new_id"), col("source").as("new_src"),
+        md5(normText(col("text"))).as("new_h"))
+    def ver(v: Int, h: Column, from: String, to: Option[String]): Column =
+      struct(lit(v).as("version"), h.as("content_hash"),
+        lit(from).as("valid_from"),
+        to.map(lit(_)).getOrElse(lit(null).cast("string")).as("valid_to"),
+        lit(to.isEmpty).as("is_current"))
+    val versions =
+      when(col("old_id").isNull, // added at T1
+        array(ver(1, col("new_h"), ScdT1, None)))
+      .when(col("new_id").isNull, // removed: tombstoned v1
+        array(ver(1, col("old_h"), ScdT0, Some(ScdT1))))
+      .when(col("old_h") =!= col("new_h"), // changed: close v1, open v2
+        array(ver(1, col("old_h"), ScdT0, Some(ScdT1)),
+          ver(2, col("new_h"), ScdT1, None)))
+      .otherwise( // unchanged: one open version
+        array(ver(1, col("old_h"), ScdT0, None)))
+    old.join(neu, col("old_id") === col("new_id"), "full_outer")
+      .select(coalesce(col("new_id"), col("old_id")).as("doc_id"),
+        coalesce(col("new_src"), col("old_src")).as("source"),
+        explode(versions).as("v"))
+      .select(col("doc_id"), col("source"),
+        col("v.version").as("version"), col("v.content_hash").as("content_hash"),
+        col("v.valid_from").as("valid_from"), col("v.valid_to").as("valid_to"),
+        col("v.is_current").as("is_current"))
+      .orderBy(col("doc_id"), col("version"))
+  }
+
+  val q114Sql: String =
+    s"""WITH o AS (SELECT doc_id AS old_id, source AS old_src,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS old_h
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |n AS (SELECT doc_id AS new_id, source AS new_src,
+       |    md5(lower(trim(regexp_replace(
+       |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+       |      '$WsSql+', ' ', 'g')))) AS new_h
+       |  FROM documents WHERE doc_id % 11 <> 0),
+       |j AS (SELECT coalesce(new_id, old_id) AS doc_id,
+       |        coalesce(new_src, old_src) AS source, old_id, new_id, old_h, new_h
+       |      FROM o FULL OUTER JOIN n ON old_id = new_id)
+       |SELECT doc_id, source, 1 AS version, new_h AS content_hash,
+       |  '$ScdT1' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to, true AS is_current
+       |FROM j WHERE old_id IS NULL
+       |UNION ALL
+       |SELECT doc_id, source, 1, old_h, '$ScdT0', '$ScdT1', false
+       |FROM j WHERE new_id IS NULL
+       |UNION ALL
+       |SELECT doc_id, source, 1, old_h, '$ScdT0', '$ScdT1', false
+       |FROM j WHERE old_id IS NOT NULL AND new_id IS NOT NULL AND old_h <> new_h
+       |UNION ALL
+       |SELECT doc_id, source, 2, new_h, '$ScdT1', NULL, true
+       |FROM j WHERE old_id IS NOT NULL AND new_id IS NOT NULL AND old_h <> new_h
+       |UNION ALL
+       |SELECT doc_id, source, 1, old_h, '$ScdT0', NULL, true
+       |FROM j WHERE old_id IS NOT NULL AND new_id IS NOT NULL AND old_h = new_h
+       |ORDER BY doc_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_scd2"               -> (q114Scd2 _),
     "q100_snapshot_diff"      -> (q100SnapshotDiff _),
     "q87_dup_size_histogram"  -> (q87DupSizeHistogram _),
     "q81_dup_stats"           -> (q81DupStats _),
@@ -1043,6 +1124,7 @@ object DedupQueries {
     "q94_bloom_decontaminate" -> (q94BloomDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q114_scd2"               -> q114Sql,
     "q100_snapshot_diff"      -> q100Sql,
     "q87_dup_size_histogram"  -> q87Sql,
     "q81_dup_stats"           -> q81Sql,
