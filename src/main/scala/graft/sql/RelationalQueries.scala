@@ -1381,7 +1381,80 @@ object RelationalQueries {
       |  CAST(rev_dec - prev_dec AS DOUBLE) * 100 / CAST(prev_dec AS DOUBLE) AS wow_pct
       |FROM l ORDER BY week""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Linear multi-touch attribution — q85's relation with the value
+    * split EQUALLY across every non-purchase touch that precedes the
+    * purchase (same user, any distance): credit(touch) = value / #prior
+    * touches. The fold is one pass over the user-keyed ordered stream —
+    * a running count of prior touches rides the q85 window, each
+    * purchase row knows its divisor instantly, and the per-touch-type
+    * credit re-aggregates from (user, purchase) grain, so no
+    * purchase×touch join ever materializes; credits round through
+    * DECIMAL(18,6) per (purchase, type) so the final sums are
+    * order-free cross-engine (the q66/q74 rule).
+    *
+    * The divisor needs each purchase's PRIOR TOUCH MIX, not just a
+    * count: the credit for type t is value · n_t / n where n_t rides a
+    * per-type conditional running count — three more window columns on
+    * the SAME user window, still one shuffle. */
+  def q115LinearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def priorCount(t: String): Column =
+      count(when(col("event_type") === t, 1)).over(w) -
+        when(col("event_type") === t, 1).otherwise(0)
+    val touchTypes = Seq("view", "click", "signup", "error")
+    val staged = ev
+      .withColumns(touchTypes.map(t => s"n_$t" -> priorCount(t)).toMap)
+    val purchases = staged.filter(col("event_type") === "purchase")
+      .withColumn("n_prior", touchTypes.map(t => col(s"n_$t")).reduce(_ + _))
+      .filter(col("n_prior") > 0)
+    val credits = touchTypes.map { t =>
+      purchases.select(lit(t).as("touch_type"),
+        round(col("value") * col(s"n_$t") / col("n_prior"), 6)
+          .cast(DecimalType(18, 6)).as("credit"))
+    }.reduce(_ unionByName _)
+    credits.groupBy(col("touch_type"))
+      .agg(sum(col("credit")).cast(DoubleType).as("attributed_value"),
+        count(when(col("credit") > 0, 1)).as("n_credited_purchases"))
+      .orderBy(col("touch_type"))
+  }
+
+  val q115Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
+      |           FROM events),
+      |s AS (SELECT *,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) OVER wd
+      |    - CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS n_view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) OVER wd
+      |    - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS n_click,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) OVER wd
+      |    - CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS n_signup,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) OVER wd
+      |    - CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_error
+      |  FROM e
+      |  WINDOW wd AS (PARTITION BY user_id ORDER BY us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT *, n_view + n_click + n_signup + n_error AS n_prior FROM s
+      |      WHERE event_type = 'purchase' AND n_view + n_click + n_signup + n_error > 0),
+      |c AS (SELECT 'view' AS touch_type,
+      |        CAST(round(value * n_view / n_prior, 6) AS DECIMAL(18,6)) AS credit FROM p
+      |      UNION ALL SELECT 'click',
+      |        CAST(round(value * n_click / n_prior, 6) AS DECIMAL(18,6)) FROM p
+      |      UNION ALL SELECT 'signup',
+      |        CAST(round(value * n_signup / n_prior, 6) AS DECIMAL(18,6)) FROM p
+      |      UNION ALL SELECT 'error',
+      |        CAST(round(value * n_error / n_prior, 6) AS DECIMAL(18,6)) FROM p)
+      |SELECT touch_type, CAST(sum(credit) AS DOUBLE) AS attributed_value,
+      |  count(CASE WHEN credit > 0 THEN 1 END) AS n_credited_purchases
+      |FROM c GROUP BY 1 ORDER BY touch_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_linear_attribution"   -> (q115LinearAttribution _),
     "q112_weekly_growth"        -> (q112WeeklyGrowth _),
     "q111_funnel_latency"       -> (q111FunnelLatency _),
     "q110_integrity_audit"      -> (q110IntegrityAudit _),
@@ -1420,6 +1493,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_linear_attribution"   -> q115Sql,
     "q112_weekly_growth"        -> q112Sql,
     "q111_funnel_latency"       -> q111Sql,
     "q110_integrity_audit"      -> q110Sql,
