@@ -110,28 +110,40 @@ class PackageReaderFactory(fields: Array[String]) extends PartitionReaderFactory
     new PackageReader(partition.asInstanceOf[PackagePartition].uri, fields)
 }
 
-/** Streams one archive's members. When `content` is not in the required
-  * columns, member payloads are never buffered — `getNextEntry` skips
-  * them. (The whole archive is read into memory only when bytes ARE
-  * required; tar members must be consumed sequentially either way.) */
+/** Streams one archive's members DIRECTLY off the filesystem input —
+  * the archive is never buffered whole. When `content` is not in the
+  * required columns, member payloads are never materialized either:
+  * `getNextEntry` advances past each entry's data, so a listing query
+  * moves tar headers across the wire and nothing else. */
 class PackageReader(uri: String, fields: Array[String])
     extends PartitionReader[InternalRow] {
   private val needContent = fields.contains("content")
   private val p = new Path(uri)
   private val tarName = p.getName
   private val pkgName = tarName.takeWhile(_ != '.')
-  private val members: Iterator[(String, Long, Array[Byte])] = {
-    val in = p.getFileSystem(new Configuration()).open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    if (needContent)
-      TarOps.explode(bytes).iterator.map(m => (m.name, m.size, m.bytes))
-    else
-      TarOps.listMembers(bytes).iterator.map { case (n, s) => (n, s, null) }
+  private val fsIn = p.getFileSystem(new Configuration()).open(p)
+  private val tar = {
+    val buffered = new java.io.BufferedInputStream(fsIn)
+    buffered.mark(2)
+    val m0 = buffered.read(); val m1 = buffered.read()
+    buffered.reset()
+    val in: java.io.InputStream =
+      if (m0 == 0x1f && m1 == 0x8b) new java.util.zip.GZIPInputStream(buffered)
+      else buffered
+    new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(in)
   }
   private var current: (String, Long, Array[Byte]) = _
 
-  override def next(): Boolean =
-    if (members.hasNext) { current = members.next(); true } else false
+  override def next(): Boolean = {
+    var entry = tar.getNextEntry
+    while (entry != null && !entry.isFile) entry = tar.getNextEntry
+    if (entry == null) false
+    else {
+      current = (entry.getName, entry.getSize,
+        if (needContent) tar.readAllBytes() else null)
+      true
+    }
+  }
 
   override def get(): InternalRow = {
     val values = fields.map {
@@ -144,7 +156,7 @@ class PackageReader(uri: String, fields: Array[String])
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = tar.close()
 }
 
 /** DSv2 writer: one archive per `pkg_name`, packed from (member,

@@ -63,8 +63,9 @@ object TarOps {
   }
 
   /** Header-only walk: (name, size) per regular member. Payloads are
-    * skipped by `getNextEntry`, never buffered — the pruned-scan path of
-    * the `graftpkg` DSv2 source ([[graft.sources.PackageTableProvider]]). */
+    * skipped by `getNextEntry`, never buffered — the in-memory analogue
+    * of the `graftpkg` DSv2 reader's streaming listing path
+    * ([[graft.sources.PackageReader]]). */
   def listMembers(archive: Array[Byte]): Seq[(String, Long)] = {
     val raw: InputStream = new ByteArrayInputStream(archive)
     val in: InputStream =

@@ -107,4 +107,20 @@ class TarOpsSpec extends SparkSpec {
     assert(TarOps.findMember(ms, ".xml").isEmpty)
     assert(TarOps.findMember(ms, "parser.log").isDefined)
   }
+
+  test("listMembers (header-only walk) agrees with explode on every golden archive") {
+    assume(Files.exists(fixtures), "reference fixtures not present")
+    val archives = java.nio.file.Files.list(fixtures).iterator()
+    var checked = 0
+    archives.forEachRemaining { p =>
+      if (p.toString.endsWith(".tar.gz")) {
+        val bytes = Files.readAllBytes(p)
+        val listed = TarOps.listMembers(bytes)
+        val full = TarOps.explode(bytes).map(m => (m.name, m.size))
+        assert(listed == full, s"$p: header walk diverged from explode")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
 }
