@@ -1453,7 +1453,80 @@ object RelationalQueries {
       |  count(CASE WHEN credit > 0 THEN 1 END) AS n_credited_purchases
       |FROM c GROUP BY 1 ORDER BY touch_type""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** Session co-occurrence PMI between event types — the association-
+    * mining card: how much more (or less) often two event kinds share a
+    * session than independence predicts, PMI = ln(c_ab·N / (c_a·c_b)).
+    * Sessions are q12's 30-minute-gap sessionization; each session
+    * collapses to its sorted DISTINCT type set, pairs explode from that
+    * array (≤ C(5,2) per session — no self-join), and the type/pair
+    * count frames are type-cardinality, joined back by broadcast. The
+    * ln rounds through DECIMAL(18,6) (q74's rule: ln is 1 ulp apart
+    * cross-engine); everything upstream of it is integer counts. */
+  def q116EventPmi(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessionTypes = sess.groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_set(col("event_type"))).as("tys"))
+    val totals = sessionTypes.agg(count(lit(1)).as("n_sessions"))
+    val singles = sessionTypes.select(explode(col("tys")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairList = flatten(transform(
+      sequence(lit(1), size(col("tys")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("tys"))),
+        j => struct(element_at(col("tys"), i).as("ta"), element_at(col("tys"), j).as("tb")))))
+    // size >= 2: Spark's sequence(1, 0) DESCENDS instead of being empty,
+    // so single-type sessions must not reach the pair explode
+    val pairs = sessionTypes.filter(size(col("tys")) >= 2)
+      .select(explode(pairList).as("p"))
+      .groupBy(col("p.ta").as("type_a"), col("p.tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("type_a"), col("c").as("c_a"))), Seq("type_a"))
+      .join(broadcast(singles.select(col("t").as("type_b"), col("c").as("c_b"))), Seq("type_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        log(col("n_both").cast(DoubleType) * col("n_sessions")
+          / (col("c_a").cast(DoubleType) * col("c_b")))
+          .cast(DecimalType(18, 6)).cast(DoubleType).as("pmi"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q116Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |      FROM l),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+      |st AS (SELECT user_id, sid, count(DISTINCT event_type) AS nt FROM s GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n_sessions FROM st),
+      |ex AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s),
+      |si AS (SELECT t, count(*) AS c FROM ex GROUP BY 1),
+      |p AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+      |      FROM ex a JOIN ex b ON a.user_id = b.user_id AND a.sid = b.sid AND a.t < b.t
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_both,
+      |  CAST(CAST(ln(CAST(n_both AS DOUBLE) * n_sessions
+      |    / (CAST(ca.c AS DOUBLE) * cb.c)) AS DECIMAL(18,6)) AS DOUBLE) AS pmi
+      |FROM p
+      |JOIN si ca ON ca.t = type_a
+      |JOIN si cb ON cb.t = type_b
+      |CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_event_pmi"            -> (q116EventPmi _),
     "q115_linear_attribution"   -> (q115LinearAttribution _),
     "q112_weekly_growth"        -> (q112WeeklyGrowth _),
     "q111_funnel_latency"       -> (q111FunnelLatency _),
@@ -1493,6 +1566,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q116_event_pmi"            -> q116Sql,
     "q115_linear_attribution"   -> q115Sql,
     "q112_weekly_growth"        -> q112Sql,
     "q111_funnel_latency"       -> q111Sql,
