@@ -5,19 +5,20 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import graft.tar.TarOps
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 table over tar/tar.gz package archives — the ingest
   * feed exposed as a first-class Spark source:
@@ -27,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Why DSv2 instead of the `binaryFile` + flatMap path (`PackageSource`
   * keeps that for the typed `Dataset[RawPackage]` seam): the connector
   * surface is where Spark-native sources earn their scale properties,
-  * and both matter here —
+  * and all of these matter here —
   *   - **partition planning**: one [[InputPartition]] per archive, so a
   *     1000-executor cluster opens 1000 tarballs concurrently and an
   *     archive is never split (tar has no random access);
@@ -35,7 +36,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *     that never touches `content` — membership listings, size audits —
   *     never materializes member bytes; the reader lets
   *     `getNextEntry` skip entry payloads instead of buffering them
-  *     (`PackageTableSpec` pins the pruned scan schema).
+  *     (`PackageTableSpec` pins the pruned scan schema);
+  *   - **filter pushdown** ([[SupportsPushDownFilters]]): `EqualTo`/`In`/
+  *     `StringStartsWith` on the ARCHIVE-level columns `pkg_name`/
+  *     `tar_name` prune at partition PLANNING time, so a point lookup
+  *     opens one archive instead of header-walking millions — the
+  *     reference's analogue is a keyed single-object fetch per message
+  *     (`/root/reference/src/ds_caselaw_ingester/messages.py:59-69`; it
+  *     never scans the bucket). Exact `tar_name` keys additionally probe
+  *     `root/<name>` directly and skip the recursive listing entirely
+  *     when the layout is flat.
+  *
+  * The SESSION Hadoop configuration (`spark.hadoop.*` keys — s3a
+  * credentials, endpoints, custom `fs.*.impl` registrations) is captured
+  * once on the driver at table resolution and shipped to every scan
+  * planner, partition reader, writer task, and the driver-side commit via
+  * [[SerializableConfiguration]] — the same pattern the streaming fetch
+  * uses (`IngestStream.scala`). A bare `new Configuration()` sees only
+  * classpath defaults and would silently drop all of it on a real
+  * cluster (`PackageTableSpec` pins this with a session-registered
+  * filesystem scheme).
   *
   * Registered as short name `graftpkg` via the
   * `DataSourceRegister` services file. Schema:
@@ -58,56 +78,152 @@ object PackageTable {
     StructField("member", StringType, nullable = false),
     StructField("member_size", LongType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
+
+  /** Commit manifest written LAST by [[PackageBatchWrite.commit]]; the
+    * `committedOnly` read option gates listing on it. */
+  val Manifest = "_SUCCESS"
 }
 
 class PackageTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graftpkg requires a path: spark.read.format(\"graftpkg\").load(uri)")
+  // Captured on the DRIVER at table resolution: sessionState.newHadoopConf()
+  // folds the session's spark.hadoop.* entries over the context conf, so
+  // runtime spark.conf.set("spark.hadoop.fs.s3a...") changes are honored
+  // too. Every downstream component receives THIS conf, never a bare
+  // `new Configuration()`.
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
   override def name(): String = s"graftpkg($path)"
   override def schema(): StructType = PackageTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PackageScanBuilder(path)
+    new PackageScanBuilder(path, conf, options.getBoolean("committedOnly", false))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new PackageWrite(path, info.schema())
+      override def build(): Write = new PackageWrite(path, info.schema(), conf)
     }
 }
 
-class PackageScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+class PackageScanBuilder(path: String, conf: SerializableConfiguration, committedOnly: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = PackageTable.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PackageScan(path, required)
+  /** Archive-level filters prune which tarballs are OPENED; returning the
+    * full array keeps Spark's post-scan re-evaluation (the pushdown is a
+    * partition-pruning accelerator, not an exactness contract — member-
+    * level rows still flow through the residual filter unharmed). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(PackageScan.pushable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new PackageScan(path, required, pushed, conf, committedOnly)
 }
 
-class PackageScan(path: String, required: StructType) extends Scan with Batch {
+object PackageScan {
+  private val ArchiveCols = Set("pkg_name", "tar_name")
+
+  /** Pushable = decidable from the archive FILE NAME alone (pkg_name is
+    * the name up to the first dot; tar_name is the name). */
+  def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _)          => ArchiveCols(a)
+    case In(a, _)               => ArchiveCols(a)
+    case StringStartsWith(a, _) => ArchiveCols(a)
+    case IsNotNull(a)           => ArchiveCols(a) // both non-nullable: always true
+    case _                      => false
+  }
+
+  def matches(f: Filter, pkg: String, tar: String): Boolean = {
+    def v(attr: String) = if (attr == "pkg_name") pkg else tar
+    f match {
+      case EqualTo(a, x)          => v(a) == x
+      case In(a, xs)              => xs.contains(v(a))
+      case StringStartsWith(a, p) => v(a).startsWith(p)
+      case IsNotNull(_)           => true
+      case _                      => true
+    }
+  }
+
+  def pkgOf(tarName: String): String = tarName.takeWhile(_ != '.')
+
+  /** The exact tar_name key set the pushed filters imply, if they pin one
+    * — lets a point lookup probe `root/<name>` directly instead of
+    * recursively listing the whole table path. */
+  def exactTarNames(pushed: Array[Filter]): Option[Seq[String]] = {
+    val keySets = pushed.collect {
+      case EqualTo("tar_name", x: String) => Seq(x)
+      case In("tar_name", xs)             => xs.toSeq.collect { case s: String => s }
+    }
+    if (keySets.isEmpty) None
+    else Some(keySets.reduce(_ intersect _))
+  }
+}
+
+class PackageScan(path: String, required: StructType, pushed: Array[Filter],
+    conf: SerializableConfiguration, committedOnly: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Surfaces pruning decisions in `explain` output the way file sources
+    * do — `PackageTableSpec` greps the executed plan for this. */
+  override def description(): String =
+    s"graftpkg $path ReadSchema: [${required.fieldNames.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (committedOnly) ", committedOnly" else "")
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf.value)
+    // committed-only gating: no manifest → NOTHING is committed. A driver
+    // crash between per-file renames and the manifest write therefore
+    // exposes none of the batch to gated readers (the manifest is last).
+    val committed: Option[Set[String]] =
+      if (!committedOnly) None
+      else {
+        val m = new Path(p, PackageTable.Manifest)
+        if (!fs.exists(m)) Some(Set.empty)
+        else Some(PackageManifest.read(fs, m).toSet)
+      }
+    def admit(name: String): Boolean =
+      name.endsWith(".tar.gz") &&
+        committed.forall(_.contains(name)) &&
+        pushed.forall(PackageScan.matches(_, PackageScan.pkgOf(name), name))
+
+    // point-lookup fast path: exact tar_name keys probe root/<name>
+    // directly — O(keys) RPCs instead of a recursive listing (the
+    // reference's keyed fetch shape). Falls back to the listing when any
+    // key is absent flat (nested layouts).
+    PackageScan.exactTarNames(pushed) match {
+      case Some(keys) =>
+        val probed = keys.filter(admit).map(k => k -> new Path(p, k))
+        if (probed.forall { case (_, kp) => fs.exists(kp) })
+          return probed.map { case (_, kp) => PackagePartition(kp.toString): InputPartition }.toArray
+      case None => ()
+    }
+
     val it = fs.listFiles(p, true)
     val out = Array.newBuilder[InputPartition]
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".tar.gz"))
+      if (f.isFile && admit(f.getPath.getName))
         out += PackagePartition(f.getPath.toString)
     }
     out.result()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PackageReaderFactory(required.fieldNames)
+    new PackageReaderFactory(required.fieldNames, conf)
 }
 
 case class PackagePartition(uri: String) extends InputPartition
 
-class PackageReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+class PackageReaderFactory(fields: Array[String], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PackageReader(partition.asInstanceOf[PackagePartition].uri, fields)
+    new PackageReader(partition.asInstanceOf[PackagePartition].uri, fields, conf)
 }
 
 /** Streams one archive's members DIRECTLY off the filesystem input —
@@ -115,13 +231,13 @@ class PackageReaderFactory(fields: Array[String]) extends PartitionReaderFactory
   * required columns, member payloads are never materialized either:
   * `getNextEntry` advances past each entry's data, so a listing query
   * moves tar headers across the wire and nothing else. */
-class PackageReader(uri: String, fields: Array[String])
+class PackageReader(uri: String, fields: Array[String], conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val needContent = fields.contains("content")
   private val p = new Path(uri)
   private val tarName = p.getName
   private val pkgName = tarName.takeWhile(_ != '.')
-  private val fsIn = p.getFileSystem(new Configuration()).open(p)
+  private val fsIn = p.getFileSystem(conf.value).open(p)
   private val tar = {
     val buffered = new java.io.BufferedInputStream(fsIn)
     buffered.mark(2)
@@ -159,91 +275,163 @@ class PackageReader(uri: String, fields: Array[String])
   override def close(): Unit = tar.close()
 }
 
-/** DSv2 writer: one archive per `pkg_name`, packed from (member,
+/** Tiny newline-delimited manifest of committed archive names. */
+object PackageManifest {
+  def read(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+  }
+  def write(fs: org.apache.hadoop.fs.FileSystem, p: Path, names: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+}
+
+/** DSv2 writer: one archive per `pkg_name`, streamed from (member,
   * content) rows. The write DECLARES its layout needs through
   * [[RequiresDistributionAndOrdering]] — clustered + sorted on
   * `pkg_name` — so Spark plans the shuffle/sort for it and each
   * package's rows arrive contiguously at exactly one task; the task
-  * packs key-change-delimited runs with the deterministic
-  * [[TarOps.pack]].
+  * streams key-change-delimited runs straight into a deterministic
+  * [[TarOps.packStream]] over the staging file (O(one member) memory —
+  * a near-2 GiB package never exists on-heap).
   *
   * Commit protocol (the crash-safety contract a distributed writer
-  * owes): tasks write only under `.staging-<queryId>/`, name the files
-  * in their [[WriterCommitMessage]], and the DRIVER publishes them with
-  * per-file renames on [[BatchWrite.commit]] — a task that dies mid-tar
-  * leaves staging garbage that [[BatchWrite.abort]] deletes; no
-  * partially-written archive is ever visible under the table path. */
-class PackageWrite(path: String, schema: StructType)
+  * owes): tasks write only under `.staging-<uuid>/` with ATTEMPT-UNIQUE
+  * names (`pkg.tar.gz.<partitionId>-<taskId>` — a speculative or retried
+  * attempt can never truncate a file another attempt's commit message
+  * references), name their files in the [[WriterCommitMessage]], and the
+  * DRIVER publishes them with per-file renames on [[BatchWrite.commit]]
+  * (first message wins per package; rename failure aborts the job rather
+  * than silently dropping an archive). A task that dies mid-tar deletes
+  * its own staged files in [[DataWriter.abort]]; remaining staging
+  * garbage dies with the directory in [[BatchWrite.abort]].
+  *
+  * ATOMICITY, stated plainly (mirrors `LocalStore`'s cross-bucket note):
+  * renames are atomic per file on HDFS/local but copy+delete on S3A, and
+  * the publish loop is not atomic ACROSS files — a driver crash
+  * mid-commit can leave a PREFIX of the batch visible to raw listings,
+  * the same exposure as Spark's own FileOutputCommitter v1. The
+  * `_SUCCESS` manifest is written LAST, so readers that pass
+  * `.option("committedOnly", true)` see either the whole batch or none
+  * of it (`PackageTableSpec` pins this). */
+class PackageWrite(path: String, schema: StructType, conf: SerializableConfiguration)
     extends Write with RequiresDistributionAndOrdering {
   override def requiredDistribution(): VDistribution =
     Distributions.clustered(Array(Expressions.identity("pkg_name")))
   override def requiredOrdering(): Array[VSortOrder] =
     Array(Expressions.sort(Expressions.identity("pkg_name"), SortDirection.ASCENDING))
-  override def toBatch: BatchWrite = new PackageBatchWrite(path, schema)
+  override def toBatch: BatchWrite = new PackageBatchWrite(path, schema, conf)
 }
 
-case class StagedFiles(paths: Seq[String]) extends WriterCommitMessage
+/** (pkgName, stagedPath) per archive this attempt wrote. */
+case class StagedFiles(entries: Seq[(String, String)]) extends WriterCommitMessage
 
-class PackageBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class PackageBatchWrite(path: String, schema: StructType, conf: SerializableConfiguration)
+    extends BatchWrite {
   private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PackageWriterFactory(stagingDir, schema.fieldNames)
+    new PackageWriterFactory(stagingDir, schema.fieldNames, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
+    // task retries/speculation may stage the same package from two
+    // attempts (attempt-unique names keep both intact): the FIRST commit
+    // message wins per package; losers die with the staging dir.
+    val winners = scala.collection.mutable.LinkedHashMap.empty[String, String]
     messages.foreach {
-      case StagedFiles(staged) => staged.foreach { s =>
-        val src = new Path(s)
-        val dst = new Path(path, src.getName)
-        if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(src, dst)
+      case StagedFiles(entries) => entries.foreach { case (pkg, staged) =>
+        if (!winners.contains(pkg)) winners += pkg -> staged
       }
     }
+    val published = winners.toSeq.map { case (pkg, staged) =>
+      val src = new Path(staged)
+      val dst = new Path(path, s"$pkg.tar.gz")
+      if (fs.exists(dst)) fs.delete(dst, false)
+      // Hadoop rename reports failure by RETURNING false (missing parent,
+      // cross-FS move) — ignoring it would commit a partial table as
+      // success
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"graftpkg commit failed: rename $src -> $dst returned false")
+      dst.getName
+    }
+    // manifest LAST (merged over prior batches for append-mode tables):
+    // gated readers flip from "none of this batch" to "all of it" on this
+    // single-file rename
+    val manifest = new Path(path, PackageTable.Manifest)
+    val prior =
+      if (fs.exists(manifest)) PackageManifest.read(fs, manifest) else Seq.empty
+    val tmp = new Path(stagingDir, PackageTable.Manifest)
+    PackageManifest.write(fs, tmp, (prior ++ published).distinct.sorted)
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"graftpkg commit failed: manifest rename $tmp -> $manifest returned false")
     fs.delete(new Path(stagingDir), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     fs.delete(new Path(stagingDir), true)
   }
 }
 
-class PackageWriterFactory(stagingDir: String, fields: Array[String])
-    extends DataWriterFactory {
+class PackageWriterFactory(stagingDir: String, fields: Array[String],
+    conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new PackageWriter(stagingDir, fields)
+    new PackageWriter(stagingDir, fields, conf, partitionId, taskId)
 }
 
-class PackageWriter(stagingDir: String, fields: Array[String])
+class PackageWriter(stagingDir: String, fields: Array[String],
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val iPkg = fields.indexOf("pkg_name")
   private val iMember = fields.indexOf("member")
   private val iContent = fields.indexOf("content")
   require(iPkg >= 0 && iMember >= 0 && iContent >= 0,
     "graftpkg write needs pkg_name, member, content columns")
-  private val fs = new Path(stagingDir).getFileSystem(new Configuration())
+  private val fs = new Path(stagingDir).getFileSystem(conf.value)
   private var currentPkg: String = _
-  private val buf = Seq.newBuilder[(String, Array[Byte])]
-  private val staged = Seq.newBuilder[String]
+  private var tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = _
+  private val staged = Seq.newBuilder[(String, String)]
+  private val written = scala.collection.mutable.ArrayBuffer.empty[Path]
 
-  private def flush(): Unit = if (currentPkg != null) {
-    val members = buf.result()
-    buf.clear()
-    val out = new Path(stagingDir, s"$currentPkg.tar.gz")
-    val os = fs.create(out, true)
-    try os.write(TarOps.pack(members)) finally os.close()
-    staged += out.toString
-    currentPkg = null
+  private def closeCurrent(): Unit = if (tar != null) {
+    try tar.close() finally { tar = null; currentPkg = null }
+  }
+
+  private def open(pkg: String): Unit = {
+    // attempt-unique staged name: two live attempts of the same partition
+    // never touch each other's files
+    val out = new Path(stagingDir, s"$pkg.tar.gz.$partitionId-$taskId")
+    tar = TarOps.packStream(fs.create(out, true))
+    written += out
+    staged += ((pkg, out.toString))
+    currentPkg = pkg
   }
 
   override def write(row: InternalRow): Unit = {
     val pkg = row.getUTF8String(iPkg).toString
-    if (pkg != currentPkg) { flush(); currentPkg = pkg }
-    buf += ((row.getUTF8String(iMember).toString, row.getBinary(iContent).clone()))
+    if (pkg != currentPkg) { closeCurrent(); open(pkg) }
+    // entry streams straight to the staging file — no member accumulation,
+    // no whole-archive byte array
+    TarOps.writeEntry(tar, row.getUTF8String(iMember).toString, row.getBinary(iContent))
   }
 
-  override def commit(): WriterCommitMessage = { flush(); StagedFiles(staged.result()) }
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def commit(): WriterCommitMessage = { closeCurrent(); StagedFiles(staged.result()) }
+
+  /** Delete THIS attempt's staged files — a failed attempt must not leave
+    * half-written archives for `BatchWrite.abort` to be the only line of
+    * defense against. */
+  override def abort(): Unit = {
+    try closeCurrent() catch { case _: java.io.IOException => () }
+    written.foreach { p =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  override def close(): Unit = closeCurrent()
 }

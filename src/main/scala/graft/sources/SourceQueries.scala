@@ -18,13 +18,29 @@ object SourceQueries {
 
   private val DocsPerPackage = 25
 
-  /** Stage the 25 deterministic consignment archives for `dir`, once. */
+  /** Stage the 25 deterministic consignment archives for `dir`, once.
+    *
+    * The cache key is the CANONICAL corpus path plus a corpus fingerprint
+    * (documents row count — parquet-metadata-only, so the validation scan
+    * is free): a `dir.hashCode` key would collide across corpora, and an
+    * unvalidated marker would silently serve stale archives after the
+    * corpus at the same path changes — q113 would then diverge from its
+    * oracle instead of restaging. */
   private def stageDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val stage = new File(System.getProperty("java.io.tmpdir"),
-      s"graftpkg_stage_${Integer.toHexString(dir.hashCode)}")
+    val canonical = new File(dir).getCanonicalPath
+    val fingerprint =
+      s"$canonical|docs=${Tables(spark, dir).documents.count()}"
+    val keyHex = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val stage = new File(System.getProperty("java.io.tmpdir"), s"graftpkg_stage_$keyHex")
     val marker = new File(stage, "_STAGED")
-    if (!marker.exists()) {
+    val current = marker.exists() &&
+      new String(Files.readAllBytes(marker.toPath), "UTF-8") == fingerprint
+    if (!current) {
+      if (stage.exists()) { // stale corpus at this path: restage from scratch
+        stage.listFiles().foreach(_.delete())
+      }
       stage.mkdirs()
       Tables(spark, dir).documents
         .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -44,7 +60,7 @@ object SourceQueries {
         .foreach { case (ref, bytes) =>
           Files.write(Paths.get(stage.getPath, s"$ref.tar.gz"), bytes)
         }
-      marker.createNewFile()
+      Files.write(marker.toPath, fingerprint.getBytes("UTF-8"))
     }
     stage.getPath
   }

@@ -84,26 +84,41 @@ object TarOps {
     } finally tar.close()
   }
 
-  /** Deterministically pack (name, bytes) members into a tar.gz. */
-  def pack(members: Seq[(String, Array[Byte])]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+  /** Open a deterministic tar.gz stream over `os` — the streaming form of
+    * [[pack]] (same pinned gzip/header fields, so the bytes are identical
+    * member for member). Callers stream entries with [[writeEntry]] and
+    * must `close()` the returned stream (which closes `os`); the DSv2
+    * writer ([[graft.sources.PackageWriter]]) uses this to write archives
+    * straight to the staging file — O(one member) memory instead of
+    * buffering the whole archive twice. */
+  def packStream(os: java.io.OutputStream): TarArchiveOutputStream = {
     val gzParams = new GzipParameters()
     gzParams.setModificationTime(0L)
     gzParams.setOperatingSystem(255)
-    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(bos, gzParams))
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(os, gzParams))
     tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-    try {
-      members.foreach { case (name, bytes) =>
-        val e = new TarArchiveEntry(name)
-        e.setSize(bytes.length.toLong)
-        e.setModTime(0L)
-        e.setUserId(0)
-        e.setGroupId(0)
-        tar.putArchiveEntry(e)
-        tar.write(bytes)
-        tar.closeArchiveEntry()
-      }
-    } finally tar.close()
+    tar
+  }
+
+  /** One deterministic member entry (every run-varying header field
+    * pinned) — shared by [[pack]] and streaming writers. */
+  def writeEntry(tar: TarArchiveOutputStream, name: String, bytes: Array[Byte]): Unit = {
+    val e = new TarArchiveEntry(name)
+    e.setSize(bytes.length.toLong)
+    e.setModTime(0L)
+    e.setUserId(0)
+    e.setGroupId(0)
+    tar.putArchiveEntry(e)
+    tar.write(bytes)
+    tar.closeArchiveEntry()
+  }
+
+  /** Deterministically pack (name, bytes) members into a tar.gz. */
+  def pack(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val tar = packStream(bos)
+    try members.foreach { case (name, bytes) => writeEntry(tar, name, bytes) }
+    finally tar.close()
     bos.toByteArray
   }
 

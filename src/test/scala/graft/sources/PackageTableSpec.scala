@@ -4,14 +4,30 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import graft.tar.{PackageSource, TarOps}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** The graftpkg DSv2 source: member-level parity with the
-  * binaryFile+explode path, column pruning reaching the scan, and one
-  * input partition per archive. */
+  * binaryFile+explode path, column pruning + archive-filter pushdown
+  * reaching the scan, one input partition per archive, session-Hadoop-conf
+  * plumbing, and the attempt-safe staged-rename commit protocol. */
 class PackageTableSpec extends SparkSpec {
 
   private val fixtureDir = "/root/reference/aws_examples/s3/te-editorial-out-int"
+
+  private def sessionConf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
+
+  /** Stage n deterministic single-member archives PKG-0..PKG-(n-1). */
+  private def stageArchives(n: Int): String = {
+    val dir = Files.createTempDirectory("graftpkg_push").toString
+    (0 until n).foreach { i =>
+      Files.write(Paths.get(dir, s"PKG-$i.tar.gz"),
+        TarOps.packStrings(Seq((s"PKG-$i/doc.txt", s"payload $i"))))
+    }
+    dir
+  }
 
   test("graftpkg rows match the PackageSource+TarOps explode member for member") {
     assume(Files.exists(Paths.get(fixtureDir)), "reference fixtures not present")
@@ -39,7 +55,7 @@ class PackageTableSpec extends SparkSpec {
     assert(listing.count() > 0)
   }
 
-  test("DSv2 write: writer-declared clustering packs one archive per package, round-trips byte-exact, no staging residue") {
+  test("DSv2 write: writer-declared clustering packs one archive per package, round-trips byte-exact, manifest written, no staging residue") {
     import spark.implicits._
     val out = Files.createTempDirectory("graftpkg_w").toString
     val rows = (0L until 60L).map { i =>
@@ -53,9 +69,10 @@ class PackageTableSpec extends SparkSpec {
 
     // ignore Hadoop LocalFileSystem's .crc checksum sidecars
     val files = new java.io.File(out).listFiles().map(_.getName)
-      .filterNot(_.startsWith(".")).sorted
-    assert(files.toSeq == Seq("OUT-0.tar.gz", "OUT-1.tar.gz", "OUT-2.tar.gz", "OUT-3.tar.gz"),
-      s"expected one committed archive per package and no staging residue — got ${files.toSeq}")
+      .filterNot(_.startsWith(".")).toSet
+    assert(files ==
+      Set(PackageTable.Manifest, "OUT-0.tar.gz", "OUT-1.tar.gz", "OUT-2.tar.gz", "OUT-3.tar.gz"),
+      s"expected one committed archive per package + manifest, no staging residue — got $files")
 
     val back = spark.read.format("graftpkg").load(out)
       .select(col("pkg_name"), col("member"), col("content")).collect()
@@ -63,13 +80,123 @@ class PackageTableSpec extends SparkSpec {
         new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
     val expected = rows.map(r => (r._1, r._3, new String(r._5, "UTF-8"))).toSet
     assert(back == expected)
+    // committed-only read agrees after a clean commit
+    assert(spark.read.format("graftpkg").option("committedOnly", true).load(out)
+      .count() == 60)
   }
 
   test("one input partition per archive") {
     assume(Files.exists(Paths.get(fixtureDir)), "reference fixtures not present")
     val nArchives = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar.gz").load(fixtureDir).count()
-    val scan = new PackageScan(fixtureDir, PackageTable.Schema)
+    val scan = new PackageScan(fixtureDir, PackageTable.Schema, Array.empty,
+      sessionConf, committedOnly = false)
     assert(scan.planInputPartitions().length == nArchives)
+  }
+
+  test("session Hadoop conf reaches planning, readers, writers, and commit (graftsess scheme)") {
+    // register the scheme ONLY in the session conf — classpath-default
+    // Configuration cannot resolve it, so this round-trip fails on any
+    // `new Configuration()` regression in the connector
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftsess.impl", classOf[GraftSessFs].getName)
+    assert(new org.apache.hadoop.conf.Configuration().get("fs.graftsess.impl") == null,
+      "scheme leaked into classpath defaults — the probe would prove nothing")
+    import spark.implicits._
+    val local = Files.createTempDirectory("graftpkg_sess").toString
+    val uri = s"graftsess:$local"
+    val rows = (0L until 10L).map { i =>
+      val c = s"sess payload $i".getBytes("UTF-8")
+      (s"S-${i % 2}", s"S-${i % 2}.tar.gz", s"S-${i % 2}/m_$i.txt", c.length.toLong, c)
+    }
+    rows.toDF("pkg_name", "tar_name", "member", "member_size", "content")
+      .repartition(4)
+      .write.format("graftpkg").mode("append").save(uri)
+    val back = spark.read.format("graftpkg").load(uri)
+      .select(col("pkg_name"), col("member"), col("content")).collect()
+      .map(r => (r.getString(0), r.getString(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .toSet
+    assert(back == rows.map(r => (r._1, r._3, new String(r._5, "UTF-8"))).toSet)
+  }
+
+  test("filter pushdown prunes input partitions to the matched archives") {
+    val dir = stageArchives(6)
+    val base = spark.read.format("graftpkg").load(dir)
+
+    val eq = base.where(col("pkg_name") === "PKG-2")
+    assert(eq.rdd.getNumPartitions == 1,
+      "EqualTo(pkg_name) must plan exactly one input partition")
+    assert(eq.queryExecution.executedPlan.toString.contains("PushedFilters: [EqualTo(pkg_name,PKG-2)]"),
+      s"pushed filter missing from scan description\n${eq.queryExecution.executedPlan}")
+    assert(eq.select("member").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq == Seq("PKG-2/doc.txt"))
+
+    val in = base.where(col("tar_name").isin("PKG-1.tar.gz", "PKG-4.tar.gz"))
+    assert(in.rdd.getNumPartitions == 2,
+      "In(tar_name) must plan one partition per matched archive")
+    assert(in.count() == 2)
+
+    val sw = base.where(col("pkg_name").startsWith("PKG-"))
+    assert(sw.rdd.getNumPartitions == 6)
+    assert(sw.count() == 6)
+
+    val none = base.where(col("pkg_name") === "ABSENT")
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+  }
+
+  test("committedOnly gating: uncommitted archives are invisible until the manifest names them") {
+    val dir = stageArchives(2) // simulates renamed-but-uncommitted files (no manifest)
+    def gated = spark.read.format("graftpkg").option("committedOnly", true).load(dir)
+    assert(spark.read.format("graftpkg").load(dir).count() == 2,
+      "raw listing sees the files")
+    assert(gated.count() == 0, "no manifest → none of the batch is visible")
+    // a PREFIX of the batch published (driver crash between rename and
+    // manifest covers exactly one archive): gated readers see only it
+    Files.write(Paths.get(dir, PackageTable.Manifest), "PKG-0.tar.gz".getBytes("UTF-8"))
+    assert(gated.select("pkg_name").collect().map(_.getString(0)).toSeq == Seq("PKG-0"))
+  }
+
+  test("commit protocol: attempt-unique staging, first-message-wins dedupe, abort cleanup, rename failure surfaces") {
+    val table = Files.createTempDirectory("graftpkg_commit").toString
+    val conf = sessionConf
+    val fields = PackageTable.Schema.fieldNames
+    val batch = new PackageBatchWrite(table, PackageTable.Schema, conf)
+    val factory = batch.createBatchWriterFactory(null).asInstanceOf[PackageWriterFactory]
+
+    def row(pkg: String, member: String, payload: String) = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(pkg), UTF8String.fromString(s"$pkg.tar.gz"),
+      UTF8String.fromString(member), payload.length.toLong, payload.getBytes("UTF-8")))
+
+    // two attempts of the same partition stage the same package without
+    // clobbering each other; the first commit message wins
+    val w1 = factory.createWriter(0, 1)
+    w1.write(row("DUP", "DUP/a.txt", "from attempt 1"))
+    val m1 = w1.commit()
+    val w2 = factory.createWriter(0, 2)
+    w2.write(row("DUP", "DUP/a.txt", "from attempt 2"))
+    val m2 = w2.commit()
+    // a third attempt dies: abort must delete its staged files
+    val w3 = factory.createWriter(1, 3)
+    w3.write(row("DEAD", "DEAD/x.txt", "never committed"))
+    w3.abort()
+
+    batch.commit(Array(m1, m2))
+    val files = new java.io.File(table).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(files == Set(PackageTable.Manifest, "DUP.tar.gz"),
+      s"expected the deduped archive + manifest only — got $files")
+    val members = TarOps.explode(Files.readAllBytes(Paths.get(table, "DUP.tar.gz")))
+    assert(members.map(m => new String(m.bytes, "UTF-8")) == Seq("from attempt 1"),
+      "driver dedupe must keep the FIRST commit message's attempt")
+
+    // a failed publish (here: staged file vanished) must abort the job
+    // with an exception — local FS throws from rename, object stores
+    // return false and hit the explicit returned-false guard; either way
+    // commit must NOT report success on a partial table
+    val batch2 = new PackageBatchWrite(table, PackageTable.Schema, conf)
+    val err = intercept[java.io.IOException] {
+      batch2.commit(Array(StagedFiles(Seq("GHOST" -> s"$table/.staging-none/GHOST.tar.gz.0-0"))))
+    }
+    assert(err.getMessage.contains("rename") || err.getMessage.contains("does not exist"))
   }
 }
