@@ -7,12 +7,23 @@ import graft.tar.{TarMember, TarOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One raw package awaiting ingest (post-download, pre-gather). */
+/** One raw package awaiting ingest (post-download, pre-gather).
+  *
+  * EXACTLY one of `archive` (in-memory bytes — the common path) or
+  * `archive_path` (an executor-local spill file for archives above the
+  * streaming fetch's in-memory threshold — the reference's save-to-/tmp
+  * analogue, `messages.py:59-69`) is set. Spilled packages flow through
+  * the same gather/act phases via single-walk streaming member lookups
+  * ([[graft.tar.TarOps.streamFind]]/[[graft.tar.TarOps.streamLookup]]),
+  * so heap per package is bounded by its EXTRACTED members, never the
+  * archive. The path is only meaningful on the executor that fetched it;
+  * [[graft.streaming.IngestStream]] documents the locality contract. */
 final case class RawPackage(
     consignment_ref: String,
     originator: String,
     tar_name: String,
-    archive: Array[Byte])
+    archive: Array[Byte],
+    archive_path: String = null)
 
 /** Per-package gather output: everything `Ingest.__init__` extracts
   * (`/root/reference/src/ds_caselaw_ingester/ingester.py:178-210`). */
@@ -45,19 +56,42 @@ object PackageIngest {
 
   /** JVM-side gather kernel for one package: explode once, look up the
     * metadata / xml / parser.log members, record docx presence (the
-    * missing-key-vs-null distinction of `file_helpers.py:118-124`). */
+    * missing-key-vs-null distinction of `file_helpers.py:118-124`).
+    * Spilled packages ([[RawPackage.archive_path]]) run the same
+    * decisions off streaming walks — two passes over local disk (names +
+    * metadata/parser.log, then the metadata-named XML member) instead of
+    * an exploded in-memory member list, so a multi-GiB archive costs
+    * heap only for those three members. */
   def gather(p: RawPackage): GatheredPackage = {
     def failed(err: String) = GatheredPackage(p.consignment_ref, p.originator,
       p.tar_name, null, null, null, null, null,
       source_filename_present = false, Seq.empty, err)
-
-    val members: Seq[TarMember] =
-      try TarOps.explode(p.archive)
-      catch { case e: Exception => return failed(s"InvalidXMLException: unreadable archive: ${e.getMessage}") }
-    val names = members.map(_.name)
     def text(m: TarMember) = new String(m.bytes, UTF_8)
 
-    TarOps.findMember(members, "-metadata.json").map(text) match {
+    // (names, metadata, parser.log, xml-by-name lookup) — the in-memory
+    // path answers the lookup from the exploded member list; the spilled
+    // path answers it with a second streaming walk of the local file
+    val gathered: (Seq[String], Option[String], Option[String], String => Option[String]) =
+      try {
+        if (p.archive_path != null) {
+          def open() = new java.io.FileInputStream(p.archive_path)
+          val (ns, found) = TarOps.streamFind(open _, Seq("-metadata.json", "parser.log"))
+          (ns, found.get("-metadata.json").map(text), found.get("parser.log").map(text),
+            (n: String) => TarOps.streamFind(open _, Seq(n))._2.get(n).map(text))
+        } else {
+          val members = TarOps.explode(p.archive)
+          (members.map(_.name),
+            TarOps.findMember(members, "-metadata.json").map(text),
+            TarOps.findMember(members, "parser.log").map(text),
+            (n: String) => TarOps.findMember(members, n).map(text))
+        }
+      } catch {
+        case e: Exception =>
+          return failed(s"InvalidXMLException: unreadable archive: ${e.getMessage}")
+      }
+    val (names, metadataJsonOpt, parserLogOpt, xmlLookup) = gathered
+
+    metadataJsonOpt match {
       case None => failed("FileNotFoundException: metadata file not found").copy(member_names = names)
       case Some(metadataJson) =>
         val xmlName = jsonField(metadataJson, Seq("parameters", "TRE", "payload", "xml")).flatten
@@ -66,13 +100,31 @@ object PackageIngest {
           p.consignment_ref, p.originator, p.tar_name,
           metadataJson,
           xmlName.orNull,
-          xmlName.flatMap(n => TarOps.findMember(members, n)).map(text).orNull,
-          TarOps.findMember(members, "parser.log").map(text).orNull,
+          xmlName.flatMap(xmlLookup).orNull,
+          parserLogOpt.orNull,
           fname.flatten.orNull,
           source_filename_present = fname.isDefined,
           names, null)
     }
   }
+
+  /** Streamed md5 of an executor-local spill file — the spilled analogue
+    * of `md5(archive)` for the duplicate-delivery winner key. A Scala UDF
+    * is right here: the built-in `md5` needs the bytes IN the row, which
+    * is exactly what spilling exists to avoid; cost is one local-disk
+    * pass per package, not per row. */
+  private val fileMd5 = udf((path: String) =>
+    if (path == null) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val in = new java.io.FileInputStream(path)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    })
 
   /** Minimal JSON path lookup (jackson ships with Spark). Outer Option =
     * key present; inner = non-null value. */
@@ -164,7 +216,9 @@ object PackageIngest {
     // projection shuffles; archives stay put and the winner set broadcasts
     // back. Byte-identical redeliveries share a digest and both rows
     // survive — benign duplicate effects, as before.
-    val keyed = packages.toDF().withColumn("pkg_digest", md5(col("archive")))
+    val keyed = packages.toDF().withColumn("pkg_digest",
+      when(col("archive").isNotNull, md5(col("archive")))
+        .otherwise(fileMd5(col("archive_path"))))
     val dupWinners = keyed.select("consignment_ref", "tar_name", "pkg_digest")
       .groupBy("consignment_ref", "tar_name").agg(max("pkg_digest").as("pkg_digest"))
     val deduped = keyed
@@ -377,7 +431,7 @@ object PackageIngest {
     val joined = packages.toDF()
       .join(broadcast(specs),
         col("consignment_ref") === col("p_ref") && col("tar_name") === col("p_tar"))
-      .select(col("consignment_ref"), col("tar_name"), col("archive"),
+      .select(col("consignment_ref"), col("tar_name"), col("archive"), col("archive_path"),
         col("uri"), col("dest_filename"), col("src_member"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -386,14 +440,28 @@ object PackageIngest {
       var cachedMembers: Seq[TarMember] = null
       rows.foreach { r =>
         val archive = r.getAs[Array[Byte]]("archive")
-        val bytes: Option[Array[Byte]] = r.getAs[String]("src_member") match {
-          case null => Some(archive)
+        val spillPath = r.getAs[String]("archive_path")
+        // a payload writer, not a byte array: spilled tarball copies
+        // stream disk→FS without ever materializing the archive on heap
+        val payload: Option[java.io.OutputStream => Unit] = r.getAs[String]("src_member") match {
+          case null if spillPath != null =>
+            Some { out =>
+              val in = new java.io.FileInputStream(spillPath)
+              try in.transferTo(out) finally in.close()
+            }
+          case null => Some(out => out.write(archive))
+          case m if spillPath != null =>
+            // member lookup = one streaming walk of the local spill file;
+            // members are small against the archive, so no cache needed
+            TarOps.streamLookup(() => new java.io.FileInputStream(spillPath), m)
+              .map(b => (out: java.io.OutputStream) => out.write(b))
           case m =>
             val key = r.getAs[String]("consignment_ref") + "\\u0000" + r.getAs[String]("tar_name")
             if (cachedKey != key) { cachedMembers = TarOps.explode(archive); cachedKey = key }
-            cachedMembers.find(_.name == m).orElse(TarOps.findMember(cachedMembers, m)).map(_.bytes)
+            cachedMembers.find(_.name == m).orElse(TarOps.findMember(cachedMembers, m))
+              .map(mm => (out: java.io.OutputStream) => out.write(mm.bytes))
         }
-        bytes.foreach { b =>
+        payload.foreach { writeTo =>
           val dest = new org.apache.hadoop.fs.Path(
             s"$assetRoot/${r.getAs[String]("uri")}/${r.getAs[String]("dest_filename")}")
           val fs = dest.getFileSystem(conf.value)
@@ -421,7 +489,7 @@ object PackageIngest {
           catch { case _: java.io.IOException => () }
           val tmp = new org.apache.hadoop.fs.Path(s"$dest.inprogress-$attemptId")
           val out = fs.create(tmp, true)
-          try out.write(b) finally out.close()
+          try writeTo(out) finally out.close()
           fs.delete(dest, false) // no-op when absent
           if (!fs.rename(tmp, dest))
             throw new java.io.IOException(s"asset commit failed: rename $tmp -> $dest")

@@ -39,11 +39,30 @@ object IngestStream {
 
   /** Per-record fetch result — the reference's `save_s3_response` saved
     * `/tmp/{reference}.tar.gz` per message; here the bytes stay on the
-    * executor that fetched them. A null `archive` with a non-null `error`
-    * records a failed download (retryable — the reference's botocore
-    * ClientError is an unexpected exception, eligible for redelivery). */
+    * executor that fetched them. Archives at or under
+    * [[MaxInMemoryFetchKey]] ride in `archive`; larger ones SPILL to an
+    * executor-local temp file (`archive_path`) — the /tmp analogue — so
+    * per-package heap is bounded by the threshold, not the archive (a
+    * fleet of near-2 GiB packages on one executor no longer OOMs; the
+    * old hard >2 GiB failure is gone entirely). A null archive+path with
+    * a non-null `error` records a failed download (retryable — the
+    * reference's botocore ClientError is an unexpected exception,
+    * eligible for redelivery). */
   final case class Fetched(msg_id: String, consignment_ref: String,
-      originator: String, tar_name: String, archive: Array[Byte], error: String)
+      originator: String, tar_name: String, archive: Array[Byte],
+      archive_path: String, error: String)
+
+  /** Session conf key for the in-memory fetch threshold (bytes; default
+    * 256 MiB, clamped to Int.MaxValue). LOCALITY CONTRACT for spilled
+    * paths: the file lives on the executor that fetched it and the
+    * checkpointed `fetched` blocks carry only the path, so downstream
+    * passes (gather, asset copy) schedule process-local to the block and
+    * read the file where it was written; a lost block re-runs the fetch
+    * lineage (re-download, re-spill) exactly like the reference
+    * re-receiving the SQS message. Spill files are deleted best-effort at
+    * batch end and marked deleteOnExit. */
+  val MaxInMemoryFetchKey = "graft.stream.maxInMemoryFetchBytes"
+  private val DefaultMaxInMemoryFetch = 256L << 20
 
   /** Default remote-package resolver: the message's bucket/key as an
     * `s3a://` Hadoop-FS URI (the cluster path). Tests and on-prem stores
@@ -88,6 +107,10 @@ object IngestStream {
     // /tmp exactly once per message.
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val resolveUri = packageUri
+    val spillLimit = math.min(
+      spark.conf.getOption(MaxInMemoryFetchKey).map(_.toLong)
+        .getOrElse(DefaultMaxInMemoryFetch),
+      Int.MaxValue.toLong)
     val fetched = decoded.filter(col("error").isNull)
       .select(col("msg_id"), col("consignment_ref"), col("originator"),
         col("s3_bucket"), col("s3_key"))
@@ -98,15 +121,27 @@ object IngestStream {
           val p = new org.apache.hadoop.fs.Path(resolveUri(bucket, key))
           val fs = p.getFileSystem(conf.value)
           val len = fs.getFileStatus(p).getLen
-          if (len > Int.MaxValue)
-            throw new java.io.IOException(s"package too large for one buffer: $len bytes")
-          val buf = new Array[Byte](len.toInt)
-          val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
-          Fetched(msgId, ref, orig, tarName, buf, null)
+          if (len <= spillLimit) {
+            val buf = new Array[Byte](len.toInt)
+            val in = fs.open(p)
+            try in.readFully(0, buf) finally in.close()
+            Fetched(msgId, ref, orig, tarName, buf, null, null)
+          } else {
+            // above the in-memory threshold: stream to executor-local
+            // disk (the reference's /tmp save, messages.py:59-69) —
+            // bounded heap regardless of archive size
+            val tmp = java.io.File.createTempFile("graft-fetch-", ".tar.gz")
+            tmp.deleteOnExit()
+            val in = fs.open(p)
+            try {
+              val out = new java.io.FileOutputStream(tmp)
+              try in.transferTo(out) finally out.close()
+            } finally in.close()
+            Fetched(msgId, ref, orig, tarName, null, tmp.getPath, null)
+          }
         } catch {
           case e: Exception =>
-            Fetched(msgId, ref, orig, tarName, null,
+            Fetched(msgId, ref, orig, tarName, null, null,
               s"ClientError: package fetch failed: ${e.getMessage}")
         }
       }
@@ -115,7 +150,8 @@ object IngestStream {
     try {
       // ---- gather + act (O1/O2): the REAL batch pipeline ----
       val packages = fetched.filter(col("error").isNull).as[Fetched]
-        .map(f => RawPackage(f.consignment_ref, f.originator, f.tar_name, f.archive))
+        .map(f => RawPackage(f.consignment_ref, f.originator, f.tar_name,
+          f.archive, f.archive_path))
       val outcome =
         if (packages.isEmpty) None
         else Some(PackageIngest.ingestDs(spark, packages, store, requestId, environment))
@@ -148,7 +184,17 @@ object IngestStream {
           .withColumn("terminal", col("error").isin(terminalNames: _*))
           .select("msg_id", "error", "terminal"))
       } finally outcome.foreach(_.unpersist())
-    } finally fetched.unpersist()
+    } finally {
+      // best-effort spill cleanup on the executors that hold the files
+      // (deleteOnExit is the backstop); runs before the checkpoint blocks
+      // are dropped so the paths are still reachable process-locally
+      try fetched.filter(col("archive_path").isNotNull)
+        .select(col("archive_path")).as[String]
+        .foreachPartition((it: Iterator[String]) =>
+          it.foreach(pth => { new java.io.File(pth).delete(); () }))
+      catch { case _: Exception => () }
+      fetched.unpersist()
+    }
   }
 
   /** Wire a streaming (kind, record_json) source into the batch processor. */

@@ -125,6 +125,72 @@ object TarOps {
   def packStrings(members: Seq[(String, String)]): Array[Byte] =
     pack(members.map { case (n, s) => (n, s.getBytes(UTF_8)) })
 
+  /** Gzip-detecting tar stream over an arbitrary input — the shared
+    * open-an-archive front door for the streaming (spilled / off-heap)
+    * paths. Caller closes the returned stream. */
+  def openStream(raw: InputStream): TarArchiveInputStream = {
+    val buffered = new java.io.BufferedInputStream(raw)
+    buffered.mark(2)
+    val m0 = buffered.read(); val m1 = buffered.read()
+    buffered.reset()
+    val in: InputStream =
+      if (m0 == (GzipMagic0 & 0xff) && m1 == (GzipMagic1 & 0xff))
+        new GZIPInputStream(buffered)
+      else buffered
+    new TarArchiveInputStream(in)
+  }
+
+  /** Streaming analogue of [[explode]]+[[findMember]] for spilled
+    * archives: ONE walk collecting every regular-member name plus, for
+    * each needle, the LAST member whose name contains it (findMember's
+    * substring contract). Memory is bounded by the extracted members —
+    * non-matching payloads are skipped by `getNextEntry`, never
+    * buffered. */
+  def streamFind(open: () => InputStream, needles: Seq[String]):
+      (Seq[String], Map[String, TarMember]) = {
+    val tar = openStream(open())
+    try {
+      val names = Seq.newBuilder[String]
+      var found = Map.empty[String, TarMember]
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (entry.isFile) {
+          val name = entry.getName
+          names += name
+          val hits = needles.filter(nd => nd != null && nd.nonEmpty && name.contains(nd))
+          if (hits.nonEmpty) {
+            val m = TarMember(name, entry.getSize, tar.readAllBytes())
+            hits.foreach(nd => found += nd -> m) // later matches overwrite: LAST wins
+          }
+        }
+        entry = tar.getNextEntry
+      }
+      (names.result(), found)
+    } finally tar.close()
+  }
+
+  /** Streaming analogue of the asset pass's member lookup: FIRST
+    * exact-name match wins; otherwise the last substring match. One walk,
+    * memory bounded by the matched member. */
+  def streamLookup(open: () => InputStream, member: String): Option[Array[Byte]] = {
+    val tar = openStream(open())
+    try {
+      var exact: Array[Byte] = null
+      var substr: Array[Byte] = null
+      var entry = tar.getNextEntry
+      while (entry != null && exact == null) {
+        if (entry.isFile) {
+          val name = entry.getName
+          if (name == member) exact = tar.readAllBytes()
+          else if (member != null && member.nonEmpty && name.contains(member))
+            substr = tar.readAllBytes()
+        }
+        entry = tar.getNextEntry
+      }
+      Option(exact).orElse(Option(substr))
+    } finally tar.close()
+  }
+
   /** First member whose name contains `needle`, if any — the reference's
     * substring-match lookup (`file_helpers.py:27-29,79-81,87-89`). The
     * reference keeps the LAST match (its loop overwrites); so do we. */
