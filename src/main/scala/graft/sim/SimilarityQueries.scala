@@ -74,7 +74,8 @@ object SimilarityQueries {
     * recall of ~7× more tables while the CORPUS still stores exactly one
     * bucket row per table (n×L rows — the side that matters at 100 TB;
     * the probe fan-out rides on the tiny broadcast query set).
-    * Approximate by construction → rows-only correctness gate; the
+    * The bucketing is md5-deterministic, so the oracle ([[q25Sql]])
+    * reproduces the FULL contract and the gate is hash-exact; the
     * SimilarityRecallSpec asserts recall@5 ≥ 0.9 against exact q24. */
   private val Tables_ = 16
   private val BitsPerTable = 6
@@ -122,6 +123,53 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** DuckDB mirror of the FULL q25 LSH contract — the same md5-seeded
+    * hyperplane matrix ([[graft.expr.HyperplaneSigs.component]]: first 4
+    * md5("t:b:d") bytes big-endian as a fraction of 2³² minus 0.5 — the
+    * `'0x'||substr(md5,1,8)` cast parses exactly those 4 bytes), the same
+    * strict left-fold dot products (`list_reduce` over an in-order list
+    * comprehension ≡ the kernel's sequential `acc += v(i)·plane(i)`, so
+    * the `acc > 0` sign bit is bit-identical), the same distance-1
+    * multiprobe, candidate dedup, and top-5 window. The approximation
+    * itself is deterministic, so `hash_match` gates the whole bucketing
+    * path; `SimilarityRecallSpec` keeps gating QUALITY (recall@5 ≥ 0.9
+    * vs exact q24). */
+  val q25Sql: String =
+    s"""WITH pl AS (
+       |  SELECT t, b, list(comp ORDER BY d) AS plane
+       |  FROM (
+       |    SELECT tb.t AS t, tb.b AS b, d.range AS d,
+       |      CAST(concat('0x', substr(md5(tb.t || ':' || tb.b || ':' || d.range), 1, 8)) AS UBIGINT)
+       |        / 4294967296.0 - 0.5 AS comp
+       |    FROM (SELECT t.range AS t, b.range AS b FROM range($Tables_) t, range($BitsPerTable) b) tb, range($Dim) d)
+       |  GROUP BY t, b),
+       |csig AS (
+       |  SELECT vec_id AS cid, t, CAST(sum(CASE WHEN acc > 0 THEN (1 << b) ELSE 0 END) AS INT) AS sig
+       |  FROM (
+       |    SELECT e.vec_id, pl.t, pl.b,
+       |      list_reduce(list_prepend(0.0,
+       |        [CAST(e.embedding[i+1] AS DOUBLE) * pl.plane[i+1] for i in range(0, $Dim)]),
+       |        (a, x) -> a + x) AS acc
+       |    FROM embeddings e, pl)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT cid AS qid, t,
+       |    CASE WHEN pr.p = -1 THEN sig ELSE xor(sig, CAST(1 << pr.p AS INT)) END AS sig
+       |  FROM csig, (SELECT range AS p FROM range(-1, $BitsPerTable)) pr
+       |  WHERE cid < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, c.cid
+       |  FROM csig c JOIN probes p ON c.t = p.t AND c.sig = p.sig
+       |  WHERE c.cid <> p.qid),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (
+       |  SELECT cand.qid, cand.cid, $simSqlExpr AS sim
+       |  FROM cand JOIN q USING (qid) JOIN c USING (cid)),
+       |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim FROM r WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- q26
   /** Embedding near-duplicate pairs: cosine ≥ 0.4, via [[NearDup.pairs]]'s
     * threshold-dispatched strategy.
@@ -165,7 +213,8 @@ object SimilarityQueries {
     * Scale shape: corpus assignment is one narrow pass (K small dots per
     * row via [[graft.expr.VecDot]]); each list is a hash-partition key, so
     * at 100 TB the inverted file IS the partitioning and a query touches
-    * probes/K of the data. Approximate → rows-only gate;
+    * probes/K of the data. The quantizer is deterministic, so the oracle
+    * ([[q45Sql]]) re-derives it and the gate is hash-exact;
     * SimilarityRecallSpec pins recall@5 ≥ 0.9 against exact q24. */
   private val IvfLists = 16
   // these embeddings are near-uniform (little cluster structure), so IVF
@@ -234,6 +283,73 @@ object SimilarityQueries {
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("rank"), col("cid"), round(col("sim"), 4).as("sim"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** DuckDB mirror of the FULL q45 IVF contract. The coarse quantizer is
+    * re-derived in SQL exactly as the driver derives it: seeds = first
+    * [[IvfLists]] sample vectors in vec_id order, then the two Lloyd
+    * iterations UNROLLED as CTE pairs (assign aᵢ / re-center cᵢ). Every
+    * float-sensitive step pins the engine's evaluation order — assignment
+    * distances and centroid sums are strict left-folds over vec_id- /
+    * dim-ordered lists (≡ the driver's sequential loops), means divide by
+    * the member count exactly once, empty clusters keep the previous
+    * centroid (the `coalesce`), and argmin ties break to the smallest
+    * list id — so centroids, list assignment, probe sets, and therefore
+    * the candidate set are bit-identical and `hash_match` gates the whole
+    * path. `SimilarityRecallSpec` still gates recall quality. */
+  val q45Sql: String = {
+    // one Lloyd iteration: assign sample → nearest of `prev`, re-center
+    def lloyd(assign: String, prev: String, next: String): String =
+      s"""$assign AS (
+         |  SELECT vec_id, k FROM (
+         |    SELECT s.vec_id, $prev.k,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        list_reduce(list_prepend(0.0,
+         |          [(s.v[i+1] - $prev.c[i+1]) * (s.v[i+1] - $prev.c[i+1]) for i in range(0, $Dim)]),
+         |          (a, x) -> a + x), $prev.k) AS rn
+         |    FROM samp s, $prev)
+         |  WHERE rn = 1),
+         |$next AS (
+         |  SELECT $prev.k, coalesce(m.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN (
+         |    SELECT k, list(mean ORDER BY dim) AS c FROM (
+         |      SELECT $assign.k, d.range AS dim,
+         |        list_reduce(list_prepend(0.0, list(s.v[d.range + 1] ORDER BY s.vec_id)),
+         |          (a, x) -> a + x) / count(*) AS mean
+         |      FROM $assign JOIN samp s USING (vec_id), range($Dim) d
+         |      GROUP BY $assign.k, d.range)
+         |    GROUP BY k) m ON $prev.k = m.k)""".stripMargin
+    s"""WITH samp AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $IvfSample),
+       |c0 AS (
+       |  SELECT rn - 1 AS k, v AS c FROM (
+       |    SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
+       |  WHERE rn <= $IvfLists),
+       |${lloyd("a1", "c0", "c1")},
+       |${lloyd("a2", "c1", "c2")},
+       |cents AS (
+       |  SELECT k, c,
+       |    list_reduce(list_prepend(0.0, list_transform(c, x -> x * x)), (a, x) -> a + x) AS cc
+       |  FROM c2),
+       |cd AS (
+       |  SELECT e.vec_id, ct.k,
+       |    ct.cc - 2.0 * list_reduce(list_prepend(0.0,
+       |      [CAST(e.embedding[i+1] AS DOUBLE) * ct.c[i+1] for i in range(0, $Dim)]),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, cents ct),
+       |ranked AS (
+       |  SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd),
+       |corpus AS (SELECT vec_id AS cid, k AS list_id FROM ranked WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS qid, k AS list_id FROM ranked WHERE rn <= $IvfProbes AND vec_id < $NumQueries),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (
+       |  SELECT qp.qid, co.cid, $simSqlExpr AS sim
+       |  FROM corpus co JOIN qprobe qp USING (list_id) JOIN q ON qp.qid = q.qid JOIN c ON co.cid = c.cid
+       |  WHERE co.cid <> qp.qid),
+       |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
+       |SELECT qid, rank, cid, round(sim, 4) AS sim FROM r WHERE rank <= $TopK
+       |ORDER BY qid, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q54
@@ -638,12 +754,17 @@ object SimilarityQueries {
     "q68_embedding_centroids" -> (q68EmbeddingCentroids _),
     "q70_centroid_assign"    -> (q70CentroidAssign _))
 
-  /** q25/q45 are approximate → rows-only gate (no oracle entry by design). */
+  /** q25/q45 are approximate vs q24's exact answer, but the approximation
+    * CONTRACT (bucket assignment + probe set) is deterministic in both
+    * engines, so they hash-gate like everything else; recall quality is
+    * gated separately by `SimilarityRecallSpec`. */
   val oracleSql: Map[String, String] = Map(
     "q99_neighbor_purity"    -> q99Sql,
     "q96_semdedup"           -> q96Sql,
     "q83_embedding_dispersion" -> q83Sql,
     "q24_sim_cosine_topk"    -> q24Sql,
+    "q25_sim_ann_lsh"        -> q25Sql,
+    "q45_sim_ivf"            -> q45Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,
     "q68_embedding_centroids" -> q68Sql,
