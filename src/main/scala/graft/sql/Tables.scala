@@ -2,6 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic star schema (see /root/repo/TESTDATA.md).
   *
@@ -18,13 +19,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** `ts` is TIMESTAMP(NANOS) in the parquet, which Spark reads as long
-    * nanos under `spark.sql.legacy.parquet.nanosAsLong`; convert to micros
-    * TimestampType here (integer `div` — double division would lose
-    * precision above 2^53 nanos). Truncation toward zero matches DuckDB's
-    * `epoch_us` on post-1970 data. */
-  def events: DataFrame =
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Normalize `ts` to TimestampType whatever the parquet carries — the
+    * generator has shipped it as TIMESTAMP(NANOS) (read as long nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and as naive
+    * timestamp[us] (read as TIMESTAMP_NTZ) across data drops:
+    *   - long nanos → integer `div 1000` then `timestamp_micros` (double
+    *     division would lose precision above 2^53 nanos; truncation
+    *     toward zero matches DuckDB's `epoch_us` on post-1970 data);
+    *   - TIMESTAMP_NTZ → cast to TimestampType, value-preserving under
+    *     the session's UTC zone — the same instants DuckDB sees reading
+    *     the naive column;
+    *   - TimestampType → as-is. */
+  def events: DataFrame = {
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
