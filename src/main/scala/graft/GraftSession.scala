@@ -26,8 +26,10 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read it as raw long nanos and convert at the scan (Tables.events).
+      // some generator drops ship events.parquet with TIMESTAMP(NANOS), which
+      // Spark's reader rejects; read those as raw long nanos and convert at
+      // the scan (Tables.events). Other drops ship naive timestamp[us] — for
+      // those this config is a no-op and Tables.events casts NTZ→TIMESTAMP.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // this VM exhibits multi-minute whole-machine I/O stalls; the default
       // 120 s heartbeat window marks the (only) local executor dead and

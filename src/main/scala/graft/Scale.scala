@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** One-off empirical scale-curve measurement (SCALE.md): time the heavy
   * shuffle-bound queries at sf0.01, sf0.1, and a REPLICATED 10× of sf0.1,
@@ -40,23 +41,52 @@ object Scale {
     // round-7 late additions, all aggregation-shaped: q95's shuffle is
     // bounded by the sketch grid; q97's time-shifted replicas ARE organic
     // growth for retention (longer history, same users); q98 is q19's
-    // digest agg + a co-partitioned join-back. q93 reads tables the
-    // replica doesn't build; q96/q99 are excluded with the pair queries
-    // (replicated vectors would fake 10-deep near-dup clusters).
+    // digest agg + a co-partitioned join-back. q96/q99 are excluded with
+    // the pair queries (replicated vectors would fake 10-deep near-dup
+    // clusters).
     "q95_heavy_hitters", "q97_cohort_retention", "q98_split_leakage",
     // late round-7: q100 is a digest-keyed full outer (documents); q109's
     // quartile table and q111's staged funnel windows ride events — all
-    // aggregation-shaped, honest under replication. q101/q102 read
-    // orders (not replicated); q103/q107/q112 likewise; q113 reads
-    // staged archives.
-    "q100_snapshot_diff", "q109_outlier_bands", "q111_funnel_latency")
+    // aggregation-shaped, honest under replication. q113 reads staged
+    // archives.
+    "q100_snapshot_diff", "q109_outlier_bands", "q111_funnel_latency",
+    // round-9: the graph family, now that the replica builds orders/
+    // lineitem/customer/supplier with per-replica key offsets. Each
+    // replica is a DISCONNECTED copy of the trade graph — nodes, edges,
+    // wedges, and triangles all grow 10× with group sizes unchanged,
+    // which is what organic entity growth does (new customers trade with
+    // new suppliers; they don't densify the existing clique). q93 expects
+    // ~linear in edges per round; q108's wedge join is bounded by
+    // cap²·customers; q110's anti-join probes are linear per relation.
+    "q93_pagerank", "q108_triangles", "q110_integrity_audit")
+
+  /** Per-replica key offset — far above any organic key range at sf0.1. */
+  private val KeyOff = 1000000000L
 
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
-    val done = new java.io.File(s"$out/_BUILT")
+    // v2: also builds the trade-graph tables (orders/lineitem/customer/
+    // supplier + the unreplicated nation parent) for q93/q108/q110
+    val done = new java.io.File(s"$out/_BUILT_v2")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val ev = spark.read.parquet(s"$src/events.parquet")
     val k = explode(sequence(lit(0), lit(Reps - 1))).as("k")
+
+    // Key-offset replication: each replica is a disconnected copy of the
+    // FK graph (every key column that participates in a timed query's
+    // join is offset by the same k·KeyOff, so joins never cross replicas).
+    def repKeys(table: String, keys: Seq[String]): Unit =
+      keys.foldLeft(spark.read.parquet(s"$src/$table.parquet").select(col("*"), k)) {
+        (d, c) => d.withColumn(c, col(c) + col("k") * lit(KeyOff))
+      }.drop("k").write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+    repKeys("orders", Seq("o_orderkey", "o_custkey"))
+    repKeys("lineitem", Seq("l_orderkey", "l_suppkey"))
+    repKeys("customer", Seq("c_custkey"))
+    repKeys("supplier", Seq("s_suppkey"))
+    // nation stays fixed under organic growth (customers multiply, the
+    // country list doesn't) — copy as-is for q110's customer->nation audit
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/nation.parquet")
     docs.select(col("*"), k)
       .withColumn("doc_id", col("doc_id") + col("k") * lit(1000000000L))
       .withColumn("text",
@@ -64,10 +94,20 @@ object Scale {
           .otherwise(concat(col("text"), lit(" replica"), col("k"))))
       .drop("k")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    // ~400 days per replica, branched on the dtype the drop actually carries
+    // (the generator has shipped both TIMESTAMP(NANOS)-as-long and naive
+    // timestamp[us] — see Tables.events); the replica writes the SAME dtype
+    // back so the normal Tables.events scan path handles the 10× dir too
+    val shiftedTs = ev.schema("ts").dataType match {
+      case LongType => col("ts") + col("k") * lit(400L * 24 * 3600) * lit(1000000000L)
+      case TimestampType | TimestampNTZType =>
+        col("ts") + make_dt_interval(col("k") * lit(400L))
+      case other => throw new IllegalArgumentException(
+        s"events.parquet ts: cannot build a time-shifted replica for dtype $other")
+    }
     ev.select(col("*"), k)
       .withColumn("event_id", col("event_id") + col("k") * lit(1000000000000L))
-      // ts is raw long NANOS (nanosAsLong); ~400 days per replica
-      .withColumn("ts", col("ts") + col("k") * lit(400L * 24 * 3600) * lit(1000000000L))
+      .withColumn("ts", shiftedTs)
       .drop("k")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
     done.createNewFile()

@@ -29,10 +29,10 @@ object GraphQueries {
     * edge list is materialized ONCE with out-degree attached; each round
     * is then exactly one equi-join (rank by src) + one map-side-combinable
     * aggregate (contributions by dst) — the standard distributed PageRank
-    * schedule. Production-depth iteration counts would `localCheckpoint`
-    * per round to cut lineage like `connectedComponents` does; at 3
-    * rounds the lineage is shallow enough to leave Catalyst the whole
-    * plan. Parity: per-edge contributions round through DECIMAL(18,6) and
+    * schedule. Production-depth iteration counts (> [[CheckpointDepth]])
+    * `localCheckpoint` per round to cut lineage like `connectedComponents`
+    * does; at 3 rounds the lineage is shallow enough to leave Catalyst the
+    * whole plan. Parity: per-edge contributions round through DECIMAL(18,6) and
     * are summed as decimals — exact and summation-order-free in both
     * engines (the q66/q78/q79 rule).
     */
@@ -46,6 +46,23 @@ object GraphQueries {
     * too, so every round's executed plan is exactly one equi-join (rank
     * by src) + one map-side-combinable aggregate (contributions by dst)
     * over in-memory blocks — zero file re-scans across rounds. */
+  /** Beyond this depth each round's rank frame is localCheckpoint'd:
+    * the unrolled chain otherwise grows one join+agg of lineage per
+    * round, and both Catalyst re-optimization time and the recovery
+    * re-compute path blow up with depth (the connectedComponents
+    * pattern). At ≤ this depth the whole chain is left to Catalyst —
+    * a shallow unroll optimizes fine and avoids the materialization. */
+  private val CheckpointDepth = 5
+
+  /** Rank frames at or below this node count BROADCAST into the
+    * per-round join: the (much larger) degree-annotated edge frame then
+    * never shuffles, and the round's only shuffle is the map-side-
+    * combinable contribution aggregate. ~48 B per unsafe (long, decimal)
+    * row keeps 1M nodes ≈ 48 MB, under the session's 64 MB threshold.
+    * Above it, the rank join falls back to the partitioned equi-join —
+    * the standard big-graph schedule. */
+  private val BroadcastNodes = 1000000L
+
   def pageRank(e0: DataFrame, rounds: Int = PrRounds): DataFrame = {
     val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
@@ -54,6 +71,7 @@ object GraphQueries {
     // node count: an O(#nodes) aggregate collapsed to one driver long
     // (bounded like connectedComponents' labelSum convergence probe)
     val n = deg.count()
+    val smallRank = n <= BroadcastNodes
     var pr = deg.select(col("src").as("node"),
       lit(1.0 / n).cast(DecimalType(18, 6)).as("pr"))
     // 0.15 as a LITERAL, not 1.0 - Damping: the JVM double of (1.0 - 0.85)
@@ -61,13 +79,17 @@ object GraphQueries {
     // below — the decimal rounding would then diverge in the 6th place
     val base = lit(0.15 / n).cast(DecimalType(18, 6))
     for (_ <- 1 to rounds) {
+      val rank = pr.withColumnRenamed("node", "src")
       pr = ed
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(if (smallRank) broadcast(rank) else rank, Seq("src"))
         .select(col("dst").as("node"),
           (lit(Damping) * col("pr").cast(DoubleType) / col("deg"))
             .cast(DecimalType(18, 6)).as("c"))
         .groupBy(col("node"))
         .agg((base + sum(col("c"))).cast(DecimalType(18, 6)).as("pr"))
+      // decimal sums are exact and order-free, so neither the broadcast
+      // nor the checkpoint changes a single output value — only the plan
+      if (rounds > CheckpointDepth) pr = pr.localCheckpoint(true)
     }
     pr
   }

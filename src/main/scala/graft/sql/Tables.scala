@@ -35,7 +35,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => raw
+      case TimestampType    => raw
+      case other => throw new IllegalArgumentException(
+        s"events.parquet ts: expected long nanos, timestamp_ntz, or timestamp, got $other " +
+          "— a new generator drop needs an explicit normalization rule here, not a silent " +
+          "pass-through that fails in some downstream comparison")
     }
   }
   def documents: DataFrame  = table("documents")

@@ -36,6 +36,52 @@ class GraphSpec extends SparkSpec {
     assert(m(2L) > m(1L)) // path center outranks endpoints
   }
 
+  /** Driver-side replica of the engine's per-round arithmetic — SAME
+    * double ops ((0.85 · pr) / deg), SAME double→DECIMAL(18,6) HALF_UP
+    * rounding (scala BigDecimal(Double) and Spark's Decimal(Double) both
+    * go through Double.toString), SAME exact decimal summation — so deep
+    * runs can be checked value-for-value against an independent path. */
+  private def simulate(edges: Seq[(Long, Long)], rounds: Int): Map[Long, BigDecimal] = {
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val n = deg.size
+    val base = dec(0.15 / n)
+    var rank = deg.map { case (v, _) => v -> dec(1.0 / n) }
+    for (_ <- 1 to rounds) {
+      rank = sym
+        .map { case (src, dst) => dst -> dec(0.85 * rank(src).toDouble / deg(src)) }
+        .groupBy(_._1)
+        .map { case (v, cs) => v -> (base + cs.map(_._2).sum) }
+    }
+    rank
+  }
+
+  test("deep rounds (10, past the checkpoint knob) match the driver simulation") {
+    // asymmetric graph: path + star arm + a cycle tail, so no symmetry
+    // masks a wrong contribution; 10 > CheckpointDepth exercises the
+    // per-round localCheckpoint path end to end
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (3L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 6L))
+    val got = pr(edges, rounds = 10)
+    val want = simulate(edges, rounds = 10)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, p) => assert(p == want(v), s"node $v: got $p want ${want(v)}") }
+  }
+
+  test("shallow rounds match the same simulation (knob off, broadcast on)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (3L, 6L))
+    val got = pr(edges, rounds = 3)
+    assert(got == simulate(edges, rounds = 3))
+    // small-rank broadcast: the final round's executed plan must join the
+    // rank frame via broadcast, never shuffling the edge side
+    val df = GraphQueries.pageRank(edges.toDF("src", "dst"), 3)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "rank frame below BroadcastNodes should broadcast into the round join")
+  }
+
   test("q93 at sf0.001: node namespaces, positive mass, conservation") {
     val rows = GraphQueries.q93PageRank(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
