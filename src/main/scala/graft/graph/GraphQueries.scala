@@ -1,7 +1,8 @@
 package graft.graph
 
 import graft.sql.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -94,16 +95,27 @@ object GraphQueries {
     pr
   }
 
-  def q93PageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The bipartite customer–supplier trade graph: one directed edge per
+    * distinct (customer, supplier) trade pair from orders ⨝ lineitem,
+    * with both id spaces folded into one LONG namespace (customer 2k,
+    * supplier 2k+1 — 8-byte shuffle keys, never formatted strings). */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val e0 = t.orders
+    t.orders
       .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    pageRank(e0)
-      .select(
-        when(col("node") % 2 === 0, concat(lit("c:"), (col("node") / 2).cast("long")))
-          .otherwise(concat(lit("s:"), ((col("node") - 1) / 2).cast("long"))).as("node"),
+  }
+
+  /** Presentation formatting for the folded node namespace, applied ONCE
+    * on node-cardinality results. */
+  private def fmtNode(c: Column): Column =
+    when(c % 2 === 0, concat(lit("c:"), (c / 2).cast("long")))
+      .otherwise(concat(lit("s:"), ((c - 1) / 2).cast("long")))
+
+  def q93PageRank(spark: SparkSession, dir: String): DataFrame = {
+    pageRank(tradeEdges(spark, dir))
+      .select(fmtNode(col("node")).as("node"),
         col("pr").cast(DoubleType).as("pagerank"))
       .orderBy(col("node"))
   }
@@ -128,6 +140,78 @@ object GraphQueries {
        |            ELSE 's:' || CAST((node - 1) // 2 AS BIGINT) END AS node,
        |  CAST(pr AS DOUBLE) AS pagerank
        |FROM p$PrRounds ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q118
+  /** Synchronous label propagation (RAK 2007, deterministic variant) —
+    * the community-detection companion to q93's value propagation and
+    * dedup's connectedComponents: every node starts as its own label and
+    * per round adopts the label carried by the PLURALITY of its
+    * neighbors (count desc, then smallest label — a total tie-break, so
+    * the sync schedule is bit-deterministic and the oracle can unroll
+    * it). Three fixed rounds on the bipartite trade graph yield trade
+    * communities (customer cliques around shared supplier sets); unlike
+    * connectedComponents' min-label flood, plurality voting keeps dense
+    * local clusters distinct inside one giant component.
+    *
+    * 100 TB shape: per round exactly one long-key equi-join (labels by
+    * src — BROADCAST below [[BroadcastNodes]], partitioned equi-join
+    * above) + one map-side-combinable (dst, lbl) count + one per-node
+    * argmax window (partitioned by node, never global). Depths past
+    * [[CheckpointDepth]] `localCheckpoint` per round like [[pageRank]].
+    */
+  private val LpaRounds = 3
+
+  /** LPA core over a DIRECTED long edge list, symmetrized here; returns
+    * (v, lbl) after `rounds` synchronous plurality updates. */
+  def labelPropagation(e0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var lab = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    val small = lab.count() <= BroadcastNodes
+    val argmax = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to rounds) {
+      val l = lab.withColumnRenamed("v", "src")
+      lab = sym.join(if (small) broadcast(l) else l, Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(argmax))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("v"), col("lbl"))
+      if (rounds > CheckpointDepth) lab = lab.localCheckpoint(true)
+    }
+    lab
+  }
+
+  def q118LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val lab = labelPropagation(tradeEdges(spark, dir))
+    val sizes = lab.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    lab.join(broadcast(sizes), Seq("lbl"))
+      .select(fmtNode(col("v")).as("node"), fmtNode(col("lbl")).as("community"),
+        col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  val q118Sql: String = {
+    def round(k: Int): String =
+      s"""c$k AS (SELECT s.dst, l.lbl, count(*) AS c
+         |  FROM sym s JOIN l${k - 1} l ON s.src = l.v GROUP BY 1, 2),
+         |l$k AS (SELECT dst AS v, lbl FROM (SELECT dst, lbl,
+         |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rk FROM c$k)
+         |  WHERE rk = 1)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |${(1 to LpaRounds).map(round).mkString(",\n")},
+       |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |       FROM l$LpaRounds GROUP BY 1)
+       |SELECT CASE WHEN v % 2 = 0 THEN 'c:' || CAST(v // 2 AS BIGINT)
+       |            ELSE 's:' || CAST((v - 1) // 2 AS BIGINT) END AS node,
+       |  CASE WHEN lbl % 2 = 0 THEN 'c:' || CAST(lbl // 2 AS BIGINT)
+       |       ELSE 's:' || CAST((lbl - 1) // 2 AS BIGINT) END AS community,
+       |  community_size
+       |FROM l$LpaRounds JOIN sz USING (lbl) ORDER BY node""".stripMargin
   }
 
   // ---------------------------------------------------------------- q108
@@ -236,9 +320,11 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_triangles" -> (q108Triangles _),
+    "q118_label_propagation" -> (q118LabelPropagation _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q108_triangles" -> q108Sql,
+    "q118_label_propagation" -> q118Sql,
     "q93_pagerank" -> q93Sql)
 }

@@ -1525,7 +1525,80 @@ object RelationalQueries {
       |CROSS JOIN n
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Trailing z-score burst detection — the monitoring card behind every
+    * "traffic spike" alert: hourly counts per event type, each hour
+    * scored against its own trailing 24 hours (mean/variance), bursts
+    * flagged at z ≥ [[BurstZ]]. Complements q109 (global IQR bands over
+    * VALUES) with a temporally LOCAL view over RATES; the RANGE frame
+    * keys on the integer hour bucket, so gap hours genuinely age out of
+    * the window instead of stretching it (the q104 spine is not needed —
+    * missing hours simply contribute nothing).
+    *
+    * 100 TB shape: one corpus-sized aggregate (map-side combine down to
+    * (type, hour) — the window then runs over type-cardinality × hours,
+    * partitioned by type, never global). Cross-engine float parity: the
+    * trailing sums are INTEGER (count, Σ, Σ²) and therefore exact; mean/
+    * variance/z is ONE fixed-shape double expression evaluated on those
+    * integers identically in both engines, and z rounds through
+    * DECIMAL(18,6) before the burst compare so the flag rides the
+    * rounded value. */
+  private val BurstTrail    = 24  // trailing window, hours
+  private val BurstMinTrail = 12  // minimum trailing hours for a score
+  private val BurstZ        = 3.0
+
+  def q117BurstZscore(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"), expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-BurstTrail, -1)
+    val mean = col("s1").cast(DoubleType) / col("n_trail")
+    val varP = col("s2").cast(DoubleType) / col("n_trail") - mean * mean
+    val z = (col("cnt").cast(DoubleType) - mean) / sqrt(varP)
+    hourly
+      .withColumn("n_trail", count(col("cnt")).over(trail))
+      .withColumn("s1", sum(col("cnt")).over(trail))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(trail))
+      .filter(col("n_trail") >= BurstMinTrail)
+      .withColumn("z_dec", when(varP > 0.0, z.cast(DecimalType(18, 6))))
+      .select(col("event_type"),
+        tsFmt(timestamp_seconds(col("h") * 3600)).as("hour"),
+        col("cnt"), col("n_trail"),
+        col("z_dec").cast(DoubleType).as("z"),
+        coalesce(col("z_dec") >= BurstZ, lit(false)).as("is_burst"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q117Sql: String =
+    s"""WITH hc AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT event_type, h, cnt,
+       |    count(cnt) OVER tr AS n_trail,
+       |    sum(cnt)   OVER tr AS s1,
+       |    sum(cnt * cnt) OVER tr AS s2
+       |  FROM hc
+       |  WINDOW tr AS (PARTITION BY event_type ORDER BY h
+       |                RANGE BETWEEN $BurstTrail PRECEDING AND 1 PRECEDING)),
+       |sc AS (SELECT event_type, h, cnt, n_trail,
+       |    CASE WHEN CAST(s2 AS DOUBLE) / n_trail
+       |              - (CAST(s1 AS DOUBLE) / n_trail) * (CAST(s1 AS DOUBLE) / n_trail) > 0
+       |      THEN CAST((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_trail)
+       |        / sqrt(CAST(s2 AS DOUBLE) / n_trail
+       |               - (CAST(s1 AS DOUBLE) / n_trail) * (CAST(s1 AS DOUBLE) / n_trail))
+       |        AS DECIMAL(18,6)) END AS z_dec
+       |  FROM w WHERE n_trail >= $BurstMinTrail)
+       |SELECT event_type,
+       |  strftime(epoch_ms(h * 3600000), '$TS') AS hour,
+       |  cnt, CAST(n_trail AS BIGINT) AS n_trail,
+       |  CAST(z_dec AS DOUBLE) AS z,
+       |  coalesce(z_dec >= $BurstZ, false) AS is_burst
+       |FROM sc ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_burst_zscore"         -> (q117BurstZscore _),
     "q116_event_pmi"            -> (q116EventPmi _),
     "q115_linear_attribution"   -> (q115LinearAttribution _),
     "q112_weekly_growth"        -> (q112WeeklyGrowth _),
@@ -1566,6 +1639,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q117_burst_zscore"         -> q117Sql,
     "q116_event_pmi"            -> q116Sql,
     "q115_linear_attribution"   -> q115Sql,
     "q112_weekly_growth"        -> q112Sql,

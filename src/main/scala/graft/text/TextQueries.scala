@@ -1169,9 +1169,84 @@ object TextQueries {
        |SELECT source, doc_id, n_chars, rank FROM t
        |WHERE rn <= $WSampleK ORDER BY source, rank, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Zipf-law fit per language: least-squares slope of ln(count) over
+    * ln(rank) across the top [[ZipfRanks]] word ranks — the corpus
+    * statistic that says how head-heavy a language's token distribution
+    * is (natural text ≈ −1; templated/boilerplate corpora skew steeper,
+    * tag soup flatter). Complements q73 (coverage CURVE points) with the
+    * distribution's fitted EXPONENT, and q86 (lang entropy) with a
+    * shape, not just a dispersion, parameter.
+    *
+    * 100 TB shape: the only corpus-sized stage is the (lang, word) count
+    * (map-side combine); rank + fit run over the top-[[ZipfRanks]] rows
+    * per language — constant-bounded, window partitioned by lang. Float
+    * parity: ln(rank)/ln(count) each round through DECIMAL(18,6) (the
+    * q66/q74 ln rule), the five regression sums are EXACT decimal sums
+    * of exact decimal products, and slope/intercept are fixed-shape
+    * double expressions over those sums, re-rounded before output. */
+  private val ZipfRanks = 1000
+
+  def q119ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val cnt = d.select(col("lang"), explode(tokens(normText(col("text")))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+    val terms = cnt
+      .withColumn("rk", row_number().over(byFreq))
+      .filter(col("rk") <= ZipfRanks)
+      .select(col("lang"),
+        log(col("rk")).cast(DecimalType(18, 6)).as("x"),
+        log(col("cnt")).cast(DecimalType(18, 6)).as("y"))
+    val nd  = col("n").cast(DoubleType)
+    val sx  = col("sx").cast(DoubleType)
+    val sy  = col("sy").cast(DoubleType)
+    val sxy = col("sxy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    val slopeDec = ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).cast(DecimalType(18, 6))
+    terms.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n").as("n_ranks"),
+        slopeDec.cast(DoubleType).as("zipf_slope"),
+        (((sy - slopeDec.cast(DoubleType) * sx) / nd).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("intercept"))
+      .orderBy(col("lang"))
+  }
+
+  val q119Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT lang, unnest($toks) AS w FROM documents),
+       |g AS (SELECT lang, w, count(*) AS cnt FROM tk GROUP BY 1, 2),
+       |r AS (SELECT lang, cnt,
+       |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+       |      FROM g),
+       |t AS (SELECT lang, CAST(ln(rk) AS DECIMAL(18,6)) AS x,
+       |             CAST(ln(cnt) AS DECIMAL(18,6)) AS y
+       |      FROM r WHERE rk <= $ZipfRanks),
+       |a AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x * y) AS sxy, sum(x * x) AS sxx
+       |      FROM t GROUP BY 1),
+       |s AS (SELECT lang, n,
+       |        CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          AS DECIMAL(18,6)) AS slope_dec,
+       |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |      FROM a)
+       |SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+       |  CAST(slope_dec AS DOUBLE) AS zipf_slope,
+       |  CAST(CAST((syd - CAST(slope_dec AS DOUBLE) * sxd) / CAST(n AS DOUBLE)
+       |       AS DECIMAL(18,6)) AS DOUBLE) AS intercept
+       |FROM s ORDER BY lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_zipf_fit"        -> (q119ZipfFit _),
     "q102_weighted_sample" -> (q102WeightedSample _),
     "q98_split_leakage"    -> (q98SplitLeakage _),
     "q64_chunk_plan"       -> (q64ChunkPlan _),
@@ -1198,6 +1273,7 @@ object TextQueries {
     "q91_mixture_expand"   -> (q91MixtureExpand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q119_zipf_fit"        -> q119Sql,
     "q102_weighted_sample" -> q102Sql,
     "q98_split_leakage"    -> q98Sql,
     "q64_chunk_plan"       -> q64Sql,

@@ -82,6 +82,48 @@ class GraphSpec extends SparkSpec {
       "rank frame below BroadcastNodes should broadcast into the round join")
   }
 
+  // ------------------------------------------------------------- LPA
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int = 3): Map[Long, Long] =
+    GraphQueries.labelPropagation(edges.toDF("src", "dst"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side sync plurality vote with the SAME total tie-break
+    * (count desc, then smallest label). */
+  private def simLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    // NO dedupe: the engine symmetrizes by union, so a graph listing both
+    // directions would double-count — the sim must be exactly as literal
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val nbrs = sym.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = nbrs.map { case (v, ns) =>
+        v -> ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+          .toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("LPA: two triangles joined by a bridge resolve into two communities") {
+    // triangle {1,2,3} — bridge 3–11 — triangle {11,12,13}: plurality
+    // voting must NOT flood min-label 1 across the bridge (the CC
+    // behavior); each triangle keeps its own local label
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+    val got = lpa(edges)
+    assert(got == simLpa(edges, 3))
+    assert(Set(got(1L), got(2L)).size == 1)
+    assert(Set(got(11L), got(12L), got(13L)).size == 1)
+    assert(got(1L) != got(13L), "bridge must not merge the triangles")
+  }
+
+  test("LPA deep rounds (10, past the checkpoint knob) match the simulation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (2L, 5L), (7L, 8L), (8L, 9L), (7L, 9L), (9L, 1L))
+    assert(lpa(edges, rounds = 10) == simLpa(edges, 10))
+  }
+
   test("q93 at sf0.001: node namespaces, positive mass, conservation") {
     val rows = GraphQueries.q93PageRank(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
