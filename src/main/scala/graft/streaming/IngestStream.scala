@@ -81,7 +81,6 @@ object IngestStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
 
     // ---- decode (S1–S4) + unknown-originator guard ----
     // same rule as the batch act phase (PackageIngest.ingestDs): send_email
@@ -91,6 +90,15 @@ object IngestStream {
     // decision. Guarding BEFORE the fetch skips the pointless download.
     // NULL needs the explicit isNull arm: `!isin(...)` alone is NULL for
     // null input and falls through the `when`.
+    // CollectMetrics rides the decode plan and is reported by the eager
+    // checkpoint action to any registered graft.metrics.MetricsSink — no
+    // extra pass, no driver-side count() (see Observe's scaladoc). The
+    // checkpoint also pins the decoded frame so the THREE downstream
+    // consumers (fetch, msg-key join, DLQ report) read executor blocks
+    // instead of each re-running the 5-from_json decode over the source —
+    // which additionally keeps the per-micro-batch source scan at exactly
+    // one, so the streaming `graft.ingest.source` counter means arrivals,
+    // not arrivals × actions.
     val decoded = Messages.decode(batch)
       .withColumn("error",
         when(col("error").isNull &&
@@ -98,6 +106,12 @@ object IngestStream {
           concat(lit("RuntimeError: Didn't recognise originator "),
             coalesce(col("originator"), lit("null"))))
           .otherwise(col("error")))
+      .observe("graft.ingest.decoded",
+        count(lit(1)).as("n_records"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).cast("long").as("n_rejected"),
+        sum(when(col("msg_id").isNotNull, 1L).otherwise(0L)).cast("long").as("n_retryable"))
+      .localCheckpoint(true)
+    if (decoded.isEmpty) { decoded.unpersist(); return }
 
     // ---- fetch: message → archive bytes, one Hadoop-FS read per record
     // on its executor (no driver download loop). localCheckpoint(true)
@@ -182,7 +196,10 @@ object IngestStream {
         val terminalNames = IngestError.all.filter(_.terminal).map(_.name)
         store.appendFailures(failures
           .withColumn("terminal", col("error").isin(terminalNames: _*))
-          .select("msg_id", "error", "terminal"))
+          .select("msg_id", "error", "terminal")
+          .observe("graft.ingest.failures",
+            count(lit(1)).as("n_failures"),
+            sum(when(col("terminal"), 1L).otherwise(0L)).cast("long").as("n_terminal")))
       } finally outcome.foreach(_.unpersist())
     } finally {
       // best-effort spill cleanup on the executors that hold the files
@@ -194,14 +211,20 @@ object IngestStream {
           it.foreach(pth => { new java.io.File(pth).delete(); () }))
       catch { case _: Exception => () }
       fetched.unpersist()
+      decoded.unpersist()
     }
   }
 
-  /** Wire a streaming (kind, record_json) source into the batch processor. */
+  /** Wire a streaming (kind, record_json) source into the batch processor.
+    * The source-side observe surfaces per-micro-batch arrival counts in
+    * `StreamingQueryProgress.observedMetrics` (the streaming twin of the
+    * batch [[graft.metrics.MetricsSink]] path). */
   def start(events: DataFrame, store: LocalStore, checkpointDir: String,
       environment: String = "prod",
       packageUri: (String, String) => String = s3aUri): StreamingQuery =
-    events.writeStream
+    events
+      .observe("graft.ingest.source", count(lit(1)).as("n_events"))
+      .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
