@@ -355,6 +355,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q95: cartesian\n$plan")
   }
 
+  test("q117 burst z-score: type-partitioned windows only (no global window), one corpus scan") {
+    val plan = physical("q117_burst_zscore")
+    // the RANGE frame must ride the (event_type) hash partition — a
+    // missing partition key collapses 100 TB of hourly stats onto one task
+    assert(plan.contains("Exchange hashpartitioning(event_type"),
+      s"expected the type-partitioned window exchange\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q117 must never plan a global single-partition window\n$plan")
+    // "FileScan parquet" contains "Scan parquet", so count the substring once
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"expected exactly one events scan\n$plan")
+  }
+
+  test("q118 label propagation: rounds broadcast the label frame, never nested-loop") {
+    val plan = physical("q118_label_propagation")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"label join degenerated\n$plan")
+    // below BroadcastNodes the per-round label join broadcasts — the
+    // symmetrized edge frame (the big side at scale) never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the label frame to broadcast into the round join\n$plan")
+    // rounds read the checkpointed edge frame, not the parquet tables
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"expected zero file re-scans across rounds\n$plan")
+  }
+
+  test("q119 zipf fit: lang-partitioned rank window, fit over the ranked head only") {
+    val plan = physical("q119_zipf_fit")
+    assert(plan.contains("Exchange hashpartitioning(lang"),
+      s"expected the lang-partitioned rank window\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") || plan.contains("rangepartitioning"),
+      s"no global single-partition stage expected\n$plan")
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"expected exactly one documents scan\n$plan")
+  }
+
   test("q96/q99: pair stage reads the one materialized assignment, cluster equi-join only") {
     for (q <- Seq("q96_semdedup", "q99_neighbor_purity")) {
       val plan = physical(q)
