@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -163,7 +163,8 @@ object PackageScan {
 }
 
 class PackageScan(path: String, required: StructType, pushed: Array[Filter],
-    conf: SerializableConfiguration, committedOnly: Boolean) extends Scan with Batch {
+    conf: SerializableConfiguration, committedOnly: Boolean)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -174,7 +175,12 @@ class PackageScan(path: String, required: StructType, pushed: Array[Filter],
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (committedOnly) ", committedOnly" else "")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The admitted (uri, fileLength) set, listed ONCE per scan: both the
+    * statistics estimate (optimizer time) and the partition planning
+    * (execution time) read it, so reporting statistics costs no second
+    * recursive listing — on an object store the listing RPCs are the
+    * expensive part of planning. */
+  private lazy val admitted: Array[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
     // committed-only gating: no manifest → NOTHING is committed. A driver
@@ -196,23 +202,50 @@ class PackageScan(path: String, required: StructType, pushed: Array[Filter],
     // directly — O(keys) RPCs instead of a recursive listing (the
     // reference's keyed fetch shape). Falls back to the listing when any
     // key is absent flat (nested layouts).
-    PackageScan.exactTarNames(pushed) match {
-      case Some(keys) =>
-        val probed = keys.filter(admit).map(k => k -> new Path(p, k))
-        if (probed.forall { case (_, kp) => fs.exists(kp) })
-          return probed.map { case (_, kp) => PackagePartition(kp.toString): InputPartition }.toArray
-      case None => ()
+    val probed = PackageScan.exactTarNames(pushed).map { keys =>
+      keys.filter(admit).flatMap { k =>
+        val kp = new Path(p, k)
+        try Some(kp.toString -> fs.getFileStatus(kp).getLen)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
     }
-
-    val it = fs.listFiles(p, true)
-    val out = Array.newBuilder[InputPartition]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && admit(f.getPath.getName))
-        out += PackagePartition(f.getPath.toString)
+    probed match {
+      case Some(found) if PackageScan.exactTarNames(pushed)
+          .exists(_.count(admit) == found.length) =>
+        found.toArray
+      case _ =>
+        val it = fs.listFiles(p, true)
+        val out = Array.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && admit(f.getPath.getName))
+            out += f.getPath.toString -> f.getLen
+        }
+        out.result()
     }
-    out.result()
   }
+
+  /** DSv2 statistics so Catalyst sizes joins against this table instead
+    * of assuming the worst: `sizeInBytes` = Σ admitted archive lengths
+    * (post filter-pushdown, so a point lookup reports one archive) when
+    * `content` is projected; a header-only listing scan moves tar headers
+    * and no payloads, reported as min(total, max(total/100, 512)) —
+    * conservative enough to stay honest (never above the real bytes),
+    * small enough that listing-side joins become broadcast candidates. Archive length is the COMPRESSED size; that
+    * under-estimates decompressed width, which only makes broadcast
+    * decisions more conservative on the content path. Row counts are
+    * unknowable without opening archives, so none are reported. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val total = admitted.map(_._2).sum
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(
+        if (required.fieldNames.contains("content")) total
+        else math.min(total, math.max(total / 100, 512L)))
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    admitted.map { case (uri, _) => PackagePartition(uri): InputPartition }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PackageReaderFactory(required.fieldNames, conf)

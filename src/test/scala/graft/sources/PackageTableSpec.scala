@@ -55,6 +55,36 @@ class PackageTableSpec extends SparkSpec {
     assert(listing.count() > 0)
   }
 
+  test("scan statistics reach the optimizer: content-bearing reads report archive bytes, pruned listings report headers, pushdown shrinks both") {
+    // bulky, poorly-compressible members so total/100 clears the 512 floor
+    val dir = Files.createTempDirectory("graftpkg_stats").toString
+    (0 until 4).foreach { i =>
+      val noise = Iterator.iterate(s"seed-$i")(s =>
+        java.util.UUID.nameUUIDFromBytes(s.getBytes).toString)
+        .take(2000).mkString
+      Files.write(Paths.get(dir, s"PKG-$i.tar.gz"),
+        TarOps.packStrings(Seq((s"PKG-$i/doc.txt", noise))))
+    }
+    val archiveBytes = (0 until 4)
+      .map(i => Files.size(Paths.get(dir, s"PKG-$i.tar.gz"))).sum
+    def stats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val full = stats(spark.read.format("graftpkg").load(dir))
+    // content projected: Σ admitted archive lengths, exactly
+    assert(full == BigInt(archiveBytes), s"full=$full archiveBytes=$archiveBytes")
+    // header-only listing: payloads never move, the estimate must collapse
+    // (max(total/100, 512) — here the 512 floor) so listing-side joins
+    // become broadcast candidates
+    val pruned = stats(spark.read.format("graftpkg").load(dir)
+      .select(col("pkg_name"), col("member")))
+    assert(pruned < full, s"pruned=$pruned full=$full")
+    // archive-filter pushdown prunes the estimate too: a point lookup
+    // reports one archive, not the table
+    val point = stats(spark.read.format("graftpkg").load(dir)
+      .filter(col("pkg_name") === "PKG-2"))
+    assert(point < full && point > 0, s"point=$point full=$full")
+  }
+
   test("DSv2 write: writer-declared clustering packs one archive per package, round-trips byte-exact, manifest written, no staging residue") {
     import spark.implicits._
     val out = Files.createTempDirectory("graftpkg_w").toString
