@@ -1597,7 +1597,83 @@ object RelationalQueries {
        |  coalesce(z_dec >= $BurstZ, false) AS is_burst
        |FROM sc ORDER BY event_type, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Incremental view maintenance — the delta-processing contract behind
+    * every materialized aggregate: a stored per-customer order summary
+    * (rows BEFORE [[IvmCutoff]]) is brought current by a late-arriving
+    * delta batch (rows on/after it) WITHOUT re-aggregating the base. The
+    * output is the CHANGELOG the maintenance job would emit — one row
+    * per delta-touched customer with op (insert|update), the stored old
+    * values, and the maintained new values.
+    *
+    * The correctness statement is the interesting part: the engine
+    * combines base + delta incrementally, while the ORACLE recomputes
+    * the view from the full table and derives the same changelog — so
+    * the driver's hash compare proves the IVM identity
+    * (base ⊕ delta ≡ recompute) on exact decimal arithmetic, not just
+    * that two engines agree on one formula.
+    *
+    * 100 TB shape: maintenance cost is DELTA-sized — the delta aggregate
+    * map-side combines to its key set, and the stored view is probed via
+    * a delta-key semi-join (broadcast when the delta is small, the
+    * normal case) before the outer join, so the base is never shuffled
+    * whole; a production store would additionally key-bucket the view
+    * (the LocalStore device) so the probe prunes to touched buckets.
+    * Counts are longs and money is exact DECIMAL, so base + delta
+    * equals recompute bit-for-bit — what makes IVM trustworthy at all. */
+  private val IvmCutoff = "2001-01-01 00:00:00"
+
+  def q120IvmMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val cut = lit(IvmCutoff).cast(TimestampType)
+    def agg(rows: DataFrame): DataFrame = rows
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+    // the "stored" view: materialized once, as a real store would hold it
+    val base = agg(o.filter(col("o_orderdate") < cut)).localCheckpoint(true)
+    // the delta aggregate feeds BOTH the semi-probe and the final join —
+    // materialize it once so the delta batch is scanned exactly once
+    val delta = agg(o.filter(col("o_orderdate") >= cut)).localCheckpoint(true)
+    // delta-key semi-prune keeps the probe delta-sized; AQE broadcasts
+    // the (small) delta key set
+    val touched = base.join(delta.select(col("o_custkey")), Seq("o_custkey"), "left_semi")
+      .select(col("o_custkey"), col("n").as("old_n"), col("total").as("old_total"))
+    delta.join(touched, Seq("o_custkey"), "left")
+      .select(col("o_custkey"),
+        when(col("old_n").isNull, "insert").otherwise("update").as("op"),
+        coalesce(col("old_n"), lit(0L)).as("old_n"),
+        // exact decimals internally; DOUBLE at the boundary (the q01
+        // presentation rule — both engines' pandas/parquet readers agree
+        // on doubles, and a 2-dp decimal converts deterministically)
+        dec(coalesce(col("old_total"), lit(0))).cast(DoubleType).as("old_total"),
+        (coalesce(col("old_n"), lit(0L)) + col("n")).as("new_n"),
+        dec(dec(coalesce(col("old_total"), lit(0))) + col("total"))
+          .cast(DoubleType).as("new_total"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q120Sql: String =
+    s"""WITH base AS (SELECT o_custkey, count(*) AS n,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$IvmCutoff' GROUP BY 1),
+       |full_v AS (SELECT o_custkey, count(*) AS n,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       |  FROM orders GROUP BY 1),
+       |dk AS (SELECT DISTINCT o_custkey FROM orders
+       |       WHERE o_orderdate >= TIMESTAMP '$IvmCutoff')
+       |SELECT f.o_custkey,
+       |  CASE WHEN b.o_custkey IS NULL THEN 'insert' ELSE 'update' END AS op,
+       |  CAST(coalesce(b.n, 0) AS BIGINT) AS old_n,
+       |  CAST(CAST(coalesce(b.total, 0) AS DECIMAL(18,2)) AS DOUBLE) AS old_total,
+       |  CAST(f.n AS BIGINT) AS new_n,
+       |  CAST(CAST(f.total AS DECIMAL(18,2)) AS DOUBLE) AS new_total
+       |FROM full_v f
+       |JOIN dk USING (o_custkey)
+       |LEFT JOIN base b ON f.o_custkey = b.o_custkey
+       |ORDER BY f.o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_ivm_maintenance"      -> (q120IvmMaintenance _),
     "q117_burst_zscore"         -> (q117BurstZscore _),
     "q116_event_pmi"            -> (q116EventPmi _),
     "q115_linear_attribution"   -> (q115LinearAttribution _),
@@ -1639,6 +1715,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q120_ivm_maintenance"      -> q120Sql,
     "q117_burst_zscore"         -> q117Sql,
     "q116_event_pmi"            -> q116Sql,
     "q115_linear_attribution"   -> q115Sql,

@@ -391,6 +391,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one documents scan\n$plan")
   }
 
+  test("q120 IVM: stored view read from the checkpoint, delta-key joins broadcast, no base re-aggregation") {
+    val plan = physical("q120_ivm_maintenance")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q120: maintenance join degenerated\n$plan")
+    // the semi-prune and the outer join both ride broadcasts of the
+    // delta-sized side — the stored view must never shuffle whole
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q120: expected delta-key broadcast joins\n$plan")
+    // both the stored view and the delta aggregate are materialized once
+    // (base: the store; delta: feeds the semi-probe AND the join) — the
+    // maintenance plan itself re-scans NOTHING (a parquet scan here would
+    // mean the view or the delta was recomputed, the thing IVM avoids)
+    assert(countOccurrences(plan, "Scan parquet") == 0,
+      s"q120: maintenance plan must read only the materialized frames\n$plan")
+  }
+
   test("q96/q99: pair stage reads the one materialized assignment, cluster equi-join only") {
     for (q <- Seq("q96_semdedup", "q99_neighbor_purity")) {
       val plan = physical(q)
