@@ -58,7 +58,14 @@ object Scale {
     // new suppliers; they don't densify the existing clique). q93 expects
     // ~linear in edges per round; q108's wedge join is bounded by
     // cap²·customers; q110's anti-join probes are linear per relation.
-    "q93_pagerank", "q108_triangles", "q110_integrity_audit")
+    "q93_pagerank", "q108_triangles", "q110_integrity_audit",
+    // round-9 cards, all aggregation-shaped and replica-honest: q117's
+    // (type, hour) grid grows with the time-shifted replicas (organic =
+    // longer history); q118 propagates over the disconnected trade-graph
+    // copies like q93; q119's ranked heads are constant-bounded per lang;
+    // q120's delta and base both grow 10× with group sizes unchanged
+    "q117_burst_zscore", "q118_label_propagation", "q119_zipf_fit",
+    "q120_ivm_maintenance")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
