@@ -170,13 +170,18 @@ object GraphQueries {
     var lab = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     val small = lab.count() <= BroadcastNodes
-    val argmax = Window.partitionBy(col("dst")).orderBy(col("c").desc, col("lbl"))
     for (_ <- 1 to rounds) {
       val l = lab.withColumnRenamed("v", "src")
+      // plurality argmax as two HASH aggregates, not a sort-window: the
+      // (count, −label) struct orders lexicographically, so max_by picks
+      // highest count then smallest label — the same total tie-break the
+      // oracle's row_number spells — while skipping the per-partition
+      // sort a rank window pays (the ord is strictly unique per node, so
+      // max_by's any-equal-ties caveat never applies)
       lab = sym.join(if (small) broadcast(l) else l, Seq("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rk", row_number().over(argmax))
-        .filter(col("rk") === 1)
+        .groupBy(col("dst"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
         .select(col("dst").as("v"), col("lbl"))
       if (rounds > CheckpointDepth) lab = lab.localCheckpoint(true)
     }
