@@ -1672,7 +1672,66 @@ object RelationalQueries {
        |LEFT JOIN base b ON f.o_custkey = b.o_custkey
        |ORDER BY f.o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Session Markov transition matrix — the ORDERED companion to q116's
+    * unordered co-occurrence PMI: consecutive event pairs within a
+    * session (q12's 30-minute-gap sessionization, (us, event_id) total
+    * order) counted into a (from_type → to_type) matrix with
+    * row-normalized transition probabilities. The product behind "what
+    * do users do next" flow diagrams and first-order journey models.
+    *
+    * 100 TB shape: ONE user-keyed shuffle carries both session windows
+    * and the transition lag (the frames share the partition key, so
+    * Catalyst plans one exchange); the (from, to) count map-side
+    * combines down to type² rows, and the row-normalizing window runs
+    * over that tiny frame. Float parity: counts are exact integers and
+    * each probability is ONE double division — bit-stable cross-engine
+    * (q112's ratio rule), no rounding needed. */
+  def q121MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = sess
+      .withColumn("from_type", lag(col("event_type"), 1).over(bySession))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("from_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("from_total")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q121Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |      FROM l),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+      |t AS (SELECT event_type AS to_type,
+      |        lag(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY us, event_id)
+      |          AS from_type
+      |      FROM s),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_markov_transitions"   -> (q121MarkovTransitions _),
     "q120_ivm_maintenance"      -> (q120IvmMaintenance _),
     "q117_burst_zscore"         -> (q117BurstZscore _),
     "q116_event_pmi"            -> (q116EventPmi _),
@@ -1715,6 +1774,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q121_markov_transitions"   -> q121Sql,
     "q120_ivm_maintenance"      -> q120Sql,
     "q117_burst_zscore"         -> q117Sql,
     "q116_event_pmi"            -> q116Sql,

@@ -407,6 +407,21 @@ class PlanAuditSpec extends SparkSpec {
       s"q120: maintenance plan must read only the materialized frames\n$plan")
   }
 
+  test("q121 markov transitions: session + transition windows share ONE user exchange") {
+    val plan = physical("q121_markov_transitions")
+    // the (user_id, sid) transition window is satisfied by the user_id
+    // hash partition (subset semantics) — only a sort is added, never a
+    // second corpus shuffle: exactly ONE exchange keys on user_id. The
+    // other two exchanges are type²-sized (the map-side-combined count
+    // and the row-normalizing window).
+    assert(countOccurrences(plan, "Exchange hashpartitioning(user_id") == 1,
+      s"q121: the corpus must shuffle on user_id exactly once\n$plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 3,
+      s"q121: expected user + count + from_type exchanges only\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q121: no global window allowed\n$plan")
+  }
+
   test("q96/q99: pair stage reads the one materialized assignment, cluster equi-join only") {
     for (q <- Seq("q96_semdedup", "q99_neighbor_purity")) {
       val plan = physical(q)
