@@ -218,6 +218,64 @@ object GraphQueries {
        |FROM l$LpaRounds JOIN sz USING (lbl) ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Multi-source k-hop reachability — joins-as-BFS, the fourth member
+    * of the graph family (value propagation: q93; communities: q118;
+    * census: q108): from the [[KhopSeeds]] lowest-keyed supplier nodes,
+    * expand the frontier [[KhopHops]] rounds over the symmetrized trade
+    * graph and report the CUMULATIVE reachable-node count per hop — the
+    * "blast radius" card behind contagion/recall/influence questions.
+    *
+    * 100 TB shape: each hop is one long-key equi-join (frontier ⋈ edges)
+    * + a map-side-combinable distinct; the reach set is
+    * `localCheckpoint`ed per hop because it feeds BOTH the next
+    * expansion and that hop's count (and BFS lineage otherwise doubles
+    * per round). Seeds ride a broadcast. Counts are exact integers —
+    * nothing to round. */
+  private val KhopSeeds = 3
+  private val KhopHops  = 3
+
+  def q123KhopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(spark, dir)
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val seeds = Tables(spark, dir).supplier
+      .select((col("s_suppkey") * 2 + 1).as("seed"))
+      .orderBy(col("seed")).limit(KhopSeeds)
+    var reach = seeds.select(col("seed"), col("seed").as("node"))
+    val hops = (1 to KhopHops).map { h =>
+      val next = reach.withColumnRenamed("node", "src")
+        .join(sym, Seq("src"))
+        .select(col("seed"), col("dst").as("node"))
+      reach = reach.unionByName(next).distinct().localCheckpoint(true)
+      reach.groupBy(col("seed")).agg((count(lit(1)) - 1).as("n_reached"))
+        .withColumn("hop", lit(h))
+    }
+    hops.reduce(_ unionByName _)
+      .select(fmtNode(col("seed")).as("seed"), col("hop"), col("n_reached"))
+      .orderBy(col("seed"), col("hop"))
+  }
+
+  val q123Sql: String = {
+    def level(k: Int): String =
+      s"""n$k AS (SELECT DISTINCT v.seed, s.dst AS node
+         |  FROM v${k - 1} v JOIN sym s ON v.node = s.src),
+         |v$k AS (SELECT DISTINCT seed, node FROM
+         |  (SELECT seed, node FROM v${k - 1} UNION ALL SELECT seed, node FROM n$k))""".stripMargin
+    val counts = (1 to KhopHops).map(k =>
+      s"""SELECT seed, $k AS hop, CAST(count(*) - 1 AS BIGINT) AS n_reached
+         |FROM v$k GROUP BY seed""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS seed FROM supplier ORDER BY seed LIMIT $KhopSeeds),
+       |v0 AS (SELECT seed, seed AS node FROM sd),
+       |${(1 to KhopHops).map(level).mkString(",\n")},
+       |c AS ($counts)
+       |SELECT 's:' || CAST((seed - 1) // 2 AS BIGINT) AS seed, hop, n_reached
+       |FROM c ORDER BY seed, hop""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q108
   /** Triangle census on the supplier CO-TRADE graph — the clustering
     * card for entity graphs (community density, fraud-ring signal). The
@@ -325,10 +383,12 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_triangles" -> (q108Triangles _),
     "q118_label_propagation" -> (q118LabelPropagation _),
+    "q123_khop_reach" -> (q123KhopReach _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q108_triangles" -> q108Sql,
     "q118_label_propagation" -> q118Sql,
+    "q123_khop_reach" -> q123Sql,
     "q93_pagerank" -> q93Sql)
 }

@@ -1730,7 +1730,69 @@ object RelationalQueries {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Approximate-query-processing calibration card: a DETERMINISTIC
+    * 1/[[AqpMod]] Bernoulli sample (md5-hash-admitted on the row key, the
+    * q108 sampling device) with Horvitz–Thompson scale-up, reported
+    * side-by-side with the exact aggregate and the realized relative
+    * error per group. The card a warehouse publishes to certify "the
+    * sample table answers this query family within ε" before routing
+    * dashboards at it.
+    *
+    * 100 TB shape: ONE corpus scan computes both exact and sampled
+    * aggregates via conditional aggregation (map-side combined; the
+    * sample predicate is a codegen'd hash filter, no shuffle of its
+    * own) — this card pays the full scan BECAUSE it calibrates; the
+    * production AQP path materializes the sample once (1/16 of the
+    * corpus) and routes queries at it. Parity: the hash admits the same
+    * rows in both engines, counts and quantity sums are exact
+    * longs/decimals, and each estimate/error is fixed-shape double
+    * arithmetic on those exacts. */
+  private val AqpMod = 16
+
+  def q124AqpSample(spark: SparkSession, dir: String): DataFrame = {
+    val inSample = graft.text.TextOps.hex60(
+      concat(lit("aqp:"), col("l_orderkey"), lit(":"), col("l_linenumber"))) % AqpMod === 0
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(dec(col("l_quantity"))).as("q_ex"),
+        sum(when(inSample, 1L).otherwise(0L)).as("n_samp"),
+        sum(when(inSample, dec(col("l_quantity"))).otherwise(dec(lit(0)))).as("q_samp"))
+      .select(col("l_returnflag"),
+        col("n_exact"),
+        (col("n_samp") * AqpMod).as("n_est"),
+        ((col("n_samp") * AqpMod - col("n_exact")).cast(DoubleType)
+          / col("n_exact")).as("n_rel_err"),
+        col("q_ex").cast(DoubleType).as("q_exact"),
+        (col("q_samp") * AqpMod).cast(DoubleType).as("q_est"),
+        ((col("q_samp") * AqpMod - col("q_ex")).cast(DoubleType)
+          / col("q_ex").cast(DoubleType)).as("q_rel_err"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q124Sql: String =
+    s"""WITH l AS (SELECT l_returnflag, l_quantity,
+       |    ('0x' || substr(md5('aqp:' || CAST(l_orderkey AS VARCHAR) || ':'
+       |      || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % $AqpMod = 0 AS in_s
+       |  FROM lineitem),
+       |a AS (SELECT l_returnflag,
+       |    CAST(count(*) AS BIGINT) AS n_exact,
+       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_ex,
+       |    CAST(sum(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_samp,
+       |    sum(CASE WHEN in_s THEN CAST(l_quantity AS DECIMAL(18,2))
+       |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS q_samp
+       |  FROM l GROUP BY 1)
+       |SELECT l_returnflag, n_exact,
+       |  n_samp * $AqpMod AS n_est,
+       |  CAST(n_samp * $AqpMod - n_exact AS DOUBLE) / n_exact AS n_rel_err,
+       |  CAST(q_ex AS DOUBLE) AS q_exact,
+       |  CAST(q_samp * $AqpMod AS DOUBLE) AS q_est,
+       |  CAST(q_samp * $AqpMod - q_ex AS DOUBLE) / CAST(q_ex AS DOUBLE) AS q_rel_err
+       |FROM a ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_aqp_sample"           -> (q124AqpSample _),
     "q121_markov_transitions"   -> (q121MarkovTransitions _),
     "q120_ivm_maintenance"      -> (q120IvmMaintenance _),
     "q117_burst_zscore"         -> (q117BurstZscore _),
@@ -1774,6 +1836,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q124_aqp_sample"           -> q124Sql,
     "q121_markov_transitions"   -> q121Sql,
     "q120_ivm_maintenance"      -> q120Sql,
     "q117_burst_zscore"         -> q117Sql,

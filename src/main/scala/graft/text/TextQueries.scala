@@ -1243,9 +1243,109 @@ object TextQueries {
        |FROM s ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+  /** Population-Stability-Index drift monitor: for each source, how far
+    * its document-length distribution drifts from the REST of the corpus
+    * — the standard ML-ops gate for "did this feed change shape". Global
+    * deciles of `n_chars` (q39's integer-threshold device: smallest
+    * value with 10·cum ≥ i·tot, exact in both engines), each source's
+    * per-decile share vs the complement's, PSI = Σ (pₐ−pᵦ)·ln(pₐ/pᵦ)
+    * with Laplace-smoothed shares ((cnt+1)/(n+10) — integer smoothing,
+    * so zero buckets are deterministic, never −∞).
+    *
+    * 100 TB shape: one corpus scan feeds the value-cardinality count
+    * table; the 9 thresholds fold into ONE array row that broadcasts
+    * back, so bucket assignment is a scan-stage projection
+    * (`size(filter(...))` over a 9-element array); everything after is
+    * source×decile-sized. Parity: counts/thresholds are integers, each
+    * smoothed share is one double division, each ln rounds through
+    * DECIMAL(18,6) (the q66/q74 rule) and terms decimal-sum. */
+  def q122PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("source"), col("n_chars"))
+    // global decile thresholds t1..t9 (counts → cumulative → integer cut)
+    val cnt = d.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    val cum = cnt
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    val thresholds = (1 to 9).map(i =>
+      min(when(col("cum") * 10 >= col("tot") * i, col("n_chars"))).as(s"t$i"))
+    val tarr = cum.agg(thresholds.head, thresholds.tail: _*)
+      .select(array((1 to 9).map(i => col(s"t$i")): _*).as("ts"))
+    val bucketed = d.crossJoin(broadcast(tarr))
+      .select(col("source"),
+        (size(filter(col("ts"), t => col("n_chars") > t)) + 1).as("b"))
+    val bySrc = bucketed.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // complement counts: total per bucket minus own; spine = source × decile
+    // so empty buckets exist (the Laplace smoothing then scores them)
+    val byBucket = bySrc.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val allTot = byBucket.agg(sum(col("cb")).as("n"))
+    val spine = bySrc.select(col("source")).distinct()
+      .crossJoin(spark.range(1, 11).select(col("id").cast("int").as("b")))
+    val terms = spine
+      .join(bySrc, Seq("source", "b"), "left")
+      .join(broadcast(byBucket), Seq("b"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(allTot))
+      .select(col("source"), col("ns"),
+        (coalesce(col("c"), lit(0L)) + 1).cast(DoubleType)
+          ./(col("ns") + 10).as("pa"),
+        ((col("cb") - coalesce(col("c"), lit(0L))) + 1).cast(DoubleType)
+          ./((col("n") - col("ns")) + 10).as("pb"))
+      .select(col("source"), col("ns"),
+        ((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .cast(DecimalType(18, 6)).as("term"))
+    terms.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_docs"),
+        sum(col("term")).cast(DecimalType(18, 6)).cast(DoubleType).as("psi"))
+      .orderBy(col("source"))
+  }
+
+  val q122Sql: String =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |cnt AS (SELECT n_chars, count(*) AS cnt FROM d GROUP BY 1),
+      |cum AS (SELECT n_chars, cnt,
+      |    sum(cnt) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER () AS tot FROM cnt),
+      |tarr AS (SELECT [
+      |    min(CASE WHEN cum * 10 >= tot * 1 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 2 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 3 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 4 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 5 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 6 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 7 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 8 THEN n_chars END),
+      |    min(CASE WHEN cum * 10 >= tot * 9 THEN n_chars END)] AS ts FROM cum),
+      |bk AS (SELECT source, 1 + len(list_filter(ts, t -> n_chars > t)) AS b
+      |       FROM d CROSS JOIN tarr),
+      |bs AS (SELECT source, b, count(*) AS c FROM bk GROUP BY 1, 2),
+      |bb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM bs GROUP BY 1),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM bs GROUP BY 1),
+      |at AS (SELECT CAST(sum(cb) AS BIGINT) AS n FROM bb),
+      |sp AS (SELECT st.source, g.b FROM st CROSS JOIN (SELECT unnest(range(1, 11)) AS b) g),
+      |tm AS (SELECT sp.source, st.ns,
+      |    CAST((CAST(coalesce(bs.c, 0) + 1 AS DOUBLE) / (st.ns + 10)
+      |          - CAST((bb.cb - coalesce(bs.c, 0)) + 1 AS DOUBLE) / ((at.n - st.ns) + 10))
+      |      * ln((CAST(coalesce(bs.c, 0) + 1 AS DOUBLE) / (st.ns + 10))
+      |           / (CAST((bb.cb - coalesce(bs.c, 0)) + 1 AS DOUBLE) / ((at.n - st.ns) + 10)))
+      |      AS DECIMAL(18,6)) AS term
+      |  FROM sp
+      |  LEFT JOIN bs ON sp.source = bs.source AND sp.b = bs.b
+      |  JOIN bb ON sp.b = bb.b
+      |  JOIN st ON sp.source = st.source
+      |  CROSS JOIN at)
+      |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+      |  CAST(CAST(sum(term) AS DECIMAL(18,6)) AS DOUBLE) AS psi
+      |FROM tm GROUP BY source ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_psi_drift"       -> (q122PsiDrift _),
     "q119_zipf_fit"        -> (q119ZipfFit _),
     "q102_weighted_sample" -> (q102WeightedSample _),
     "q98_split_leakage"    -> (q98SplitLeakage _),
@@ -1273,6 +1373,7 @@ object TextQueries {
     "q91_mixture_expand"   -> (q91MixtureExpand _))
 
   val oracleSql: Map[String, String] = Map(
+    "q122_psi_drift"       -> q122Sql,
     "q119_zipf_fit"        -> q119Sql,
     "q102_weighted_sample" -> q102Sql,
     "q98_split_leakage"    -> q98Sql,
