@@ -65,7 +65,14 @@ object Scale {
     // copies like q93; q119's ranked heads are constant-bounded per lang;
     // q120's delta and base both grow 10× with group sizes unchanged
     "q117_burst_zscore", "q118_label_propagation", "q119_zipf_fit",
-    "q120_ivm_maintenance")
+    "q120_ivm_maintenance",
+    // late round-9: q121 rides the one user-keyed events shuffle
+    // (time-shifted replicas = organic history); q122's PSI is
+    // decile-bucketed aggregation over documents; q123's BFS frontier
+    // expands over the disconnected trade-graph copies; q124 is a
+    // single conditional-aggregation lineitem scan
+    "q121_markov_transitions", "q122_psi_drift", "q123_khop_reach",
+    "q124_aqp_sample")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
