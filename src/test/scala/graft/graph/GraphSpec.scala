@@ -124,6 +124,20 @@ class GraphSpec extends SparkSpec {
     assert(lpa(edges, rounds = 10) == simLpa(edges, 10))
   }
 
+  test("q123 k-hop reach at sf0.001: per-seed monotone growth, bipartite parity, bounded by the graph") {
+    val rows = GraphQueries.q123KhopReach(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 9) // 3 seeds × 3 hops
+    rows.groupBy(_._1).foreach { case (seed, hs) =>
+      val byHop = hs.sortBy(_._2).map(_._3)
+      assert(byHop.length == 3 && seed.startsWith("s:"))
+      // cumulative reach never shrinks, and hop 1 of a supplier seed
+      // reaches only customers (bipartite), so it's strictly positive
+      assert(byHop(0) > 0 && byHop(0) <= byHop(1) && byHop(1) <= byHop(2),
+        s"$seed: non-monotone reach ${byHop.mkString(",")}")
+    }
+  }
+
   test("q93 at sf0.001: node namespaces, positive mass, conservation") {
     val rows = GraphQueries.q93PageRank(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getDouble(1)))

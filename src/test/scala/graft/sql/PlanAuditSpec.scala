@@ -422,6 +422,40 @@ class PlanAuditSpec extends SparkSpec {
       s"q121: no global window allowed\n$plan")
   }
 
+  test("q122 PSI: the drift math reads only the materialized (source, bucket) counts") {
+    val plan = physical("q122_psi_drift")
+    // the corpus-sized work (pruned scans, threshold build, bucket
+    // assignment) ran once inside the bySrc checkpoint — the returned
+    // plan must read that source×decile-sized frame and nothing else
+    // (its FIVE consumers would otherwise each re-scan documents)
+    assert(countOccurrences(plan, "Scan parquet") == 0,
+      s"q122: a consumer re-scanned the corpus\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q122: expected the checkpointed count frame\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q122: expected broadcasts, not cartesian\n$plan")
+  }
+
+  test("q123 BFS: the returned plan reads only the per-hop checkpoints") {
+    val plan = physical("q123_khop_reach")
+    // every hop's reach set is checkpointed (it feeds the next expansion
+    // AND its own count) — a parquet scan here would mean a frontier was
+    // recomputed from the tables
+    assert(countOccurrences(plan, "Scan parquet") == 0,
+      s"q123: expected zero parquet scans in the hop-count plan\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q124 AQP: one scan, one aggregation exchange — the sample predicate adds no stage") {
+    val plan = physical("q124_aqp_sample")
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"q124: expected exactly one lineitem scan\n$plan")
+    // exact + sampled aggregates fuse into ONE conditional aggregation:
+    // the only hash exchange is the returnflag group
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"q124: expected only the group-by exchange\n$plan")
+  }
+
   test("q96/q99: pair stage reads the one materialized assignment, cluster equi-join only") {
     for (q <- Seq("q96_semdedup", "q99_neighbor_purity")) {
       val plan = physical(q)
