@@ -276,6 +276,68 @@ object GraphQueries {
        |FROM c ORDER BY seed, hop""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q125
+  /** Degree assortativity (Newman 2002) of the trade graph — the
+    * network-mixing statistic: the Pearson correlation of the degrees at
+    * the two ends of every edge. Negative = hubs attach to leaves (the
+    * disassortative shape typical of bipartite commerce graphs);
+    * positive = rich-club mixing. Rounds out the graph family's stats
+    * cards (census q108, importance q93, communities q118, reach q123).
+    *
+    * 100 TB shape: one degree aggregate + the same degree-annotated edge
+    * join [[pageRank]] builds (two long-key equi-joins over the
+    * checkpointed edge frame), folding to a single six-sum row. Parity:
+    * degrees are INTEGERS, so every Σ is an exact long (the per-edge
+    * products stay well under 2^63); the correlation is one fixed-shape
+    * double formula over those exact sums (products computed in DOUBLE —
+    * m·Σd² overflows a long at corpus scale), rounded through
+    * DECIMAL(18,6) at the boundary. */
+  def q125Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(spark, dir)
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val sums = sym
+      .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val md  = col("m").cast(DoubleType)
+    val sxd = col("sx").cast(DoubleType); val syd = col("sy").cast(DoubleType)
+    val r = (md * col("sxy").cast(DoubleType) - sxd * syd) /
+      sqrt((md * col("sxx").cast(DoubleType) - sxd * sxd) *
+           (md * col("syy").cast(DoubleType) - syd * syd))
+    sums.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("m").as("n_edges_directed"),
+        r.cast(DecimalType(18, 6)).cast(DoubleType).as("assortativity"))
+  }
+
+  val q125Sql: String =
+    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(a.d) AS BIGINT) AS sx, CAST(sum(b.d) AS BIGINT) AS sy,
+      |    CAST(sum(a.d * b.d) AS BIGINT) AS sxy,
+      |    CAST(sum(a.d * a.d) AS BIGINT) AS sxx,
+      |    CAST(sum(b.d * b.d) AS BIGINT) AS syy
+      |  FROM sym JOIN deg a ON sym.src = a.src JOIN deg b ON sym.dst = b.src)
+      |SELECT n_nodes, m AS n_edges_directed,
+      |  CAST(CAST((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |     / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |          * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
+      |FROM s CROSS JOIN nn""".stripMargin
+
   // ---------------------------------------------------------------- q108
   /** Triangle census on the supplier CO-TRADE graph — the clustering
     * card for entity graphs (community density, fraud-ring signal). The
@@ -384,11 +446,13 @@ object GraphQueries {
     "q108_triangles" -> (q108Triangles _),
     "q118_label_propagation" -> (q118LabelPropagation _),
     "q123_khop_reach" -> (q123KhopReach _),
+    "q125_assortativity" -> (q125Assortativity _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q108_triangles" -> q108Sql,
     "q118_label_propagation" -> q118Sql,
     "q123_khop_reach" -> q123Sql,
+    "q125_assortativity" -> q125Sql,
     "q93_pagerank" -> q93Sql)
 }
