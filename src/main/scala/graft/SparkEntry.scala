@@ -17,6 +17,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.sql.RelationalQueries.queries ++
+      graft.sql.MiningQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.sql.RelationalQueries.oracleSql ++
+      graft.sql.MiningQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++

@@ -1,0 +1,277 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Pattern-mining and data-profiling cards — the corpus-curation questions
+  * that sit between the relational core ([[RelationalQueries]]) and the
+  * dedup family ([[graft.dedup.DedupQueries]]): frequent-itemset rules over
+  * baskets, single-scan column profiling (the Deequ-style constraint
+  * suite), and blocked fuzzy matching (the entity-resolution candidate
+  * generator).
+  *
+  * Oracle-parity rules follow the house conventions (RelationalQueries
+  * scaladoc): exact integer/decimal aggregation everywhere, one
+  * fixed-shape double op per emitted ratio, rounded through
+  * DECIMAL(18,6) at the boundary, total-order sorts.
+  */
+object MiningQueries {
+
+  // ---------------------------------------------------------------- q126
+  /** Association rules (support / confidence / lift) over order baskets
+    * of part brands — the A-Priori first-and-second pass, the classic
+    * "customers who bought X also bought Y" card a curation pipeline
+    * uses for co-occurrence structure (the basket analogue of q116's
+    * event PMI, which is unordered event pairs; here baskets are sets
+    * and rules are DIRECTED, scored by confidence and lift).
+    *
+    * Min support is the A-Priori pruning step and is applied with exact
+    * integer math (`pc * 100 >= n_baskets`, i.e. support ≥ 1%) so the
+    * gate is bit-identical cross-engine.
+    *
+    * 100 TB shape: the part dim BROADCASTS into the lineitem scan; the
+    * basket frame (distinct (order, brand)) pays the one orderkey
+    * shuffle and is `localCheckpoint`ed because BOTH passes read it
+    * (item counts and pair counts — one materialization, two cheap
+    * aggregates, zero fact re-scans). Pair generation is the q108
+    * sorted-array explode: per-basket distinct items are collected and
+    * pairs exploded locally, so the pair shuffle carries (a, b) count
+    * partials only — map-side combined, at most item² rows per
+    * partition (brands = 25, so 300 pairs; with an open item domain
+    * you'd df-cap baskets exactly like q108's [[CoCap]]). The basket
+    * count is one bounded driver scalar (the pageRank `n` pattern).
+    * Metrics are one double division / one fixed-shape double formula
+    * over exact longs (pc·nb overflows a long at corpus scale, so the
+    * lift products are computed in double), rounded through
+    * DECIMAL(18,6). */
+  def q126BasketRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val baskets = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("oid"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint(true)
+    val nBaskets = baskets.select(col("oid")).distinct().count()
+    val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("ic"))
+    val pairExpr = flatten(transform(
+      sequence(lit(1), size(col("items")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("items"))),
+        j => struct(element_at(col("items"), i).as("a"),
+          element_at(col("items"), j).as("b")))))
+    val pairCnt = baskets.groupBy(col("oid"))
+      .agg(array_sort(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("pc"))
+      .filter(col("pc") * 100 >= nBaskets)
+    val directed = pairCnt
+      .unionByName(pairCnt.select(col("b").as("a"), col("a").as("b"), col("pc")))
+    val d6 = DecimalType(18, 6)
+    directed
+      .join(broadcast(itemCnt).select(col("item").as("a"), col("ic").as("ica")), Seq("a"))
+      .join(broadcast(itemCnt).select(col("item").as("b"), col("ic").as("icb")), Seq("b"))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("pc").as("support_n"),
+        (col("pc").cast(DoubleType) / lit(nBaskets.toDouble))
+          .cast(d6).cast(DoubleType).as("support"),
+        (col("pc").cast(DoubleType) / col("ica").cast(DoubleType))
+          .cast(d6).cast(DoubleType).as("confidence"),
+        ((col("pc").cast(DoubleType) * lit(nBaskets.toDouble)) /
+          (col("ica").cast(DoubleType) * col("icb").cast(DoubleType)))
+          .cast(d6).cast(DoubleType).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+  }
+
+  val q126Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS oid, p_brand AS item
+      |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT oid) AS nb FROM b),
+      |ic AS (SELECT item, count(*) AS ic FROM b GROUP BY 1),
+      |pc AS (SELECT x.item AS a, y.item AS b, count(*) AS pc
+      |       FROM b x JOIN b y ON x.oid = y.oid AND x.item < y.item
+      |       GROUP BY 1, 2),
+      |f AS (SELECT a, b, pc FROM pc, n WHERE pc * 100 >= nb),
+      |d AS (SELECT a, b, pc FROM f UNION ALL SELECT b, a, pc FROM f)
+      |SELECT d.a AS antecedent, d.b AS consequent, d.pc AS support_n,
+      |  CAST(CAST(CAST(d.pc AS DOUBLE) / CAST(n.nb AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS support,
+      |  CAST(CAST(CAST(d.pc AS DOUBLE) / CAST(ia.ic AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS confidence,
+      |  CAST(CAST((CAST(d.pc AS DOUBLE) * CAST(n.nb AS DOUBLE))
+      |       / (CAST(ia.ic AS DOUBLE) * CAST(ib.ic AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS lift
+      |FROM d JOIN ic ia ON d.a = ia.item JOIN ic ib ON d.b = ib.item CROSS JOIN n
+      |ORDER BY lift DESC, antecedent, consequent""".stripMargin
+
+  // ---------------------------------------------------------------- q127
+  /** Single-scan column profile + constraint suite over `orders` — the
+    * Deequ-style data-quality card (Schelter et al., VLDB'18 shape) a
+    * pipeline runs before admitting a new data drop: per-column
+    * completeness, exact distinct counts, numeric min/max/mean, date
+    * bounds, key uniqueness, and domain/range/format violation counts,
+    * emitted as (col_name, metric, value) rows.
+    *
+    * 100 TB shape: ONE pass over the fact table. The non-distinct
+    * metrics are plain map-side-combinable aggregates; the six exact
+    * COUNT(DISTINCT)s plan as Catalyst's Expand — the scan is read once
+    * and re-emitted ×6, which is the honest cost of EXACT profiling and
+    * is the documented trade against the KMV sketch card (q57): a wide
+    * production profile swaps each exact distinct for a mergeable
+    * sketch and the Expand disappears. Everything folds to ONE row
+    * before the O(#metrics) unpivot; violations are conditional counts
+    * (codegen'd, no second scan); mean is the exact decimal sum over
+    * the count (one double division, the house rule). */
+  def q127DataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    def ratio(n: Column, d: Column): Column =
+      (n.cast(DoubleType) / d.cast(DoubleType)).cast(d6).cast(DoubleType)
+    val s = Tables(spark, dir).orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_orderkey")).as("c_ok"), countDistinct(col("o_orderkey")).as("d_ok"),
+      count(col("o_custkey")).as("c_ck"), countDistinct(col("o_custkey")).as("d_ck"),
+      count(col("o_orderstatus")).as("c_st"), countDistinct(col("o_orderstatus")).as("d_st"),
+      count(col("o_orderpriority")).as("c_pr"), countDistinct(col("o_orderpriority")).as("d_pr"),
+      count(col("o_totalprice")).as("c_tp"), countDistinct(col("o_totalprice")).as("d_tp"),
+      count(col("o_orderdate")).as("c_od"), countDistinct(col("o_orderdate")).as("d_od"),
+      min(col("o_totalprice")).as("min_tp"), max(col("o_totalprice")).as("max_tp"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_tp"),
+      min(datediff(col("o_orderdate"), lit("1970-01-01"))).as("min_od"),
+      max(datediff(col("o_orderdate"), lit("1970-01-01"))).as("max_od"),
+      count(when(!col("o_totalprice").between(1, 600000), 1)).as("v_tp"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v_st"),
+      count(when(!col("o_orderpriority").rlike("^[1-5]-"), 1)).as("v_pr"))
+    val rows: Seq[(String, String, Column)] = Seq(
+      ("o_orderkey", "completeness", ratio(col("c_ok"), col("n"))),
+      ("o_orderkey", "distinct", col("d_ok").cast(DoubleType)),
+      ("o_orderkey", "uniqueness", ratio(col("d_ok"), col("c_ok"))),
+      ("o_custkey", "completeness", ratio(col("c_ck"), col("n"))),
+      ("o_custkey", "distinct", col("d_ck").cast(DoubleType)),
+      ("o_orderstatus", "completeness", ratio(col("c_st"), col("n"))),
+      ("o_orderstatus", "distinct", col("d_st").cast(DoubleType)),
+      ("o_orderstatus", "domain_violations", col("v_st").cast(DoubleType)),
+      ("o_orderpriority", "completeness", ratio(col("c_pr"), col("n"))),
+      ("o_orderpriority", "distinct", col("d_pr").cast(DoubleType)),
+      ("o_orderpriority", "format_violations", col("v_pr").cast(DoubleType)),
+      ("o_totalprice", "completeness", ratio(col("c_tp"), col("n"))),
+      ("o_totalprice", "distinct", col("d_tp").cast(DoubleType)),
+      ("o_totalprice", "min", col("min_tp").cast(d6).cast(DoubleType)),
+      ("o_totalprice", "max", col("max_tp").cast(d6).cast(DoubleType)),
+      ("o_totalprice", "mean", ratio(col("sum_tp"), col("c_tp"))),
+      ("o_totalprice", "range_violations", col("v_tp").cast(DoubleType)),
+      ("o_orderdate", "completeness", ratio(col("c_od"), col("n"))),
+      ("o_orderdate", "distinct", col("d_od").cast(DoubleType)),
+      ("o_orderdate", "min_epoch_day", col("min_od").cast(DoubleType)),
+      ("o_orderdate", "max_epoch_day", col("max_od").cast(DoubleType)))
+    s.select(inline(array(rows.map { case (c, m, v) =>
+        struct(lit(c).as("col_name"), lit(m).as("metric"), v.as("value"))
+      }: _*)))
+      .orderBy(col("col_name"), col("metric"))
+  }
+
+  val q127Sql: String = {
+    def r(n: String, d: String): String =
+      s"CAST(CAST(CAST($n AS DOUBLE) / CAST($d AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)"
+    val rows = Seq(
+      ("o_orderkey", "completeness", r("c_ok", "n")),
+      ("o_orderkey", "distinct", "CAST(d_ok AS DOUBLE)"),
+      ("o_orderkey", "uniqueness", r("d_ok", "c_ok")),
+      ("o_custkey", "completeness", r("c_ck", "n")),
+      ("o_custkey", "distinct", "CAST(d_ck AS DOUBLE)"),
+      ("o_orderstatus", "completeness", r("c_st", "n")),
+      ("o_orderstatus", "distinct", "CAST(d_st AS DOUBLE)"),
+      ("o_orderstatus", "domain_violations", "CAST(v_st AS DOUBLE)"),
+      ("o_orderpriority", "completeness", r("c_pr", "n")),
+      ("o_orderpriority", "distinct", "CAST(d_pr AS DOUBLE)"),
+      ("o_orderpriority", "format_violations", "CAST(v_pr AS DOUBLE)"),
+      ("o_totalprice", "completeness", r("c_tp", "n")),
+      ("o_totalprice", "distinct", "CAST(d_tp AS DOUBLE)"),
+      ("o_totalprice", "min", "CAST(CAST(min_tp AS DECIMAL(18,6)) AS DOUBLE)"),
+      ("o_totalprice", "max", "CAST(CAST(max_tp AS DECIMAL(18,6)) AS DOUBLE)"),
+      ("o_totalprice", "mean", r("sum_tp", "c_tp")),
+      ("o_totalprice", "range_violations", "CAST(v_tp AS DOUBLE)"),
+      ("o_orderdate", "completeness", r("c_od", "n")),
+      ("o_orderdate", "distinct", "CAST(d_od AS DOUBLE)"),
+      ("o_orderdate", "min_epoch_day", "CAST(min_od AS DOUBLE)"),
+      ("o_orderdate", "max_epoch_day", "CAST(max_od AS DOUBLE)"))
+      .map { case (c, m, v) => s"SELECT '$c' AS col_name, '$m' AS metric, $v AS value FROM s" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT count(*) AS n,
+       |  count(o_orderkey) AS c_ok, count(DISTINCT o_orderkey) AS d_ok,
+       |  count(o_custkey) AS c_ck, count(DISTINCT o_custkey) AS d_ck,
+       |  count(o_orderstatus) AS c_st, count(DISTINCT o_orderstatus) AS d_st,
+       |  count(o_orderpriority) AS c_pr, count(DISTINCT o_orderpriority) AS d_pr,
+       |  count(o_totalprice) AS c_tp, count(DISTINCT o_totalprice) AS d_tp,
+       |  count(o_orderdate) AS c_od, count(DISTINCT o_orderdate) AS d_od,
+       |  min(o_totalprice) AS min_tp, max(o_totalprice) AS max_tp,
+       |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_tp,
+       |  min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS min_od,
+       |  max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS max_od,
+       |  count(CASE WHEN o_totalprice NOT BETWEEN 1 AND 600000 THEN 1 END) AS v_tp,
+       |  count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v_st,
+       |  count(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS v_pr
+       |  FROM orders)
+       |$rows
+       |ORDER BY col_name, metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q128
+  /** Blocked fuzzy matching over part names — the entity-resolution
+    * candidate generator (Fellegi–Sunter blocking, the step every
+    * record-linkage pipeline runs before pairwise scoring): names are
+    * first collapsed to distinct values with occurrence counts, paired
+    * ONLY within a blocking key (the name's trailing token — the
+    * "canopy"), and surviving candidates are verified with exact
+    * Levenshtein distance ≤ [[FuzzyMaxDist]].
+    *
+    * 100 TB shape: the quadratic step is confined to blocks — candidate
+    * volume is Σ|block|² instead of N² (the q20/q108 df-cap argument;
+    * an open name domain would cap block width the same way). The
+    * distinct-name collapse happens FIRST, so the pair join runs on
+    * name cardinality, not row cardinality, and occurrence counts ride
+    * along to weight downstream merge decisions. Levenshtein runs only
+    * on post-block candidates (codegen'd built-in, never a UDF); the
+    * block equi-join shuffles by block key — no broadcast assumption,
+    * though Catalyst will broadcast when the name frame is small. */
+  private val FuzzyMaxDist = 2
+
+  def q128FuzzyBlocking(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir).part
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("block"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("block"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("block"), col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("block"), col("name_a"), col("name_b"))
+  }
+
+  val q128Sql: String =
+    s"""WITH names AS (SELECT p_name, count(*) AS n_parts,
+       |                 split_part(p_name, ' ', 2) AS block
+       |               FROM part GROUP BY 1),
+       |cand AS (SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+       |           levenshtein(a.p_name, b.p_name) AS dist,
+       |           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+       |         FROM names a JOIN names b
+       |           ON a.block = b.block AND a.p_name < b.p_name)
+       |SELECT block, name_a, name_b, dist, n_parts_a, n_parts_b
+       |FROM cand WHERE dist <= $FuzzyMaxDist
+       |ORDER BY block, name_a, name_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_basket_rules" -> (q126BasketRules _),
+    "q127_data_profile" -> (q127DataProfile _),
+    "q128_fuzzy_blocking" -> (q128FuzzyBlocking _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q126_basket_rules" -> q126Sql,
+    "q127_data_profile" -> q127Sql,
+    "q128_fuzzy_blocking" -> q128Sql)
+}

@@ -1,0 +1,97 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the mining/profiling cards (q126–q128): math invariants the
+  * oracle hash can't see by itself, and the plan shapes the 100 TB
+  * arguments rest on. */
+class MiningSpec extends SparkSpec {
+
+  test("q126: rule metrics satisfy the association-rule identities") {
+    val rules = MiningQueries.q126BasketRules(spark, Sf0001).collect()
+    assert(rules.nonEmpty)
+    // both directions of every surviving pair are emitted
+    assert(rules.length % 2 == 0)
+    val byPair = rules.groupBy(r => {
+      val (a, b) = (r.getString(0), r.getString(1))
+      if (a < b) (a, b) else (b, a)
+    })
+    byPair.values.foreach { dirs =>
+      assert(dirs.length == 2)
+      // lift is symmetric; support_n identical; confidence direction-specific
+      assert(math.abs(dirs(0).getDouble(5) - dirs(1).getDouble(5)) < 1e-9)
+      assert(dirs(0).getLong(2) == dirs(1).getLong(2))
+    }
+    rules.foreach { r =>
+      val (supp, conf, lift) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(supp > 0 && supp <= 1, s"support out of range: $r")
+      assert(conf >= supp - 1e-9 && conf <= 1, s"confidence < support: $r")
+      assert(lift > 0, s"non-positive lift: $r")
+    }
+  }
+
+  test("q126: part dim broadcasts into the basket build") {
+    val plan = MiningQueries.q126BasketRules(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the part dim to broadcast:\n$plan")
+  }
+
+  test("q127: clean fixture profiles clean — completeness/uniqueness 1, zero violations") {
+    val m = MiningQueries.q127DataProfile(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority", "o_totalprice", "o_orderdate")
+    cols.foreach(c => assert(m((c, "completeness")) == 1.0, s"$c incomplete"))
+    assert(m(("o_orderkey", "uniqueness")) == 1.0)
+    assert(m(("o_orderstatus", "domain_violations")) == 0.0)
+    assert(m(("o_orderpriority", "format_violations")) == 0.0)
+    assert(m(("o_totalprice", "range_violations")) == 0.0)
+    assert(m(("o_totalprice", "min")) > 0
+      && m(("o_totalprice", "max")) >= m(("o_totalprice", "min")))
+    assert(m(("o_orderdate", "max_epoch_day")) >= m(("o_orderdate", "min_epoch_day")))
+    // distinct keys == row count (the uniqueness claim, cross-checked)
+    val n = Tables(spark, Sf0001).orders.count().toDouble
+    assert(m(("o_orderkey", "distinct")) == n)
+  }
+
+  test("q127: exact multi-distinct plans as ONE scan through Expand") {
+    val qe = MiningQueries.q127DataProfile(spark, Sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand for multi-distinct:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one orders scan, got $scans:\n$plan")
+  }
+
+  test("q128: candidates stay inside blocks and verify with dist <= 2") {
+    val rows = MiningQueries.q128FuzzyBlocking(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (block, a, b, d) =
+        (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))
+      assert(a < b, s"unordered pair: $r")
+      assert(a.split(" ")(1) == block && b.split(" ")(1) == block,
+        s"pair escaped its block: $r")
+      assert(d >= 1 && d <= 2, s"distance out of contract: $r")
+    }
+  }
+
+  test("q128: blocking prunes the cross product to sum-of-block-squares") {
+    val names = Tables(spark, Sf0001).part
+      .select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+    val total = names.count()
+    val perBlock = names.groupBy(col("block")).count().collect()
+      .map(_.getLong(1))
+    val blocked = perBlock.map(n => n * (n - 1) / 2).sum
+    val all = total * (total - 1) / 2
+    assert(blocked < all,
+      s"blocking should prune candidates: $blocked !< $all")
+    // the candidate join (pre-distance-filter) produces exactly the
+    // blocked pair count — no pair is considered outside its block
+    val cand = names.as("a").join(names.as("b"), "block")
+      .filter(col("a.p_name") < col("b.p_name")).count()
+    assert(cand == blocked)
+  }
+}
