@@ -117,8 +117,9 @@ object DedupQueries {
       sequence(i + 1, size(col("ids"))),
       j => struct(element_at(col("ids"), i).as("ida"), element_at(col("ids"), j).as("idb")))))
 
-  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val shh = docShingleHashes(spark, dir)
+  /** Df-capped inverted-index candidate pairs from hashed shingle sets —
+    * the q20 generator, shared with q129's containment verify. */
+  private def invertedIndexCands(shh: DataFrame): DataFrame = {
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
     val buckets = ex.groupBy(col("h"))
       // collect_LIST: a doc contributes each shingle hash at most once
@@ -126,7 +127,7 @@ object DedupQueries {
       // unique — no per-group hash set needed
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, DfCap))
-    val cands = buckets
+    buckets
       .select(explode(bucketPairList).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
       // positions in the sorted id array guarantee ida <= idb; the strict
@@ -136,7 +137,11 @@ object DedupQueries {
       // doc_id twice in a bucket and emit a self-pair
       .filter(col("ida") < col("idb"))
       .distinct()
-    verifyJaccard(cands, shh, 0.5)
+  }
+
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    verifyJaccard(invertedIndexCands(shh), shh, 0.5)
   }
 
   val q20Sql: String =
@@ -153,6 +158,70 @@ object DedupQueries {
        |SELECT ida, idb, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
        |FROM v WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
        |ORDER BY ida, idb""".stripMargin
+
+  // ---------------------------------------------------------------- q129
+  /** Shingle-set CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): C = |A∩B| / min(|A|,|B|) ≥ [[ContainThreshold]] — the
+    * near-SUBSET detector. Jaccard (q20/q21) misses a short document
+    * quoted verbatim inside a much longer one (J = |A|/|B| is small
+    * exactly when the size ratio is large); containment is what catches
+    * boilerplate inclusion, quoted-document trains, and chunk-level
+    * copying, and every emitted row carries BOTH measures so the
+    * containment-vs-resemblance gap is visible per pair. Direction is
+    * explicit: the smaller shingle set (ties → lower doc_id) is the
+    * `contained` document.
+    *
+    * 100 TB shape: candidates ride the SAME df-capped inverted index as
+    * q20 (one generator, two verifies — Σdf² fan-out, never N²); the
+    * verify joins carry sorted long arrays and count intersections with
+    * the allocation-free two-pointer expression. The df-cap recall
+    * caveat is q20's, inherited deliberately: a contained doc ALL of
+    * whose shingles are boilerplate (df > [[DfCap]]) generates no
+    * candidate — and the oracle applies the identical cap, making the
+    * cap part of the operator contract (the q108 rule). */
+  private val ContainThreshold = 0.8
+
+  def q129Containment(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val c = col("common").cast(DoubleType) / least(col("na"), col("nb"))
+    val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
+    val aSmaller = col("na") < col("nb") ||
+      (col("na") === col("nb") && col("ida") < col("idb"))
+    invertedIndexCands(shh)
+      .join(shh.select(col("doc_id").as("ida"), col("shh").as("sha")), "ida")
+      .join(shh.select(col("doc_id").as("idb"), col("shh").as("shb")), "idb")
+      .select(col("ida"), col("idb"),
+        graft.expr.SortedIntersectCount.of(col("sha"), col("shb")).as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .filter(c >= ContainThreshold)
+      .select(
+        when(aSmaller, col("ida")).otherwise(col("idb")).as("contained"),
+        when(aSmaller, col("idb")).otherwise(col("ida")).as("container"),
+        when(aSmaller, col("na")).otherwise(col("nb")).as("n_contained"),
+        when(aSmaller, col("nb")).otherwise(col("na")).as("n_container"),
+        c.as("containment"), j.as("jaccard"))
+      .orderBy(col("contained"), col("container"))
+  }
+
+  val q129Sql: String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |dfok AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND $DfCap),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      WHERE a.s IN (SELECT s FROM dfok)),
+       |v AS (SELECT ida, idb,
+       |        len(list_intersect(ca.sh, cb.sh)) AS common, len(ca.sh) AS na, len(cb.sh) AS nb
+       |      FROM p JOIN sh ca ON ida = ca.doc_id JOIN sh cb ON idb = cb.doc_id)
+       |SELECT CASE WHEN na < nb OR (na = nb AND ida < idb) THEN ida ELSE idb END AS contained,
+       |  CASE WHEN na < nb OR (na = nb AND ida < idb) THEN idb ELSE ida END AS container,
+       |  CASE WHEN na < nb OR (na = nb AND ida < idb) THEN na ELSE nb END AS n_contained,
+       |  CASE WHEN na < nb OR (na = nb AND ida < idb) THEN nb ELSE na END AS n_container,
+       |  CAST(common AS DOUBLE) / least(na, nb) AS containment,
+       |  CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+       |FROM v WHERE CAST(common AS DOUBLE) / least(na, nb) >= $ContainThreshold
+       |ORDER BY contained, container""".stripMargin
 
   // ---------------------------------------------------------------- q21
   /** MinHash + LSH near-dup pairs (threshold 0.8). 96 min-hashes per doc
@@ -1114,6 +1183,7 @@ object DedupQueries {
     "q44_dedup_select"        -> (q44DedupSelect _),
     "q19_dedup_exact"         -> (q19DedupExact _),
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
+    "q129_containment"        -> (q129Containment _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
@@ -1135,6 +1205,7 @@ object DedupQueries {
     "q44_dedup_select"        -> q44Sql,
     "q19_dedup_exact"         -> q19Sql,
     "q20_dedup_ngram_jaccard" -> q20Sql,
+    "q129_containment"        -> q129Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
     "q23_dedup_simhash_pairs" -> q23Sql,

@@ -338,6 +338,89 @@ object GraphQueries {
       |    AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
       |FROM s CROSS JOIN nn""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
+    * customer→supplier trade graph — the mutual-reinforcement companion
+    * to q93's random-walk importance. On a bipartite graph HITS is the
+    * natural scoring: customers are pure hubs (they only point), and
+    * suppliers pure authorities (they are only pointed at); a supplier
+    * is important because well-connected customers trade with it, and
+    * vice versa — exactly the structure PageRank's symmetrized walk
+    * blurs. [[HitsRounds]] fixed synchronous rounds, L1-normalized.
+    *
+    * 100 TB shape: the pageRank schedule per half-round — one long-key
+    * equi-join (scores into the checkpointed edge list, BROADCAST below
+    * [[BroadcastNodes]]) + one map-side-combinable sum; the L1
+    * normalizer is a one-row aggregate broadcast back (never a window).
+    * Parity: raw scores are exact decimal sums; each normalization is
+    * one double division rounded through DECIMAL(18,6) — the q93
+    * per-edge-contribution rule, so the oracle unrolls identically. */
+  private val HitsRounds = 2
+
+  /** HITS core over a DIRECTED bipartite (c, s) edge list; returns
+    * (role: hub|authority, id, score: DECIMAL(18,6)). */
+  def hits(e0: DataFrame, rounds: Int = HitsRounds): DataFrame = {
+    val e = e0.select(col("c"), col("s")).distinct().localCheckpoint(true)
+    val d6 = DecimalType(18, 6)
+    def l1norm(raw: DataFrame, key: String, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          (col("raw").cast(DoubleType) / col("tot").cast(DoubleType))
+            .cast(d6).as(out))
+    }
+    var hub = e.select(col("c")).distinct()
+      .select(col("c"), lit(1).cast(d6).as("h"))
+    var auth = e.select(col("s")).distinct()
+      .select(col("s"), lit(1).cast(d6).as("a"))
+    val small = hub.count() <= BroadcastNodes
+    for (_ <- 1 to rounds) {
+      auth = l1norm(
+        e.join(if (small) broadcast(hub) else hub, Seq("c"))
+          .groupBy(col("s")).agg(sum(col("h")).as("raw")), "s", "a")
+      hub = l1norm(
+        e.join(if (small) broadcast(auth) else auth, Seq("s"))
+          .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "h")
+    }
+    hub.select(lit("hub").as("role"), col("c").as("id"), col("h").as("score"))
+      .unionByName(auth.select(lit("authority").as("role"), col("s").as("id"),
+        col("a").as("score")))
+  }
+
+  def q130Hits(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    hits(e)
+      .select(concat(when(col("role") === "hub", "c:").otherwise("s:"),
+          col("id")).as("node"),
+        col("role"), col("score").cast(DoubleType).as("score"))
+      .orderBy(col("node"))
+  }
+
+  val q130Sql: String = {
+    def round(k: Int): String =
+      s"""a${k}r AS (SELECT s, sum(h) AS raw FROM e JOIN h${k - 1} USING (c) GROUP BY 1),
+         |a$k AS (SELECT s, CAST(CAST(raw AS DOUBLE) /
+         |          (SELECT CAST(sum(raw) AS DOUBLE) FROM a${k}r) AS DECIMAL(18,6)) AS a
+         |        FROM a${k}r),
+         |h${k}r AS (SELECT c, sum(a) AS raw FROM e JOIN a$k USING (s) GROUP BY 1),
+         |h$k AS (SELECT c, CAST(CAST(raw AS DOUBLE) /
+         |          (SELECT CAST(sum(raw) AS DOUBLE) FROM h${k}r) AS DECIMAL(18,6)) AS h
+         |        FROM h${k}r)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1 AS DECIMAL(18,6)) AS h FROM e),
+       |${(1 to HitsRounds).map(round).mkString(",\n")}
+       |SELECT 'c:' || CAST(c AS BIGINT) AS node, 'hub' AS role,
+       |  CAST(h AS DOUBLE) AS score FROM h$HitsRounds
+       |UNION ALL
+       |SELECT 's:' || CAST(s AS BIGINT) AS node, 'authority' AS role,
+       |  CAST(a AS DOUBLE) AS score FROM a$HitsRounds
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q108
   /** Triangle census on the supplier CO-TRADE graph — the clustering
     * card for entity graphs (community density, fraud-ring signal). The
@@ -447,6 +530,7 @@ object GraphQueries {
     "q118_label_propagation" -> (q118LabelPropagation _),
     "q123_khop_reach" -> (q123KhopReach _),
     "q125_assortativity" -> (q125Assortativity _),
+    "q130_hits" -> (q130Hits _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
@@ -454,5 +538,6 @@ object GraphQueries {
     "q118_label_propagation" -> q118Sql,
     "q123_khop_reach" -> q123Sql,
     "q125_assortativity" -> q125Sql,
+    "q130_hits" -> q130Sql,
     "q93_pagerank" -> q93Sql)
 }

@@ -152,4 +152,42 @@ class GraphSpec extends SparkSpec {
     val top = rows.maxBy(_._2)._1
     assert(top.startsWith("s:"), s"expected a supplier hub on top, got $top")
   }
+
+  /** HITS on a hand-traceable bipartite graph: c1→{s10,s11}, c2→{s10}.
+    * Hand-rolled through the engine's own arithmetic (exact decimal sums,
+    * one double division per normalization, HALF_UP to 6 dp):
+    * round 1: a = (2/3, 1/3) → h = (0.600000, 0.400000)
+    * round 2: a10 = 1.0/1.6 = 0.625, a11 = 0.6/1.6 = 0.375;
+    *          h1 = 1.0/1.625 = 0.615385, h2 = 0.625/1.625 = 0.384615 */
+  test("HITS: two-customer wedge matches the hand computation") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("c", "s")
+    val m = GraphQueries.hits(e, rounds = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> BigDecimal(r.getDecimal(2))).toMap
+    assert(m(("authority", 10L)) == BigDecimal("0.625000"))
+    assert(m(("authority", 11L)) == BigDecimal("0.375000"))
+    assert(m(("hub", 1L)) == BigDecimal("0.615385"))
+    assert(m(("hub", 2L)) == BigDecimal("0.384615"))
+  }
+
+  test("q130 at sf0.001: roles partition the namespaces, each role's L1 mass is 1") {
+    val rows = GraphQueries.q130Hits(spark, Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, role, s) =>
+      assert(if (role == "hub") n.startsWith("c:") else n.startsWith("s:"),
+        s"role/namespace mismatch: ($n, $role)")
+      assert(s > 0.0 && s < 1.0)
+    }
+    Seq("hub", "authority").foreach { role =>
+      val mass = rows.filter(_._2 == role).map(_._3).sum
+      // each node loses ≤ 5e-7 to rounding in the final normalization
+      assert(math.abs(mass - 1.0) < 0.001, s"$role mass drifted: $mass")
+    }
+    // suppliers are ~100× fewer than customers: every authority score
+    // dwarfs every hub score after one round of reinforcement
+    val minAuth = rows.filter(_._2 == "authority").map(_._3).min
+    val maxHub = rows.filter(_._2 == "hub").map(_._3).max
+    assert(minAuth > maxHub,
+      s"expected authority mass concentration: min auth $minAuth vs max hub $maxHub")
+  }
 }
