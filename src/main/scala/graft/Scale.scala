@@ -72,7 +72,17 @@ object Scale {
     // expands over the disconnected trade-graph copies; q124 is a
     // single conditional-aggregation lineitem scan
     "q121_markov_transitions", "q122_psi_drift", "q123_khop_reach",
-    "q124_aqp_sample")
+    "q124_aqp_sample",
+    // round-9 batch 2: q126's baskets ride the replicated orders/lineitem
+    // against the UNREPLICATED part dim (baskets grow 10×, the item
+    // domain doesn't — organic basket growth); q127 is one orders scan
+    // whose Expand distincts grow with the replicated keys; q130 runs
+    // the q93 schedule over the disconnected trade-graph copies.
+    // q129 (containment) is EXCLUDED with the pair queries — its scale
+    // story is q20's df-capped index, pinned by PlanAuditSpec; q128 is
+    // dim-table-constant (64 distinct names at every SF), nothing to
+    // measure.
+    "q126_basket_rules", "q127_data_profile", "q130_hits")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
@@ -80,7 +90,9 @@ object Scale {
   private def buildReplica(spark: SparkSession, src: String, out: String): Unit = {
     // v2: also builds the trade-graph tables (orders/lineitem/customer/
     // supplier + the unreplicated nation parent) for q93/q108/q110
-    val done = new java.io.File(s"$out/_BUILT_v2")
+    // v3: + the unreplicated part dim for q126 (brands are a fixed
+    // domain under organic growth, like nation)
+    val done = new java.io.File(s"$out/_BUILT_v3")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val ev = spark.read.parquet(s"$src/events.parquet")
@@ -101,6 +113,8 @@ object Scale {
     // country list doesn't) — copy as-is for q110's customer->nation audit
     spark.read.parquet(s"$src/nation.parquet")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$src/part.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
     docs.select(col("*"), k)
       .withColumn("doc_id", col("doc_id") + col("k") * lit(1000000000L))
       .withColumn("text",
@@ -139,6 +153,9 @@ object Scale {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf10x")
+    // optional 2nd arg (builder-side iteration): comma-separated subset
+    // of Queries to time instead of the full measured set
+    val only = args.drop(1).headOption.map(_.split(",").toSet)
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).write.mode("overwrite").format("noop").save()
@@ -146,7 +163,7 @@ object Scale {
 
     val dirs = Seq("sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1", "sf1x(10x0.1)" -> out)
-    val rows = Queries.map { q =>
+    val rows = Queries.filter(q => only.forall(_.contains(q))).map { q =>
       q -> dirs.map { case (label, d) => label -> time(spark, q, d) }
     }
     rows.foreach { case (q, ts) =>

@@ -5,7 +5,7 @@ import graft.text.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Deduplication operators over the `documents` table: exact, n-gram
   * Jaccard, MinHash+LSH, and SimHash — the standard toolkit for
@@ -567,9 +567,12 @@ object DedupQueries {
     val parts = math.max(1L, math.min(prevParts.toLong, sym.count() / 1000000L))
     // labels only ever DECREASE, so Σlabel strictly decreases while any
     // node changes — an O(1)-row aggregate per round replaces a
-    // join-and-count convergence check (one fewer shuffle per round)
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("label"))).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    // join-and-count convergence check (one fewer shuffle per round).
+    // Summed as DECIMAL(38,0): node ids may be 60-bit hashes (q132's
+    // hex60 names), where a long Σ overflows past ~8 nodes under ANSI
+    def labelSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("label").cast(DecimalType(38, 0)))).first().get(0))
+        .fold(BigDecimal(0))(v => BigDecimal(v.asInstanceOf[java.math.BigDecimal]))
     try {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       var labels = sym.select(col("src").as("node")).distinct()

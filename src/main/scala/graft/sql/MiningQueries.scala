@@ -265,13 +265,126 @@ object MiningQueries {
        |FROM cand WHERE dist <= $FuzzyMaxDist
        |ORDER BY block, name_a, name_b""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** 2-D skyline (Pareto frontier) of parts under (price ↓, size ↓) —
+    * the preference-query operator (Börzsönyi et al., ICDE'01): a part
+    * is on the skyline iff no other part is at most as expensive AND at
+    * most as large with at least one strict improvement. The card the
+    * "best trade-off" question compiles to when no scalar utility
+    * exists.
+    *
+    * 100 TB shape: the classic sort-based 2-D sweep, distributed: (1)
+    * collapse to distinct (price, size) points with multiplicities —
+    * map-side-combinable, output bounded by value-pair cardinality, not
+    * rows; (2) keep min(size) per price — again combinable, ≤ \|distinct
+    * price\| rows; (3) ONE global running-min window over the price
+    * order emits points strictly below every cheaper point's size. The
+    * single-partition window runs over the price-cardinality frame the
+    * aggregates already shrank (the q119 bounded-heads argument — NOT
+    * the raw fact table; a first-pass per-partition local skyline would
+    * bound it further on adversarial value distributions). The oracle
+    * states the DEFINITION (NOT EXISTS a dominating point) — hash
+    * equality proves the sweep implements it. */
+  def q131Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).part
+      .groupBy(col("p_retailprice").as("price"), col("p_size").as("psize"))
+      .agg(count(lit(1)).as("n_parts"))
+    val minPerPrice = d.groupBy(col("price")).agg(min(col("psize")).as("psize"))
+    val sweep = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    minPerPrice
+      .withColumn("prev_min", min(col("psize")).over(sweep))
+      .filter(col("prev_min").isNull || col("psize") < col("prev_min"))
+      .drop("prev_min")
+      .join(d, Seq("price", "psize"))
+      .select(col("price"), col("psize"), col("n_parts"))
+      .orderBy(col("price"))
+  }
+
+  val q131Sql: String =
+    """WITH d AS (SELECT p_retailprice AS price, p_size AS psize, count(*) AS n_parts
+      |           FROM part GROUP BY 1, 2)
+      |SELECT price, psize, n_parts FROM d r
+      |WHERE NOT EXISTS (SELECT 1 FROM d p
+      |  WHERE p.price <= r.price AND p.psize <= r.psize
+      |    AND (p.price < r.price OR p.psize < r.psize))
+      |ORDER BY price""".stripMargin
+
+  // ---------------------------------------------------------------- q132
+  /** End-to-end entity resolution: q128's blocked fuzzy candidates
+    * become similarity EDGES, connected components
+    * ([[graft.dedup.DedupQueries.connectedComponents]] — the same
+    * min-label + pointer-jump engine q65 runs) merges them
+    * transitively, and every part inherits a canonical entity (the
+    * lexicographic-min name of its cluster). This is the full
+    * Fellegi–Sunter pipeline — block → score → transitively merge →
+    * canonicalize — where q128 alone stops at candidate pairs.
+    *
+    * 100 TB shape: edges live at NAME cardinality (the distinct
+    * collapse happens before pairing, q128's argument); CC pays
+    * edge-proportional shuffles per round with per-round
+    * `localCheckpoint` (q65's analysis); singleton names skip CC
+    * entirely via the left join + coalesce fallback. Node ids are the
+    * engine-standard 60-bit md5 longs ([[graft.text.TextOps.hex60]]),
+    * so the ORACLE rebuilds the identical graph and walks it with a
+    * recursive CTE (the q65 device). */
+  def q132EntityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir).part
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      .withColumn("nid", graft.text.TextOps.hex60(col("p_name")))
+      .localCheckpoint(true) // consumed by the edge build AND the join-back
+    val a = names.select(col("block"), col("p_name").as("na"), col("nid").as("ida"))
+    val b = names.select(col("block"), col("p_name").as("nb"), col("nid").as("idb"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("na") < col("nb") &&
+        levenshtein(col("na"), col("nb")) <= FuzzyMaxDist)
+      .select(col("ida"), col("idb"))
+    val labels = graft.dedup.DedupQueries.connectedComponents(edges)
+    names
+      .join(labels.withColumnRenamed("node", "nid"), Seq("nid"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("nid")))
+      .groupBy(col("cluster"))
+      .agg(min(col("p_name")).as("entity"), count(lit(1)).as("n_names"),
+        sum(col("n_parts")).as("n_parts"))
+      .select(col("entity"), col("n_names"), col("n_parts"))
+      .orderBy(col("entity"))
+  }
+
+  val q132Sql: String =
+    s"""WITH RECURSIVE names AS (
+       |  SELECT p_name, count(*) AS n_parts, split_part(p_name, ' ', 2) AS block,
+       |    ('0x' || substr(md5(p_name), 1, 15))::BIGINT AS nid
+       |  FROM part GROUP BY 1),
+       |e AS (SELECT a.nid AS ida, b.nid AS idb
+       |      FROM names a JOIN names b
+       |        ON a.block = b.block AND a.p_name < b.p_name
+       |      WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist),
+       |sym AS (SELECT ida AS src, idb AS dst FROM e
+       |        UNION ALL SELECT idb, ida FROM e),
+       |walk AS (SELECT src, dst FROM sym
+       |         UNION
+       |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+       |lab AS (SELECT src AS nid, least(src, min(dst)) AS cluster
+       |        FROM walk GROUP BY src),
+       |wc AS (SELECT n.p_name, n.n_parts, coalesce(l.cluster, n.nid) AS cluster
+       |       FROM names n LEFT JOIN lab l ON n.nid = l.nid)
+       |SELECT min(p_name) AS entity, CAST(count(*) AS BIGINT) AS n_names,
+       |  CAST(sum(n_parts) AS BIGINT) AS n_parts
+       |FROM wc GROUP BY cluster ORDER BY entity""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
-    "q128_fuzzy_blocking" -> (q128FuzzyBlocking _))
+    "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
+    "q131_skyline" -> (q131Skyline _),
+    "q132_entity_resolution" -> (q132EntityResolution _))
 
   val oracleSql: Map[String, String] = Map(
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
-    "q128_fuzzy_blocking" -> q128Sql)
+    "q128_fuzzy_blocking" -> q128Sql,
+    "q131_skyline" -> q131Sql,
+    "q132_entity_resolution" -> q132Sql)
 }

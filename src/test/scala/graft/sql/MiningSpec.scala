@@ -77,6 +77,51 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q131: skyline members are mutually non-dominated and dominate every other point") {
+    val sky = MiningQueries.q131Skyline(spark, Sf0001).collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    assert(sky.nonEmpty)
+    def dominates(p: (Double, Int), r: (Double, Int)): Boolean =
+      p._1 <= r._1 && p._2 <= r._2 && (p._1 < r._1 || p._2 < r._2)
+    // internal consistency: no member dominates another
+    for (p <- sky; r <- sky if p != r) assert(!dominates(p, r), s"$p dominates $r")
+    // completeness: every distinct non-member point is dominated by a member
+    val all = Tables(spark, Sf0001).part
+      .select(col("p_retailprice"), col("p_size")).distinct().collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    val skySet = sky.toSet
+    all.filterNot(skySet).foreach { r =>
+      assert(sky.exists(p => dominates(p, r)), s"$r escaped the skyline")
+    }
+    // the sweep's signature: sizes strictly decrease as price increases
+    sky.sortBy(_._1).map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a)
+      case _ =>
+    }
+  }
+
+  test("q132: clusters match a driver-side union-find over the q128 edge set") {
+    // independent path: rebuild the similarity graph from the q128 card's
+    // output and union-find it in memory, then compare entity rollups
+    val names = Tables(spark, Sf0001).part
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map(names.keys.map(n => n -> n).toSeq: _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    MiningQueries.q128FuzzyBlocking(spark, Sf0001).collect().foreach { r =>
+      val (a, b) = (find(r.getString(1)), find(r.getString(2)))
+      if (a != b) parent(if (a < b) b else a) = if (a < b) a else b
+    }
+    val expected = names.keys.toSeq.groupBy(find).map { case (_, ms) =>
+      // toSeq: mapping a SET of names to counts would collapse equal counts
+      ms.min -> (ms.size.toLong, ms.map(names).sum)
+    }
+    val got = MiningQueries.q132EntityResolution(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("q128: blocking prunes the cross product to sum-of-block-squares") {
     val names = Tables(spark, Sf0001).part
       .select(col("p_name")).distinct()
