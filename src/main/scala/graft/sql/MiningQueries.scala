@@ -374,17 +374,195 @@ object MiningQueries {
        |  CAST(sum(n_parts) AS BIGINT) AS n_parts
        |FROM wc GROUP BY cluster ORDER BY entity""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Sequential pattern mining, order 3: every CONSECUTIVE event-type
+    * trigram inside a session (q121's 30-minute sessionization and
+    * (us, event_id) total order), counted by occurrence and by session
+    * support — the GSP/PrefixSpan first harvest, one order deeper than
+    * q121's Markov pairs (which a 2nd-order journey model needs; a
+    * transition matrix can't distinguish a→b→a loops from a→b→c
+    * flows).
+    *
+    * Support is reported against ELIGIBLE sessions (those with ≥ 3
+    * events — exactly the sessions that could contain a trigram), which
+    * keeps the denominator derivable from the trigram frame itself.
+    *
+    * 100 TB shape: ONE user-keyed shuffle carries sessionization and
+    * BOTH lags (all windows share the partition key, the q121
+    * subset-satisfaction argument), paid once inside the eager
+    * checkpoint of the narrow trigram frame — which BOTH aggregates
+    * (per-trigram counts, eligible-session total) then read; an
+    * all-sessions denominator would instead force a second corpus
+    * pass. Occurrence counts map-side combine to ≤ type³ rows; session
+    * support is an exact distinct over (trigram, session) — the one
+    * Expand in the plan, bounded by sessions × per-session trigram
+    * variety, not raw events. The support ratio is a single bit-stable
+    * division (q121's parity rule — no rounding needed). */
+  def q133SeqPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    // the checkpoint sits AFTER the lag windows, on the narrow 4-string
+    // frame: the one user shuffle (sessionization + both lags, one
+    // exchange by subset satisfaction) runs exactly once in the eager
+    // build, and both aggregates below read the materialization
+    val tri = sess
+      .withColumn("t1", lag(col("event_type"), 2).over(bySession))
+      .withColumn("t2", lag(col("event_type"), 1).over(bySession))
+      .filter(col("t1").isNotNull)
+      .select(col("t1"), col("t2"), col("event_type").as("t3"),
+        concat_ws(":", col("user_id"), col("sid")).as("sk"))
+      .localCheckpoint(true)
+    val counts = tri.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sk")).as("n_sessions"))
+    val totSessions = tri.agg(countDistinct(col("sk")).as("tot"))
+    counts.crossJoin(broadcast(totSessions))
+      .select(col("t1"), col("t2"), col("t3"), col("n"), col("n_sessions"),
+        (col("n_sessions").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("support"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+  }
+
+  val q133Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |      FROM l),
+      |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+      |t AS (SELECT
+      |        lag(event_type, 2) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS t1,
+      |        lag(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS t2,
+      |        event_type AS t3,
+      |        user_id || ':' || sid AS sk
+      |      FROM s),
+      |c AS (SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(count(DISTINCT sk) AS BIGINT) AS n_sessions
+      |      FROM t WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+      |tot AS (SELECT CAST(count(DISTINCT sk) AS BIGINT) AS tot
+      |        FROM t WHERE t1 IS NOT NULL)
+      |SELECT t1, t2, t3, n, n_sessions,
+      |  CAST(n_sessions AS DOUBLE) / CAST(tot AS DOUBLE) AS support
+      |FROM c CROSS JOIN tot
+      |ORDER BY n DESC, t1, t2, t3""".stripMargin
+
+  // ---------------------------------------------------------------- q134
+  /** χ² test of independence on the nation × brand contingency table
+    * (does WHERE a customer is predict WHAT their orders contain?) —
+    * the categorical-association card behind segmentation and
+    * feature-selection decisions, the hypothesis-test companion to
+    * q116's PMI (association strength per pair) and q122's PSI (drift
+    * of one margin over time). Emits every cell with its observed
+    * count, independence-expected count, and χ² contribution, plus the
+    * grand statistic replicated per row for one-shot consumption.
+    *
+    * 100 TB shape: the fact join (lineitem ⋈ orders on orderkey) is
+    * the one big shuffle; customer/nation/part ride broadcasts (AQE
+    * right-sizes customer, which stops being broadcastable at corpus
+    * scale and falls back to a co-partitioned join). Everything after
+    * folds to the cell frame (nations × brands), where margins are two
+    * cheap aggregates broadcast back. Parity: counts are exact longs;
+    * expected = (row·col)/N and contribution = (O−E)²/E are fixed-shape
+    * double formulas rounded through DECIMAL(18,6) (the q125 rule —
+    * margin products overflow a long at corpus scale). */
+  /** The contingency-cell build, pre-checkpoint — factored so the plan
+    * audit can assert the dim broadcasts and the single fact shuffle
+    * (the checkpoint in [[q134ChiSquare]] hides them from the final
+    * plan). */
+  private[sql] def q134Cells(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("o"))
+  }
+
+  def q134ChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = q134Cells(spark, dir)
+      .localCheckpoint(true) // margins + cells both read it; the fact join runs once
+    val rowTot = cells.groupBy(col("nation")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("brand")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("nn"))
+    val d6 = DecimalType(18, 6)
+    val e = (col("rt").cast(DoubleType) * col("ct").cast(DoubleType)) /
+      col("nn").cast(DoubleType)
+    val o = coalesce(col("o"), lit(0L))
+    val contrib = ((o.cast(DoubleType) - e) * (o.cast(DoubleType) - e)) / e
+    // the DENSE margin grid, not just observed cells: an empty cell still
+    // contributes (0−E)²/E = E to the statistic, and the margin identity
+    // Σ expected = Σ observed only closes on the full grid
+    val perCell = rowTot.crossJoin(broadcast(colTot))
+      .join(cells, Seq("nation", "brand"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("nation"), col("brand"), o.as("o"),
+        e.cast(d6).cast(DoubleType).as("expected"),
+        contrib.cast(d6).cast(DoubleType).as("chi2_contrib"))
+    val total = perCell.agg(
+      sum(col("chi2_contrib").cast(d6)).cast(d6).cast(DoubleType).as("chi2"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("nation"), col("brand"), col("o"), col("expected"),
+        col("chi2_contrib"), col("chi2"))
+      .orderBy(col("nation"), col("brand"))
+  }
+
+  val q134Sql: String =
+    """WITH cells AS (SELECT n_name AS nation, p_brand AS brand, count(*) AS o
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |rt AS (SELECT nation, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT brand, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+      |grid AS (SELECT nation, rt, brand, ct FROM rt CROSS JOIN ct),
+      |pc AS (SELECT g.nation, g.brand, CAST(coalesce(c.o, 0) AS BIGINT) AS o,
+      |    CAST(CAST(CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(18,6)) AS DOUBLE) AS expected,
+      |    CAST(CAST(
+      |      (CAST(coalesce(c.o, 0) AS DOUBLE) - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(coalesce(c.o, 0) AS DOUBLE) - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / (CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      AS DECIMAL(18,6)) AS DOUBLE) AS chi2_contrib
+      |  FROM grid g LEFT JOIN cells c ON g.nation = c.nation AND g.brand = c.brand
+      |  CROSS JOIN nn),
+      |tc AS (SELECT CAST(CAST(sum(CAST(chi2_contrib AS DECIMAL(18,6))) AS DECIMAL(18,6))
+      |         AS DOUBLE) AS chi2 FROM pc)
+      |SELECT nation, brand, o, expected, chi2_contrib, chi2
+      |FROM pc CROSS JOIN tc
+      |ORDER BY nation, brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
     "q131_skyline" -> (q131Skyline _),
-    "q132_entity_resolution" -> (q132EntityResolution _))
+    "q132_entity_resolution" -> (q132EntityResolution _),
+    "q133_seq_patterns" -> (q133SeqPatterns _),
+    "q134_chi_square" -> (q134ChiSquare _))
 
   val oracleSql: Map[String, String] = Map(
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,
     "q131_skyline" -> q131Sql,
-    "q132_entity_resolution" -> q132Sql)
+    "q132_entity_resolution" -> q132Sql,
+    "q133_seq_patterns" -> q133Sql,
+    "q134_chi_square" -> q134Sql)
 }

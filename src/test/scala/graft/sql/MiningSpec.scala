@@ -122,6 +122,68 @@ class MiningSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q133: trigram counts match a driver-side sessionize-and-slide simulation") {
+    val events = Tables(spark, Sf0001).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    var eligibleSessions = 0L
+    val occ = scala.collection.mutable.Map[(String, String, String), Long]()
+    val supp = scala.collection.mutable.Map[(String, String, String), Set[Long]]()
+    var sessionSeq = 0L
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var sessions = List.empty[List[String]]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._4 - prev > 1800L * 1000000L) sessions ::= Nil
+        sessions = (sessions.head :+ e._3) :: sessions.tail
+        prev = e._4
+      }
+      sessions.foreach { s =>
+        sessionSeq += 1
+        if (s.size >= 3) eligibleSessions += 1
+        s.sliding(3).filter(_.size == 3).foreach { w =>
+          val k = (w(0), w(1), w(2))
+          occ(k) = occ.getOrElse(k, 0L) + 1
+          supp(k) = supp.getOrElse(k, Set.empty) + sessionSeq
+        }
+      }
+    }
+    val got = MiningQueries.q133SeqPatterns(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == occ.keySet)
+    got.foreach { case (k, (n, ns, support)) =>
+      assert(n == occ(k), s"occurrence mismatch at $k")
+      assert(ns == supp(k).size, s"session-support mismatch at $k")
+      // same two longs, one IEEE division — bit-equal
+      assert(support == ns.toDouble / eligibleSessions.toDouble)
+    }
+  }
+
+  test("q134: cells partition the fact table; chi2 is the sum of its contributions") {
+    val rows = MiningQueries.q134ChiSquare(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val factCount = Tables(spark, Sf0001).lineitem.count()
+    assert(rows.map(_.getLong(2)).sum == factCount,
+      "observed counts must partition lineitem")
+    val chi2 = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == chi2))
+    // contributions are 6-dp-exact doubles; their BigDecimal sum is the statistic
+    val sum = rows.map(r => BigDecimal(r.getDouble(4))).sum.toDouble
+    assert(math.abs(sum - chi2) < 1e-6, s"chi2 $chi2 != sum of contributions $sum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(4) >= 0)
+    }
+    // expected margins reproduce observed margins (within 6-dp rounding per cell)
+    rows.groupBy(_.getString(0)).foreach { case (nation, cs) =>
+      val o = cs.map(_.getLong(2)).sum.toDouble
+      val e = cs.map(_.getDouble(3)).sum
+      assert(math.abs(o - e) < 1e-4 * o + 1e-3, s"margin drift for $nation: $o vs $e")
+    }
+  }
+
   test("q128: blocking prunes the cross product to sum-of-block-squares") {
     val names = Tables(spark, Sf0001).part
       .select(col("p_name")).distinct()

@@ -472,4 +472,42 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: pair stage degenerated to an all-pairs join\n$plan")
     }
   }
+
+  test("q133 seq patterns: both aggregates read the checkpointed trigram frame") {
+    val plan = physical("q133_seq_patterns")
+    // the one user-keyed shuffle (sessionization + both lags, subset-
+    // satisfied) runs inside the eager checkpoint build; the published
+    // plan reads the materialized narrow frame twice — no user exchange,
+    // no second corpus pass, no global window
+    assert(countOccurrences(plan, "Exchange hashpartitioning(user_id") == 0,
+      s"q133: the user shuffle must live in the checkpoint build only\n$plan")
+    assert(countOccurrences(plan, "Scan ExistingRDD") == 2,
+      s"q133: counts AND the eligible-session total must read the materialization\n$plan")
+    // every Window in the plan must be user-keyed — a SinglePartition
+    // exchange IS expected (the 1-row eligible-session total, fed by
+    // per-partition distinct partials), but never a global sort window
+    assert(!plan.contains("windowspecdefinition()"),
+      s"q133: no global window allowed\n$plan")
+    // session support is an exact distinct — the two-level distinct agg
+    // is trigram-bounded after the map-side partial
+    assert(plan.contains("count(distinct sk"),
+      s"q133: expected the exact session-support distinct\n$plan")
+  }
+
+  test("q134 chi-square: dims broadcast into the one fact shuffle; no cartesian anywhere") {
+    // the cell build (pre-checkpoint, where the fact join lives)
+    val cellPlan = MiningQueries.q134Cells(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(countOccurrences(cellPlan, "BroadcastHashJoin") >= 3,
+      s"q134: customer/nation/part must broadcast\n$cellPlan")
+    assert(countOccurrences(cellPlan, "Exchange hashpartitioning(l_orderkey") <= 1 &&
+      countOccurrences(cellPlan, "Exchange hashpartitioning(o_orderkey") <= 1,
+      s"q134: the fact join must shuffle each side at most once\n$cellPlan")
+    // the published query: everything after the checkpointed cell frame is
+    // cells-sized; the 1-row total and margin grid are broadcast
+    // nested-loop crosses — never an unbroadcast cartesian
+    val plan = physical("q134_chi_square")
+    assert(!plan.contains("CartesianProduct") && !cellPlan.contains("CartesianProduct"),
+      s"q134: the 1-row total must broadcast, not cartesian\n$plan")
+  }
 }
