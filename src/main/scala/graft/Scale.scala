@@ -82,7 +82,14 @@ object Scale {
     // story is q20's df-capped index, pinned by PlanAuditSpec; q128 is
     // dim-table-constant (64 distinct names at every SF), nothing to
     // measure.
-    "q126_basket_rules", "q127_data_profile", "q130_hits")
+    "q126_basket_rules", "q127_data_profile", "q130_hits",
+    // q133/q135 ride events (time-shifted replicas = organic history,
+    // the q121 rule); q134's grid/margins are value-cardinality-fixed
+    // while its fact join scales; q136 is honest because replication
+    // deepens QI classes without inventing new value domains — exactly
+    // what organic customer growth does against fixed nations/segments
+    "q133_seq_patterns", "q134_chi_square", "q135_cep_patterns",
+    "q136_k_anonymity")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

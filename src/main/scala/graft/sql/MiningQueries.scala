@@ -548,7 +548,146 @@ object MiningQueries {
       |FROM pc CROSS JOIN tc
       |ORDER BY nation, brand""".stripMargin
 
+  // ---------------------------------------------------------------- q135
+  /** Complex-event-processing pattern match: each session's ordered
+    * event-type sequence is folded into a `>`-joined string and matched
+    * against a fixed library of journey regexes (browse→buy, error
+    * recovery, rage errors, single-view bounce) — the MATCH_RECOGNIZE
+    * workload expressed with the engine's string kernel, one level of
+    * expressiveness past q75's fixed-stage funnel (regex alternation
+    * and Kleene stars over the WHOLE session, not three ordered
+    * stages).
+    *
+    * 100 TB shape: the one user-keyed shuffle does sessionization AND
+    * the per-session fold (the groupBy(user, sid) is subset-satisfied);
+    * session strings are bounded by session length, never corpus-sized;
+    * all four patterns match in ONE conditional-aggregation pass
+    * (codegen'd regex on the session frame), folding to a single row
+    * before the O(#patterns) unpivot. Shares are one division each
+    * (q121's parity rule). */
+  private val CepPatterns: Seq[(String, String)] = Seq(
+    // only views/clicks between the view and the purchase
+    ("browse_then_buy", "view(>view|>click)*>purchase"),
+    // an error eventually recovered into a purchase
+    ("error_recovery", "error(>[a-z]+)*>purchase"),
+    // two consecutive errors
+    ("rage_errors", "error>error"),
+    // the whole session is one view
+    ("bounce", "^view$"))
+
+  def q135CepPatterns(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seqs = sess.groupBy(col("user_id"), col("sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("seq"))
+    val aggs = count(lit(1)).as("tot") +:
+      CepPatterns.map { case (name, pat) =>
+        count(when(col("seq").rlike(pat), 1)).as(s"n_$name")
+      }
+    val row = seqs.agg(aggs.head, aggs.tail: _*)
+    row.select(inline(array(CepPatterns.map { case (name, _) =>
+        struct(lit(name).as("pattern"), col(s"n_$name").as("n_sessions"),
+          (col(s"n_$name").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("share"))
+      }: _*)))
+      .orderBy(col("pattern"))
+  }
+
+  val q135Sql: String = {
+    val conds = CepPatterns.map { case (name, pat) =>
+      s"count(CASE WHEN regexp_matches(seq, '$pat') THEN 1 END) AS n_$name"
+    }.mkString(", ")
+    val rows = CepPatterns.map { case (name, _) =>
+      s"""SELECT '$name' AS pattern, n_$name AS n_sessions,
+         |  CAST(n_$name AS DOUBLE) / CAST(tot AS DOUBLE) AS share FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+       |      FROM l),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+       |q AS (SELECT user_id, sid,
+       |        string_agg(event_type, '>' ORDER BY us, event_id) AS seq
+       |      FROM s GROUP BY 1, 2),
+       |a AS (SELECT count(*) AS tot, $conds FROM q)
+       |$rows
+       |ORDER BY pattern""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q136
+  /** k-anonymity audit with a generalization ladder — the
+    * data-governance card (Sweeney 2002) a corpus publisher runs before
+    * releasing quasi-identifier columns: customers are grouped by the
+    * QI tuple (nation, market segment, account-balance bucket) at three
+    * bucket widths, and each rung reports how many equivalence classes
+    * fall below k = [[KAnonK]], how many customers they expose, and the
+    * suppression fraction a release at that rung would pay. Walking the
+    * ladder IS the generalization-lattice decision: widen buckets until
+    * the risky fraction is acceptable.
+    *
+    * 100 TB shape: ONE customer scan projects all three bucketings into
+    * a narrow checkpointed base; each rung is then a map-side-combinable
+    * (QI → count) aggregate folded to class-size statistics — work per
+    * rung is QI-cardinality-bounded, and rungs never re-read the fact
+    * table. The risky fraction is one double division through
+    * DECIMAL(18,6). */
+  private val KAnonK = 10
+  private val KAnonWidths = Seq(100, 1000, 10000)
+
+  def q136KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val baseCols = Seq(col("c_nationkey"), col("c_mktsegment")) ++
+      KAnonWidths.map(w => floor(col("c_acctbal") / w).as(s"b$w"))
+    val base = Tables(spark, dir).customer
+      .select(baseCols: _*)
+      .localCheckpoint(true) // one scan; every ladder rung reads this
+    KAnonWidths.map { w =>
+      base.groupBy(col("c_nationkey"), col("c_mktsegment"), col(s"b$w"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("k")).as("n_rows"),
+          min(col("k")).as("min_k"),
+          count(when(col("k") < KAnonK, 1)).as("n_risky_classes"),
+          sum(when(col("k") < KAnonK, col("k")).otherwise(0L)).as("n_risky_rows"))
+        .select(lit(w).as("bucket_width"), col("n_classes"), col("min_k"),
+          col("n_risky_classes"), col("n_risky_rows"),
+          (col("n_risky_rows").cast(DoubleType) / col("n_rows").cast(DoubleType))
+            .cast(d6).cast(DoubleType).as("risky_frac"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("bucket_width"))
+  }
+
+  val q136Sql: String = {
+    val rungs = KAnonWidths.map { w =>
+      s"""SELECT $w AS bucket_width, CAST(count(*) AS BIGINT) AS n_classes,
+         |  CAST(min(k) AS BIGINT) AS min_k,
+         |  CAST(count(CASE WHEN k < $KAnonK THEN 1 END) AS BIGINT) AS n_risky_classes,
+         |  CAST(sum(CASE WHEN k < $KAnonK THEN k ELSE 0 END) AS BIGINT) AS n_risky_rows,
+         |  CAST(CAST(CAST(sum(CASE WHEN k < $KAnonK THEN k ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(k) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS risky_frac
+         |FROM (SELECT c_nationkey, c_mktsegment, floor(c_acctbal / $w) AS b,
+         |        CAST(count(*) AS BIGINT) AS k
+         |      FROM customer GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$rungs\nORDER BY bucket_width"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_cep_patterns" -> (q135CepPatterns _),
+    "q136_k_anonymity" -> (q136KAnonymity _),
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
@@ -558,6 +697,8 @@ object MiningQueries {
     "q134_chi_square" -> (q134ChiSquare _))
 
   val oracleSql: Map[String, String] = Map(
+    "q135_cep_patterns" -> q135Sql,
+    "q136_k_anonymity" -> q136Sql,
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,

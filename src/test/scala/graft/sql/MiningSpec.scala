@@ -184,6 +184,66 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q135: pattern counts match a driver-side regex over rebuilt session strings") {
+    val events = Tables(spark, Sf0001).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val seqs = scala.collection.mutable.ArrayBuffer[String]()
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      var cur = List.empty[String]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._4 - prev > 1800L * 1000000L) {
+          seqs += cur.reverse.mkString(">"); cur = Nil
+        }
+        cur ::= e._3; prev = e._4
+      }
+      if (cur.nonEmpty) seqs += cur.reverse.mkString(">")
+    }
+    val patterns = Map(
+      "browse_then_buy" -> "view(>view|>click)*>purchase",
+      "error_recovery" -> "error(>[a-z]+)*>purchase",
+      "rage_errors" -> "error>error",
+      "bounce" -> "^view$")
+    val got = MiningQueries.q135CepPatterns(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == patterns.keySet)
+    patterns.foreach { case (name, pat) =>
+      // Spark's rlike is java.util.regex find semantics — same engine here
+      val expected = seqs.count(s => pat.r.findFirstIn(s).isDefined).toLong
+      assert(got(name)._1 == expected, s"$name: ${got(name)._1} != $expected")
+      assert(got(name)._2 == expected.toDouble / seqs.size.toDouble)
+    }
+  }
+
+  test("q136: the generalization ladder is monotone and matches a driver-side rung") {
+    val rows = MiningQueries.q136KAnonymity(spark, Sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(100, 1000, 10000))
+    // widening buckets can only merge classes: counts shrink, min_k grows
+    rows.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 <= a._2, "classes must merge as buckets widen")
+        assert(b._3 >= a._3, "min class size cannot shrink as buckets widen")
+        assert(b._6 <= a._6 + 1e-12, "risky fraction cannot grow as buckets widen")
+      case _ =>
+    }
+    // independent recompute of the finest rung
+    val cust = Tables(spark, Sf0001).customer
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => ((r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 100)), 1L))
+    val classes = cust.groupBy(_._1).map(_._2.size.toLong)
+    val (w100, nc, minK, risky, riskyRows, frac) = rows.head
+    assert(w100 == 100 && nc == classes.size && minK == classes.min)
+    assert(risky == classes.count(_ < 10) && riskyRows == classes.filter(_ < 10).sum)
+    assert(math.abs(frac - riskyRows.toDouble / cust.length) < 1e-6)
+  }
+
   test("q128: blocking prunes the cross product to sum-of-block-squares") {
     val names = Tables(spark, Sf0001).part
       .select(col("p_name")).distinct()
