@@ -89,7 +89,10 @@ object Scale {
     // deepens QI classes without inventing new value domains — exactly
     // what organic customer growth does against fixed nations/segments
     "q133_seq_patterns", "q134_chi_square", "q135_cep_patterns",
-    "q136_k_anonymity")
+    "q136_k_anonymity",
+    // q137: scan+aggregate-shaped and value-blind (no pair terms) —
+    // identical-vector replication is an honest cost proxy
+    "q137_pca_power")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
@@ -99,7 +102,10 @@ object Scale {
     // supplier + the unreplicated nation parent) for q93/q108/q110
     // v3: + the unreplicated part dim for q126 (brands are a fixed
     // domain under organic growth, like nation)
-    val done = new java.io.File(s"$out/_BUILT_v3")
+    // v4: + embeddings (vec_id offset, vectors as-is) for q137 — the
+    // power-iteration cost is scan+aggregate-shaped and value-blind
+    // (no pair interactions), so replication is an honest cost proxy
+    val done = new java.io.File(s"$out/_BUILT_v4")
     if (done.exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val ev = spark.read.parquet(s"$src/events.parquet")
@@ -122,6 +128,10 @@ object Scale {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/nation.parquet")
     spark.read.parquet(s"$src/part.parquet")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    spark.read.parquet(s"$src/embeddings.parquet").select(col("*"), k)
+      .withColumn("vec_id", col("vec_id") + col("k") * lit(KeyOff))
+      .drop("k")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     docs.select(col("*"), k)
       .withColumn("doc_id", col("doc_id") + col("k") * lit(1000000000L))
       .withColumn("text",

@@ -22,6 +22,7 @@ object SparkEntry {
       graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.sim.SimilarityQueries.queries ++
+      graft.sim.SpectralQueries.queries ++
       graft.tar.PackageQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.ingest.Messages.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.sim.SimilarityQueries.oracleSql ++
+      graft.sim.SpectralQueries.oracleSql ++
       graft.tar.PackageQueries.oracleSql ++
       graft.sources.SourceQueries.oracleSql ++
       graft.ingest.Messages.oracleSql ++

@@ -1,0 +1,134 @@
+package graft.sim
+
+import graft.sql.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Spectral analysis over the embedding corpus — the linear-algebra
+  * member of the similarity family: Gram-free distributed power
+  * iteration for the top principal component. Complements the moment
+  * cards (centroids q68, dispersion q83) with the direction the corpus
+  * actually varies along — the statistic behind embedding whitening,
+  * anisotropy audits ("all my vectors point the same way"), and
+  * 1-D spectral ordering.
+  */
+object SpectralQueries {
+
+  private val FpScale = 1073741824.0 // 2^30, the q68 fixed-point device
+  private val Dec38 = DecimalType(38, 0)
+
+  // ---------------------------------------------------------------- q137
+  /** Top principal component by [[PcaRounds]] rounds of power iteration
+    * on the mean-centered corpus, Gram-free: the d×d covariance matrix
+    * is never materialized — each round computes w = Σ_rows (x'·v)·x'
+    * directly (Halko et al., SIAM Rev. 2011's randomized-SVD building
+    * block, with the deterministic uniform start 1/√d so the oracle can
+    * unroll it).
+    *
+    * 100 TB shape: per round ONE corpus scan and ONE d-key aggregate —
+    * no N-sized shuffle anywhere. The per-row projection x'·v folds
+    * INSIDE the row (a codegen'd `aggregate(zip_with(...))` over the
+    * array — no explode, no per-row shuffle); the contribution terms
+    * then posexplode to (dim, term) and map-side combine to d partial
+    * rows. Mean and iterate vectors travel as BROADCAST 64-element
+    * literals (driver ferries ≤ d doubles per round, the pageRank-`n`
+    * bounded-scalar rule — no driver arithmetic).
+    *
+    * Parity: every sum that crosses rows is EXACT — per-term
+    * `floor(x·v·2³⁰)` fixed-point decimals (associative integer
+    * addition, partition-invariant: the q68 contract) — and every
+    * double op is fixed-shape: centering is one subtraction, the
+    * normalizer squares round through DECIMAL(38,6) before the exact
+    * sum, components round through DECIMAL(18,9). The oracle unrolls
+    * the identical arithmetic in SQL. */
+  private val PcaRounds = 2
+
+  private def fp(c: Column): Column = floor(c).cast(Dec38)
+
+  def q137PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings.select(col("embedding"))
+    // global per-dim mean via the q68 fixed-point centroid
+    val means = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), fp(col("x").cast(DoubleType) * lit(FpScale)).as("q"))
+      .groupBy(col("d")).agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .select(col("d"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("m"))
+      .orderBy(col("d")).collect().map(_.getDouble(1))
+    val dims = means.length
+    val mLit = array(means.map(lit): _*)
+    val xc = zip_with(col("embedding"), mLit, (x, m) => x.cast(DoubleType) - m)
+
+    // one power-iteration round: (dim, wd) from the centered corpus and v
+    def round(v: Array[Double]): DataFrame = {
+      val vLit = array(v.map(lit): _*)
+      val sf = aggregate(
+        zip_with(xc, vLit, (a, b) => floor(a * b * lit(FpScale))),
+        lit(0).cast(Dec38), (acc, t) => acc + t.cast(Dec38))
+      e.select((sf.cast(DoubleType) / lit(FpScale)).as("sd"), xc.as("xc"))
+        .select(col("sd"), posexplode(col("xc")).as(Seq("d", "x")))
+        .select(col("d"), fp(col("sd") * col("x") * lit(FpScale)).as("t"))
+        .groupBy(col("d")).agg(sum(col("t")).as("w"))
+        .select(col("d"), (col("w").cast(DoubleType) / lit(FpScale)).as("wd"))
+    }
+    // normalize a (d, wd) frame to (d, v DECIMAL(18,9)→double, lambda)
+    def normalize(w: DataFrame): DataFrame = {
+      val nsq = w.agg(sum((col("wd") * col("wd")).cast(DecimalType(38, 6))).as("nsq"))
+      w.crossJoin(broadcast(nsq))
+        .select(col("d"),
+          (col("wd") / sqrt(col("nsq").cast(DoubleType)))
+            .cast(DecimalType(18, 9)).cast(DoubleType).as("v"),
+          sqrt(col("nsq").cast(DoubleType)).as("lambda"))
+    }
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var out: DataFrame = null
+    for (_ <- 1 to PcaRounds) {
+      out = normalize(round(v))
+      // the driver FERRIES the 64 components (bounded), never computes
+      v = out.orderBy(col("d")).collect().map(_.getDouble(1))
+    }
+    out.select(col("d").as("dim"), col("v").as("loading"),
+        col("lambda").as("lambda_est"))
+      .orderBy(col("dim"))
+  }
+
+  val q137Sql: String = {
+    val d0 = 1.0 / 8.0 // 1/√64 — the uniform unit start at dims=64
+    def round(k: Int): String =
+      s"""s$k AS (SELECT vec_id,
+         |  sum(CAST(floor(xc * CAST(v AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))) AS sf
+         |  FROM exc JOIN v${k - 1} USING (d) GROUP BY vec_id),
+         |w$k AS (SELECT d,
+         |  sum(CAST(floor(CAST(sf AS DOUBLE) / 1073741824.0 * xc * 1073741824.0)
+         |      AS DECIMAL(38,0))) AS w
+         |  FROM exc JOIN s$k USING (vec_id) GROUP BY d),
+         |wd$k AS (SELECT d, CAST(w AS DOUBLE) / 1073741824.0 AS wd FROM w$k),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(wd * wd AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+         |        FROM wd$k),
+         |v$k AS (SELECT d, CAST(wd / nrm AS DECIMAL(18,9)) AS v
+         |        FROM wd$k CROSS JOIN n$k)""".stripMargin
+    s"""WITH ex AS (
+       |  SELECT vec_id,
+       |    unnest([{'d': i, 'x': CAST(embedding[i+1] AS DOUBLE)}
+       |            for i in range(0, len(embedding))]) AS u
+       |  FROM embeddings),
+       |exf AS (SELECT vec_id, u.d AS d, u.x AS x FROM ex),
+       |m AS (SELECT d,
+       |    CAST(sum(CAST(floor(x * 1073741824.0) AS DECIMAL(38,0))) AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS m
+       |  FROM exf GROUP BY d),
+       |exc AS (SELECT vec_id, exf.d, x - m AS xc FROM exf JOIN m USING (d)),
+       |v0 AS (SELECT DISTINCT d, CAST($d0 AS DOUBLE) AS v FROM exf),
+       |${(1 to PcaRounds).map(round).mkString(",\n")}
+       |SELECT v$PcaRounds.d AS dim, CAST(v AS DOUBLE) AS loading,
+       |  nrm AS lambda_est
+       |FROM v$PcaRounds CROSS JOIN n$PcaRounds
+       |ORDER BY dim""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_pca_power" -> (q137PcaPower _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q137_pca_power" -> q137Sql)
+}
