@@ -18,6 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.sql.RelationalQueries.queries ++
       graft.sql.MiningQueries.queries ++
+      graft.sql.RobustStatsQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.sql.RelationalQueries.oracleSql ++
       graft.sql.MiningQueries.oracleSql ++
+      graft.sql.RobustStatsQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
