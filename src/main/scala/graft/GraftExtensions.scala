@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.TopKPerKey as the
     // partial/final bounded-heap exec pair (see TopKPerKey.scala)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // optimizer extension: rewrites the row_number()<=k window idiom
+    // into that operator when semantics-preserving (TopKWindowRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

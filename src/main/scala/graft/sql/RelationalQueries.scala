@@ -931,6 +931,34 @@ object RelationalQueries {
       |  FROM orders)
       |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** q101's top-k written in the NAIVE window idiom — `row_number()
+    * .over(...)` + `filter(rn <= 3)` + `drop` — and rewritten to the
+    * SAME [[graft.plans.TopKPerKey]] operator by the
+    * [[graft.plans.TopKWindowRewrite]] optimizer rule
+    * (`injectOptimizerRule`): users get the bounded-heap plan without
+    * knowing the operator exists. The oracle is the row_number SQL
+    * itself, so the driver hash-gates the rewrite's semantics
+    * preservation end-to-end; `TopKRewriteSpec` pins the plan shape,
+    * the kill-switch, and the rank()/surviving-rank non-rewrites. */
+  def q140TopkRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val q140Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q103
   /** Unpivot/melt — the inverse of q40's pivot: the four lineitem
     * measures fold into (measure, value) rows and aggregate per measure.
@@ -1807,6 +1835,7 @@ object RelationalQueries {
     "q104_gap_fill"             -> (q104GapFill _),
     "q103_unpivot"              -> (q103Unpivot _),
     "q101_topk_native"          -> (q101TopkNative _),
+    "q140_topk_rewrite"         -> (q140TopkRewrite _),
     "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
@@ -1851,6 +1880,7 @@ object RelationalQueries {
     "q104_gap_fill"             -> q104Sql,
     "q103_unpivot"              -> q103Sql,
     "q101_topk_native"          -> q101Sql,
+    "q140_topk_rewrite"         -> q140Sql,
     "q97_cohort_retention"      -> q97Sql,
     "q89_join_cardinality"      -> q89Sql,
     "q85_attribution"           -> q85Sql,
