@@ -92,7 +92,10 @@ object Scale {
     "q136_k_anonymity",
     // q137: scan+aggregate-shaped and value-blind (no pair terms) —
     // identical-vector replication is an honest cost proxy
-    "q137_pca_power")
+    "q137_pca_power",
+    // q141: q19's digest agg + a digest-co-partitioned join-back (the
+    // q98 shape) — replica docs carry distinct content, keys grow 10×
+    "q141_dup_weights")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

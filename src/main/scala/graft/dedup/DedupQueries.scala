@@ -845,6 +845,45 @@ object DedupQueries {
        |    / count(*) AS dup_rate
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Duplicate-aware training weights, MATERIALIZED per document — the
+    * artifact a trainer actually consumes (where q19 reports clusters
+    * and q81 reports rates): every doc gets weight 1/|its exact-dup
+    * cluster| (Lee et al. 2022's count-deduplication alternative to
+    * dropping — total corpus influence per distinct content is exactly
+    * 1, so boilerplate repeated 10 000× stops dominating the loss while
+    * rare phrasing keeps full weight). Swapping q65's near-dup CC
+    * labels for the digest gives the near-dup-aware variant with the
+    * SAME join-back shape.
+    *
+    * 100 TB shape: digest-keyed count + join-back co-partitioned on the
+    * 16-byte digest (one shuffle pair, AQE-reused subplan; the text
+    * never shuffles — only (digest, doc_id) pairs); the weight is one
+    * bit-stable double division. Invariant (spec-pinned): Σ weight =
+    * #distinct contents, because each cluster contributes n · (1/n) —
+    * up to one float ulp per cluster (1/3 summed thrice is not
+    * bit-exactly 1). */
+  def q141DupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), md5(normText(col("text"))).as("content_hash"))
+    val sizes = h.groupBy(col("content_hash")).agg(count(lit(1)).as("cluster_n"))
+    h.join(sizes, Seq("content_hash"))
+      .select(col("doc_id"), col("source"), col("content_hash"), col("cluster_n"),
+        (lit(1.0) / col("cluster_n").cast(DoubleType)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q141Sql: String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS content_hash
+       |  FROM documents),
+       |s AS (SELECT content_hash, CAST(count(*) AS BIGINT) AS cluster_n
+       |      FROM h GROUP BY 1)
+       |SELECT doc_id, source, content_hash, cluster_n,
+       |  CAST(1.0 AS DOUBLE) / CAST(cluster_n AS DOUBLE) AS weight
+       |FROM h JOIN s USING (content_hash)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Duplicate-cluster size distribution — how redundancy is SHAPED: many
     * 2-dup clusters (benign boilerplate) vs a few huge ones (a mirror or
@@ -1179,6 +1218,7 @@ object DedupQueries {
     "q100_snapshot_diff"      -> (q100SnapshotDiff _),
     "q87_dup_size_histogram"  -> (q87DupSizeHistogram _),
     "q81_dup_stats"           -> (q81DupStats _),
+    "q141_dup_weights"        -> (q141DupWeights _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
     "q61_repetition"          -> (q61Repetition _),
@@ -1201,6 +1241,7 @@ object DedupQueries {
     "q100_snapshot_diff"      -> q100Sql,
     "q87_dup_size_histogram"  -> q87Sql,
     "q81_dup_stats"           -> q81Sql,
+    "q141_dup_weights"        -> q141Sql,
     "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,
     "q61_repetition"          -> q61Sql,

@@ -23,6 +23,23 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("q141: total influence per distinct content is 1; weights partition clusters") {
+    val rows = DedupQueries.q141DupWeights(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    // cluster_n is the actual cluster size; every member weighs 1/n
+    byCluster.foreach { case (h, ms) =>
+      assert(ms.length == ms.head._3, s"cluster_n mismatch for $h")
+      ms.foreach(m => assert(m._4 == 1.0 / m._3))
+      assert(math.abs(ms.map(_._4).sum - 1.0) < 1e-12, s"cluster $h influence != 1")
+    }
+    // the headline invariant: sum of weights = number of distinct contents
+    assert(math.abs(rows.map(_._4).sum - byCluster.size) < 1e-9)
+    // doc_ids partition: every document appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("q129: full-containment pairs with unequal sizes keep jaccard strictly below 1") {
     val rows = DedupQueries.q129Containment(spark, Sf0001).collect()
       .filter(r => r.getDouble(4) == 1.0 && r.getInt(2) < r.getInt(3))
