@@ -205,7 +205,6 @@ object DedupQueries {
 
   val q129Sql: String =
     s"""$shinglesSqlCte,
-       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
        |dfok AS (SELECT s FROM ex GROUP BY s HAVING count(*) BETWEEN 2 AND $DfCap),
        |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb

@@ -373,13 +373,17 @@ object GraphQueries {
       .select(col("c"), lit(1).cast(d6).as("h"))
     var auth = e.select(col("s")).distinct()
       .select(col("s"), lit(1).cast(d6).as("a"))
-    val small = hub.count() <= BroadcastNodes
+    // each side's broadcast gates on ITS OWN cardinality — a bipartite
+    // graph can have few hubs and many authorities (or vice versa), and
+    // an explicit broadcast hint bypasses AQE's size checks
+    val smallHub = hub.count() <= BroadcastNodes
+    val smallAuth = auth.count() <= BroadcastNodes
     for (_ <- 1 to rounds) {
       auth = l1norm(
-        e.join(if (small) broadcast(hub) else hub, Seq("c"))
+        e.join(if (smallHub) broadcast(hub) else hub, Seq("c"))
           .groupBy(col("s")).agg(sum(col("h")).as("raw")), "s", "a")
       hub = l1norm(
-        e.join(if (small) broadcast(auth) else auth, Seq("s"))
+        e.join(if (smallAuth) broadcast(auth) else auth, Seq("s"))
           .groupBy(col("c")).agg(sum(col("a")).as("raw")), "c", "h")
     }
     hub.select(lit("hub").as("role"), col("c").as("id"), col("h").as("score"))

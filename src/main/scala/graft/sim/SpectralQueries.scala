@@ -93,7 +93,6 @@ object SpectralQueries {
   }
 
   val q137Sql: String = {
-    val d0 = 1.0 / 8.0 // 1/√64 — the uniform unit start at dims=64
     def round(k: Int): String =
       s"""s$k AS (SELECT vec_id,
          |  sum(CAST(floor(xc * CAST(v AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))) AS sf
@@ -118,7 +117,9 @@ object SpectralQueries {
        |      / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS m
        |  FROM exf GROUP BY d),
        |exc AS (SELECT vec_id, exf.d, x - m AS xc FROM exf JOIN m USING (d)),
-       |v0 AS (SELECT DISTINCT d, CAST($d0 AS DOUBLE) AS v FROM exf),
+       |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM m),
+       |v0 AS (SELECT DISTINCT d, CAST(1.0 AS DOUBLE) / sqrt(nd) AS v
+       |       FROM exf CROSS JOIN nd),
        |${(1 to PcaRounds).map(round).mkString(",\n")}
        |SELECT v$PcaRounds.d AS dim, CAST(v AS DOUBLE) AS loading,
        |  nrm AS lambda_est

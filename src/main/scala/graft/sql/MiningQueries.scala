@@ -235,10 +235,17 @@ object MiningQueries {
     * though Catalyst will broadcast when the name frame is small. */
   private val FuzzyMaxDist = 2
 
+  /** The blocking key: a name's trailing token. NULL-safe via `get`
+    * (0-based, out-of-bounds → null → ''): a single-token name must
+    * land in the '' block, matching DuckDB's `split_part` semantics —
+    * `element_at` would raise under ANSI mode instead. */
+  private def blockKey(name: Column): Column =
+    coalesce(get(split(name, " "), lit(1)), lit(""))
+
   def q128FuzzyBlocking(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables(spark, dir).part
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      .withColumn("block", blockKey(col("p_name")))
     val a = names.select(col("block"), col("p_name").as("name_a"),
       col("n_parts").as("n_parts_a"))
     val b = names.select(col("block"), col("p_name").as("name_b"),
@@ -332,7 +339,7 @@ object MiningQueries {
   def q132EntityResolution(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables(spark, dir).part
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
-      .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      .withColumn("block", blockKey(col("p_name")))
       .withColumn("nid", graft.text.TextOps.hex60(col("p_name")))
       .localCheckpoint(true) // consumed by the edge build AND the join-back
     val a = names.select(col("block"), col("p_name").as("na"), col("nid").as("ida"))
@@ -400,16 +407,7 @@ object MiningQueries {
     * division (q121's parity rule — no rounding needed). */
   def q133SeqPatterns(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val sess = Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = Sessionize.withSid(Tables(spark, dir).events)
     val bySession = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("us"), col("event_id"))
     // the checkpoint sits AFTER the lag windows, on the narrow 4-string
@@ -576,17 +574,7 @@ object MiningQueries {
     ("bounce", "^view$"))
 
   def q135CepPatterns(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val sess = Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = Sessionize.withSid(Tables(spark, dir).events)
     val seqs = sess.groupBy(col("user_id"), col("sid"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),

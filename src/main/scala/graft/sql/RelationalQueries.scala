@@ -1716,16 +1716,7 @@ object RelationalQueries {
     * each probability is ONE double division — bit-stable cross-engine
     * (q112's ratio rule), no rounding needed. */
   def q121MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val sess = Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || (col("us") - col("prev_us")) > 1800L * 1000000L, 1L)
-          .otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sess = Sessionize.withSid(Tables(spark, dir).events)
     val bySession = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("us"), col("event_id"))
     val counts = sess
