@@ -95,7 +95,9 @@ object Scale {
     "q137_pca_power",
     // q141: q19's digest agg + a digest-co-partitioned join-back (the
     // q98 shape) — replica docs carry distinct content, keys grow 10×
-    "q141_dup_weights")
+    "q141_dup_weights",
+    // q142: q121's corpus pass + type²-bounded induction frames
+    "q142_markov_absorption")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

@@ -1749,6 +1749,100 @@ object RelationalQueries {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Markov absorption: P(reach `purchase` within k ≤ [[AbsHorizon]]
+    * steps) from every state, by unrolled backward induction over
+    * q121's transition matrix with the target made ABSORBING — the
+    * chain ANALYSIS layer (expected-conversion flow) on top of the
+    * matrix card, answering "how close is each state to converting"
+    * instead of "what happens next".
+    *
+    * 100 TB shape: the corpus work is exactly q121's (one user-keyed
+    * shuffle into type²-bounded transition counts, checkpointed once);
+    * every induction step then runs on type²-sized broadcast frames —
+    * the recursion never touches events again. Parity: transition
+    * probabilities are q121's single divisions; each per-step product
+    * rounds through DECIMAL(18,12) and sums exactly, so the oracle
+    * unrolls the identical arithmetic. */
+  private val AbsHorizon = 3
+  private val AbsTarget = "purchase"
+
+  def q142MarkovAbsorption(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.withSid(Tables(spark, dir).events)
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val trans = sess
+      .withColumn("from_type", lag(col("event_type"), 1).over(bySession))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast(DoubleType) / col("from_total")).as("p"))
+      .localCheckpoint(true) // one corpus pass; every induction step reads this
+    val states = trans.select(col("from_type").as("state"))
+      .unionByName(trans.select(col("to_type").as("state"))).distinct()
+    val d12 = DecimalType(18, 12)
+    val zero = lit(0).cast(d12)
+    var pk = states.select(col("state"),
+      when(col("state") === AbsTarget, lit(1).cast(d12)).otherwise(zero).as("ph"))
+    val horizons = (1 to AbsHorizon).map { k =>
+      val step = trans
+        .join(broadcast(pk.withColumnRenamed("state", "to_type")), Seq("to_type"))
+        .select(col("from_type"),
+          (col("p") * col("ph").cast(DoubleType)).cast(d12).as("c"))
+        .groupBy(col("from_type")).agg(sum(col("c")).cast(d12).as("s"))
+      pk = states
+        .join(broadcast(step.withColumnRenamed("from_type", "state")), Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === AbsTarget, lit(1).cast(d12))
+            .otherwise(coalesce(col("s"), zero)).as("ph"))
+      pk.select(col("state"), lit(k).as("horizon"),
+        col("ph").cast(DoubleType).as("p_convert"))
+    }
+    horizons.reduce(_ unionByName _).orderBy(col("state"), col("horizon"))
+  }
+
+  val q142Sql: String = {
+    def step(k: Int): String =
+      s"""p$k AS (SELECT s.state,
+         |  CASE WHEN s.state = '$AbsTarget' THEN CAST(1 AS DECIMAL(18,12))
+         |       ELSE coalesce(x.s, CAST(0 AS DECIMAL(18,12))) END AS ph
+         |  FROM st s LEFT JOIN (
+         |    SELECT from_type, CAST(sum(CAST(p * CAST(ph AS DOUBLE) AS DECIMAL(18,12)))
+         |             AS DECIMAL(18,12)) AS s
+         |    FROM tr JOIN p${k - 1} ON to_type = state GROUP BY 1) x
+         |  ON s.state = x.from_type)""".stripMargin
+    val out = (1 to AbsHorizon).map(k =>
+      s"SELECT state, $k AS horizon, CAST(ph AS DOUBLE) AS p_convert FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+       |      FROM l),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+       |t AS (SELECT event_type AS to_type,
+       |        lag(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY us, event_id)
+       |          AS from_type
+       |      FROM s),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |tr AS (SELECT from_type, to_type,
+       |         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+       |       FROM c),
+       |st AS (SELECT DISTINCT from_type AS state FROM tr
+       |       UNION SELECT DISTINCT to_type FROM tr),
+       |p0 AS (SELECT state,
+       |         CASE WHEN state = '$AbsTarget' THEN CAST(1 AS DECIMAL(18,12))
+       |              ELSE CAST(0 AS DECIMAL(18,12)) END AS ph
+       |       FROM st),
+       |${(1 to AbsHorizon).map(step).mkString(",\n")}
+       |$out
+       |ORDER BY state, horizon""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q124
   /** Approximate-query-processing calibration card: a DETERMINISTIC
     * 1/[[AqpMod]] Bernoulli sample (md5-hash-admitted on the row key, the
@@ -1827,6 +1921,7 @@ object RelationalQueries {
     "q103_unpivot"              -> (q103Unpivot _),
     "q101_topk_native"          -> (q101TopkNative _),
     "q140_topk_rewrite"         -> (q140TopkRewrite _),
+    "q142_markov_absorption"    -> (q142MarkovAbsorption _),
     "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
@@ -1872,6 +1967,7 @@ object RelationalQueries {
     "q103_unpivot"              -> q103Sql,
     "q101_topk_native"          -> q101Sql,
     "q140_topk_rewrite"         -> q140Sql,
+    "q142_markov_absorption"    -> q142Sql,
     "q97_cohort_retention"      -> q97Sql,
     "q89_join_cardinality"      -> q89Sql,
     "q85_attribution"           -> q85Sql,

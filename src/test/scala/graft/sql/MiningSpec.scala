@@ -244,6 +244,30 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(frac - riskyRows.toDouble / cust.length) < 1e-6)
   }
 
+  test("q142: absorption probabilities are monotone in horizon and anchor to q121's matrix") {
+    val rows = RelationalQueries.q142MarkovAbsorption(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+    // the target is absorbing: probability 1 at every horizon
+    rows.filter(_._1 == "purchase").foreach { case (_, _, p) => assert(p == 1.0) }
+    // more steps can only help: p is non-decreasing in the horizon
+    rows.groupBy(_._1).values.foreach { hs =>
+      hs.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a - 1e-12, s"absorption decreased: $hs")
+        case _ =>
+      }
+    }
+    // horizon 1 IS the direct transition probability into the target
+    val direct = RelationalQueries.q121MarkovTransitions(spark, Sf0001).collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.filter(r => r._2 == 1 && r._1 != "purchase").foreach { case (s, _, p) =>
+      assert(math.abs(p - direct.getOrElse(s, 0.0)) < 1e-12,
+        s"$s: horizon-1 $p != direct ${direct.getOrElse(s, 0.0)}")
+    }
+  }
+
   test("q128: blocking prunes the cross product to sum-of-block-squares") {
     val names = Tables(spark, Sf0001).part
       .select(col("p_name")).distinct()
