@@ -19,11 +19,13 @@ object SparkEntry {
     graft.sql.RelationalQueries.queries ++
       graft.sql.MiningQueries.queries ++
       graft.sql.RobustStatsQueries.queries ++
+      graft.sql.TimeSeriesQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.sim.SimilarityQueries.queries ++
       graft.sim.SpectralQueries.queries ++
+      graft.sim.MlQueries.queries ++
       graft.tar.PackageQueries.queries ++
       graft.sources.SourceQueries.queries ++
       graft.ingest.Messages.queries ++
@@ -41,11 +43,13 @@ object SparkEntry {
     graft.sql.RelationalQueries.oracleSql ++
       graft.sql.MiningQueries.oracleSql ++
       graft.sql.RobustStatsQueries.oracleSql ++
+      graft.sql.TimeSeriesQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.sim.SimilarityQueries.oracleSql ++
       graft.sim.SpectralQueries.oracleSql ++
+      graft.sim.MlQueries.oracleSql ++
       graft.tar.PackageQueries.oracleSql ++
       graft.sources.SourceQueries.oracleSql ++
       graft.ingest.Messages.oracleSql ++

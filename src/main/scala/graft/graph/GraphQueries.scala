@@ -529,12 +529,82 @@ object GraphQueries {
        |FROM ds, ec, tri""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Weighted single-source shortest paths (min-plus Bellman–Ford,
+    * [[SsspHops]] relaxation rounds from [[SsspSeeds]] seed suppliers) —
+    * the weighted generalization of q123's BFS: where k-hop reach asks
+    * "can I get there", SSSP asks "how cheaply", the semiring jump from
+    * (∪, ∩) to (min, +). Edge weight = the minimum trade quantity ever
+    * shipped on that (customer, supplier) relationship, so distances read
+    * as cheapest relationship chains.
+    *
+    * 100 TB shape: the weighted edge list is ONE extra aggregate over the
+    * same orders ⋈ lineitem scan q93/q123 pay (min map-side combines);
+    * per round exactly one long-key equi-join (distance frame ⋈ edges) +
+    * one map-side-combinable (seed, node) MIN, with the distance frame
+    * `localCheckpoint`ed per round (BFS-lineage rule). All arithmetic is
+    * integer add + min — exact in both engines, nothing to round. */
+  private val SsspSeeds = 3
+  private val SsspHops  = 3
+
+  def q145Sssp(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ew = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(min(col("l_quantity")).cast("bigint").as("w"))
+    val sym = ew.unionByName(
+        ew.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val seeds = t.supplier
+      .select((col("s_suppkey") * 2 + 1).as("seed"))
+      .orderBy(col("seed")).limit(SsspSeeds)
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspHops) {
+      val relaxed = dist.withColumnRenamed("node", "src")
+        .join(sym, Seq("src"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+      .select(fmtNode(col("seed")).as("seed"), fmtNode(col("node")).as("node"),
+        col("dist"))
+      .orderBy(col("seed"), col("node"))
+  }
+
+  val q145Sql: String = {
+    def level(k: Int): String =
+      s"""d$k AS (SELECT seed, node, min(dist) AS dist FROM (
+         |  SELECT seed, node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT d.seed, s.dst AS node, d.dist + s.w AS dist
+         |  FROM d${k - 1} d JOIN sym s ON d.node = s.src
+         |) GROUP BY 1, 2)""".stripMargin
+    s"""WITH ew AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |              CAST(min(l_quantity) AS BIGINT) AS w
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |            GROUP BY 1, 2),
+       |sym AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS seed FROM supplier ORDER BY seed LIMIT $SsspSeeds),
+       |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM sd),
+       |${(1 to SsspHops).map(level).mkString(",\n")}
+       |SELECT CASE WHEN seed % 2 = 0 THEN 'c:' || CAST(seed // 2 AS BIGINT)
+       |            ELSE 's:' || CAST((seed - 1) // 2 AS BIGINT) END AS seed,
+       |  CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS BIGINT)
+       |       ELSE 's:' || CAST((node - 1) // 2 AS BIGINT) END AS node,
+       |  dist
+       |FROM d$SsspHops ORDER BY seed, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_triangles" -> (q108Triangles _),
     "q118_label_propagation" -> (q118LabelPropagation _),
     "q123_khop_reach" -> (q123KhopReach _),
     "q125_assortativity" -> (q125Assortativity _),
     "q130_hits" -> (q130Hits _),
+    "q145_sssp" -> (q145Sssp _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
@@ -543,5 +613,6 @@ object GraphQueries {
     "q123_khop_reach" -> q123Sql,
     "q125_assortativity" -> q125Sql,
     "q130_hits" -> q130Sql,
+    "q145_sssp" -> q145Sql,
     "q93_pagerank" -> q93Sql)
 }

@@ -5,6 +5,7 @@ import graft.text.TextOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declared sketch queries — the approximate-distinct surface a 100 TB
   * pipeline swaps in where exact `count(distinct)` would shuffle every
@@ -296,8 +297,103 @@ object SketchQueries {
        |  p95_est, p95_exact, p95_est - p95_exact AS p95_err
        |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** HyperLogLog distinct estimate per language from FIRST PRINCIPLES —
+    * [[HllM]] = 64 registers built as a (lang, bucket) max-aggregate over
+    * the corpus hash kernel, beside the exact distinct count and the
+    * realized relative error. Where KMV (q57) keeps the k smallest
+    * hashes (exact below k, ~1/√k error above), HLL keeps ONE 6-bit rank
+    * per register — the memory-optimal distinct sketch (Flajolet et al.,
+    * AofA 2007), and the register frame is MERGEABLE by elementwise max
+    * (q77's shard-rollup pattern applies verbatim).
+    *
+    * Register rank uses the trailing-zero variant (Flajolet–Martin
+    * style): rho = (#trailing zeros of the 54 post-bucket hash bits) + 1,
+    * computed EXACTLY via the two's-complement lowest-set-bit identity
+    * `rest & -rest` — a power of two whose log2 both engines recover
+    * bit-identically under round() (plain floor(log2(8.0)) is the classic
+    * 2.9999… trap). No sampling, no RNG: the same md5-derived hex60 hash
+    * kernel every dedup query shares.
+    *
+    * 100 TB shape: ONE corpus scan → a map-side-combinable
+    * (lang, bucket) max — the shuffle carries ≤ langs×64 tiny rows, never
+    * values (the exact countDistinct column exists only to GATE the
+    * estimator, exactly q95/q105's contract). Parity: each register's
+    * 2^-M term is the exact double `1.0 / (1L << M)`, rounded through
+    * DECIMAL(38,30) so the 64-term sum is exact decimal addition
+    * (order-free); the raw estimate and small-range correction
+    * (E ≤ 2.5m ∧ V > 0 → m·ln(m/V)) are fixed-shape double expressions,
+    * with the ln branch rounded through DECIMAL(18,6) (q74's rule). */
+  private val HllM = 64 // registers (p = 6 bucket bits of the 60-bit hash)
+
+  def q144HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(spark, dir).documents
+      .select(col("lang"), hex60(normText(col("text"))).as("h"))
+    val rest = shiftright(col("h"), 6)
+    val rho = when(rest === 0, lit(55))
+      .otherwise(round(log2(rest.bitwiseAND(-rest).cast("double"))).cast("int") + 1)
+    val regs = hashed
+      .select(col("lang"), (col("h") % HllM).as("bucket"), rho.as("rho"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rho")).as("m_j"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(HllM.toDouble))
+    val perLang = regs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_used"),
+        sum((lit(1.0) / expr("cast(shiftleft(cast(1 as bigint), m_j) as double)"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 30))).as("den_used"))
+      .select(col("lang"), col("n_used"),
+        (col("den_used").cast("double") + (lit(HllM) - col("n_used")).cast("double")).as("den"),
+        (lit(HllM) - col("n_used")).as("v_empty"))
+    val raw = alpha * lit((HllM * HllM).toDouble) / col("den")
+    val est = when(raw <= lit(2.5 * HllM) && col("v_empty") > 0,
+        lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_empty").cast("double")))
+      .otherwise(raw)
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    val exact = hashed.groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    perLang.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_used").as("registers_used"), col("v_empty"),
+        est.cast("double").as("hll_est"), col("exact_distinct"),
+        ((est.cast("double") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double")).cast(DecimalType(18, 6)).cast("double")
+          .as("rel_err"))
+      .orderBy(col("lang"))
+  }
+
+  val q144Sql: String =
+    s"""WITH hx AS (SELECT lang, $hSql AS h FROM documents),
+       |rr AS (SELECT lang, h % $HllM AS bucket,
+       |         CASE WHEN (h >> 6) = 0 THEN 55
+       |              ELSE CAST(round(log2(CAST(((h >> 6) & -(h >> 6)) AS DOUBLE))) AS INTEGER) + 1
+       |         END AS rho
+       |       FROM hx),
+       |regs AS (SELECT lang, bucket, max(rho) AS m_j FROM rr GROUP BY 1, 2),
+       |pl AS (SELECT lang, count(*) AS n_used,
+       |         sum(CAST(CAST(1.0 AS DOUBLE) / CAST((1::BIGINT << m_j) AS DOUBLE) AS DECIMAL(38,30))) AS den_used
+       |       FROM regs GROUP BY 1),
+       |pl2 AS (SELECT lang, n_used,
+       |          CAST(den_used AS DOUBLE) + CAST($HllM - n_used AS DOUBLE) AS den,
+       |          $HllM - n_used AS v_empty
+       |        FROM pl),
+       |ex AS (SELECT lang, count(DISTINCT h) AS exact_distinct FROM hx GROUP BY 1),
+       |est AS (SELECT lang, n_used, v_empty,
+       |          CAST(CASE WHEN (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(${HllM.toDouble} AS DOUBLE))
+       |                          * CAST(${(HllM * HllM).toDouble} AS DOUBLE) / den) <= CAST(${2.5 * HllM} AS DOUBLE)
+       |                     AND v_empty > 0
+       |                    THEN CAST(${HllM.toDouble} AS DOUBLE) * ln(CAST(${HllM.toDouble} AS DOUBLE) / CAST(v_empty AS DOUBLE))
+       |                    ELSE CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(${HllM.toDouble} AS DOUBLE))
+       |                          * CAST(${(HllM * HllM).toDouble} AS DOUBLE) / den
+       |               END AS DECIMAL(18,6)) AS est_dec
+       |        FROM pl2)
+       |SELECT est.lang, n_used AS registers_used, v_empty,
+       |  CAST(est_dec AS DOUBLE) AS hll_est, exact_distinct,
+       |  CAST(CAST((CAST(est_dec AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+       |       / CAST(exact_distinct AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS rel_err
+       |FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_quantile_sketch" -> (q105QuantileSketch _),
+    "q144_hll_distinct" -> (q144HllDistinct _),
     "q57_kmv_distinct" -> (q57KmvDistinct _),
     "q77_sketch_rollup" -> (q77SketchRollup _),
     "q88_rolling_actives" -> (q88RollingActives _),
@@ -305,6 +401,7 @@ object SketchQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q105_quantile_sketch" -> q105Sql,
+    "q144_hll_distinct" -> q144Sql,
     "q57_kmv_distinct" -> q57Sql,
     "q77_sketch_rollup" -> q77Sql,
     "q88_rolling_actives" -> q88Sql,

@@ -1152,6 +1152,50 @@ object RelationalQueries {
        |ORDER BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q148
+  /** Small-file compaction plan — the layout-MAINTENANCE companion to
+    * q106's layout-choice card, and the plan a `OPTIMIZE`/auto-compaction
+    * job executes: treating each ingested document as the one file its
+    * streaming writer produced (the canonical small-files problem), bin
+    * files per source in doc_id order into ≥[[CompactTarget]]-byte
+    * compaction groups by next-fit on the running byte offset — bin =
+    * offset div target, so a bin closes once the target is crossed and
+    * the plan is a pure function of the file listing. The output is the
+    * (source, bin) manifest the rewrite job consumes: a
+    * `repartition(n_bins, source, bin)` + write executes it, turning
+    * O(files) tiny objects into O(bytes/target) right-sized ones.
+    *
+    * 100 TB shape: the planner runs on file METADATA (listing-cardinality
+    * rows, millions not billions) — one source-keyed shuffle for the
+    * per-source running-offset window, output bounded by bin count.
+    * Everything is integer arithmetic (byte sums, div) — bit-identical
+    * cross-engine, nothing to round. */
+  private val CompactTarget = 2000L // bytes per compaction bin (gate-scale sized)
+
+  def q148CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val cum = sum(col("n_chars")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    files
+      .withColumn("bin", ((cum - col("n_chars")) / CompactTarget).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val q148Sql: String =
+    s"""WITH f AS (SELECT source, doc_id, n_chars,
+       |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM documents)
+       |SELECT source, CAST((cum - n_chars) // $CompactTarget AS BIGINT) AS bin,
+       |  count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM f GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   // ---------------------------------------------------------------- q107
   /** The flagship multi-way join (TPC-H Q5's shape): local-supplier
     * revenue by nation for one region-year — six tables, five join
@@ -1922,6 +1966,7 @@ object RelationalQueries {
     "q101_topk_native"          -> (q101TopkNative _),
     "q140_topk_rewrite"         -> (q140TopkRewrite _),
     "q142_markov_absorption"    -> (q142MarkovAbsorption _),
+    "q148_compaction_plan"      -> (q148CompactionPlan _),
     "q97_cohort_retention"      -> (q97CohortRetention _),
     "q89_join_cardinality"      -> (q89JoinCardinality _),
     "q85_attribution"           -> (q85Attribution _),
@@ -1963,6 +2008,7 @@ object RelationalQueries {
     "q109_outlier_bands"        -> q109Sql,
     "q107_regional_revenue"     -> q107Sql,
     "q106_zorder_layout"        -> q106Sql,
+    "q148_compaction_plan"      -> q148Sql,
     "q104_gap_fill"             -> q104Sql,
     "q103_unpivot"              -> q103Sql,
     "q101_topk_native"          -> q101Sql,

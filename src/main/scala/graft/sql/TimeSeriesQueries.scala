@@ -1,0 +1,137 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Time-series smoothing over the event stream — the EWMA companion to
+  * q117's sliding z-score: where the z-score weighs every trailing hour
+  * equally, the exponentially-weighted moving average discounts history
+  * geometrically, the smoother monitoring pipelines actually deploy
+  * (Holt's level equation / NIST EWMA control charts).
+  */
+object TimeSeriesQueries {
+
+  // ---------------------------------------------------------------- q146
+  /** Hourly event-rate EWMA (α = 0.25 ⇒ decay 0.75/hour, [[EwmaSpan]]-hour
+    * support) per event type, plus a PRIOR-hours-only baseline and a
+    * "current rate > [[SpikeFactor]]× baseline" spike flag — the alerting
+    * card. The geometric window is BOUNDED (weights below 0.75²⁴ ≈ 1e-3
+    * contribute nothing at count scale), which is what makes the
+    * recursive textbook form S_t = αc_t + (1−α)S_{t−1} — useless
+    * distributed, it chains the whole history — collapse to a fixed
+    * [[EwmaSpan]]-term weighted sum.
+    *
+    * 100 TB shape: ONE corpus-sized aggregate map-side combines to
+    * (type, hour) counts; the [[EwmaSpan]]+1-row offset/weight dimension
+    * then fans each count out to the target hours it influences
+    * (constant fan-out on the already-aggregated frame — the window
+    * never sees event rows), and a second map-side-combinable aggregate
+    * folds (type, target-hour) back down. Gap hours contribute nothing
+    * and the per-target weight sum renormalizes — no spine join (q117's
+    * rule).
+    *
+    * Parity: the weights 0.75^j are materialized as exact DECIMAL(18,9)
+    * literals (0.75^j is dyadic, so its 9-dp rounding has no half-way
+    * case and is engine-independent; both sides embed the same plain
+    * string). Weight·count products and all cross-row sums are then PURE
+    * DECIMAL arithmetic — exact, order-free, and immune to the
+    * double→decimal shortest-string rounding trap (a double cast rounds
+    * the 17-digit repr in the JVM but the exact binary value in DuckDB,
+    * which diverges when a structured product sits ~1e-17 from a
+    * boundary — measured on this very query at 18,9). Each output is ONE
+    * IEEE division of two exact decimals cast to double — bit-identical
+    * cross-engine with NO output rounding (q112's rule; rounding the
+    * quotient to 6 dp would REINTRODUCE divergence, because ratios of
+    * 9-dp decimals routinely terminate exactly on x.xxxxx5 half-way
+    * points where the JVM's string-based HALF_UP and DuckDB's
+    * binary-value rounding disagree — measured 19/3385 rows). The spike
+    * flag compares the same doubles. */
+  private val EwmaSpan    = 24  // support of the truncated geometric window
+  private val SpikeFactor = 2.0
+
+  /** 0.75^j rounded to 9 dp as a plain decimal string: 3^j/4^j is exact
+    * in double (3^j < 2^53, denominator a power of two), its binary
+    * expansion can never sit exactly on a 5e-10 half-way point (that
+    * would need 5^9 to divide a power of two), so the 9-dp rounding is
+    * mode-independent and both engines parse the identical literal. */
+  private def w75s(j: Int): String =
+    new java.math.BigDecimal(BigInt(3).pow(j).toDouble / BigInt(4).pow(j).toDouble)
+      .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString
+
+  def q146EwmaSpikes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    // offset dimension: j hours ahead, EWMA weight (offsets 0..span−1)
+    // and prior-only baseline weight (offsets 1..span, re-anchored at 1)
+    val d9 = DecimalType(18, 9)
+    val offsets = (0 to EwmaSpan).map { j =>
+      (j,
+        if (j < EwmaSpan) Some(w75s(j)) else None,
+        if (j >= 1) Some(w75s(j - 1)) else None)
+    }.toDF("j", "wcs", "wbs")
+      .select(col("j"), col("wcs").cast(d9).as("wc"), col("wbs").cast(d9).as("wb"))
+    // cnt as DECIMAL(12,0), NOT long: DECIMAL(18,9) × LongType exceeds
+    // Spark's 38-digit cap and allowPrecisionLoss silently rounds the
+    // product's scale down to 8 dp (measured: every EWMA off at ~1e-9);
+    // the narrower operand keeps the multiply exact at scale 9
+    val cntDec = col("cnt").cast(DecimalType(12, 0))
+    val contrib = hourly.crossJoin(broadcast(offsets))
+      .select(col("event_type"), (col("h") + col("j")).as("t"),
+        (col("wc") * cntDec).as("num_c"), col("wc").as("den_c"),
+        (col("wb") * cntDec).as("num_b"), col("wb").as("den_b"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("num_c")).as("nc"), sum(col("den_c")).as("dc"),
+        sum(col("num_b")).as("nb"), sum(col("den_b")).as("db"))
+      // renamed key: contrib shares lineage with `hourly`, so the join
+      // below would otherwise be a self-join ambiguity on event_type
+      .withColumnRenamed("event_type", "et")
+    val ewma = col("nc").cast(DoubleType) / col("dc").cast(DoubleType)
+    val base = col("nb").cast(DoubleType) / col("db").cast(DoubleType)
+    hourly.join(contrib, col("event_type") === col("et") && col("h") === col("t"))
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cnt"), ewma.as("ewma"),
+        base.as("baseline"),
+        coalesce(col("cnt").cast(DoubleType) > lit(SpikeFactor) * base,
+          lit(false)).as("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q146Sql: String = {
+    val rows = (0 to EwmaSpan).map { j =>
+      val wc = if (j < EwmaSpan) s"CAST('${w75s(j)}' AS DECIMAL(18,9))" else "CAST(NULL AS DECIMAL(18,9))"
+      val wb = if (j >= 1) s"CAST('${w75s(j - 1)}' AS DECIMAL(18,9))" else "CAST(NULL AS DECIMAL(18,9))"
+      s"($j, $wc, $wb)"
+    }.mkString(",\n|  ")
+    s"""WITH hc AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |off(j, wc, wb) AS (VALUES
+       |  $rows),
+       |ag AS (SELECT event_type, h + j AS t,
+       |    sum(wc * CAST(cnt AS DECIMAL(12,0))) AS nc,
+       |    sum(wc) AS dc,
+       |    sum(wb * CAST(cnt AS DECIMAL(12,0))) AS nb,
+       |    sum(wb) AS db
+       |  FROM hc CROSS JOIN off GROUP BY 1, 2),
+       |o AS (SELECT hc.event_type, hc.h, hc.cnt,
+       |    CAST(nc AS DOUBLE) / CAST(dc AS DOUBLE) AS ewma,
+       |    CAST(nb AS DOUBLE) / CAST(db AS DOUBLE) AS baseline
+       |  FROM hc JOIN ag ON hc.event_type = ag.event_type AND hc.h = ag.t)
+       |SELECT event_type,
+       |  strftime(epoch_ms(h * 3600000), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  cnt, ewma, baseline,
+       |  coalesce(CAST(cnt AS DOUBLE) > $SpikeFactor * baseline, false) AS is_spike
+       |FROM o ORDER BY event_type, hour""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q146_ewma_spikes" -> (q146EwmaSpikes _))
+
+  val oracleSql: Map[String, String] =
+    Map("q146_ewma_spikes" -> q146Sql)
+}

@@ -2,11 +2,15 @@ package graft.text
 
 import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
-/** Ranked keyword retrieval over the `documents` table: Okapi BM25
-  * (k1 = 1.2, b = 0.75) for a fixed conjunctive term set, top-k by score.
+/** Ranked retrieval over the `documents` table: Okapi BM25 (k1 = 1.2,
+  * b = 0.75) for a fixed conjunctive term set (q66), and reciprocal-rank
+  * fusion of that lexical ranking with a semantic cosine ranking over the
+  * document embeddings (q143) — the standard hybrid-search combiner
+  * (Cormack, Clarke & Buettcher, SIGIR 2009).
   *
   * Scale shape (100 TB): two narrow passes over the corpus —
   *   1. a per-document (dl, tf_t…) projection folded into ONE global
@@ -33,7 +37,11 @@ object SearchQueries {
   private val Terms = Seq("dup", "spark", "vector", "merge", "key")
   private val TopK  = 20
 
-  def q66Bm25(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared BM25 kernel: (doc_id, dl, score_dec DECIMAL(18,6)) for
+    * every document — q66 takes its global top-k, q143's lexical arm its
+    * top-[[FuseN]]. Both consumers end in a TakeOrdered, so the kernel
+    * itself never sorts. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(normText(col("text")))
     def base = Tables(spark, dir).documents.select(
       col("doc_id") +: size(toks).cast(LongType).as("dl") +:
@@ -55,12 +63,18 @@ object SearchQueries {
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n"))
       .withColumn("score_dec", scoreDec)
+  }
+
+  def q66Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scored(spark, dir)
       .orderBy(col("score_dec").desc, col("doc_id"))
       .limit(TopK)
       .select(col("doc_id"), col("dl"), col("score_dec").cast(DoubleType).as("score"))
-  }
 
-  val q66Sql: String = {
+  /** The q66 scored-documents CTE chain, DuckDB side, ending in a CTE
+    * named `s` with (doc_id, dl, s_&lt;term&gt;… DECIMAL(18,6)) — shared by the
+    * q66 and q143 oracles so the lexical arithmetic can never diverge. */
+  private val bm25CtesSql: String = {
     val toksSql = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     val tfCols = Terms
       .map(t => s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t")
@@ -74,8 +88,7 @@ object SearchQueries {
          |    / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
          | AS DECIMAL(18,6))""".stripMargin
     val sCols = Terms.map(t => s"${scoreSql(t)} AS s_$t").mkString(",\n|")
-    val sSum  = Terms.map(t => s"s_$t").mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS t FROM documents),
        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
        |  $tfCols
        |  FROM tk),
@@ -83,14 +96,96 @@ object SearchQueries {
        |j AS (SELECT base.*, stats.*, CAST(sum_dl AS DOUBLE) / n AS avgdl FROM base, stats),
        |s AS (SELECT doc_id, dl,
        |$sCols
-       |FROM j)
-       |SELECT doc_id, dl, CAST($sSum AS DOUBLE) AS score
-       |FROM s ORDER BY $sSum DESC, doc_id LIMIT $TopK""".stripMargin
+       |FROM j)""".stripMargin
   }
 
+  private val sSumSql = Terms.map(t => s"s_$t").mkString(" + ")
+
+  val q66Sql: String =
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, dl, CAST($sSumSql AS DOUBLE) AS score
+       |FROM s ORDER BY $sSumSql DESC, doc_id LIMIT $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- q143
+  /** Reciprocal-rank fusion of the BM25 ranking with a semantic cosine
+    * ranking (query = the embedding of vec_id [[QueryVec]], corpus = the
+    * document embeddings joined on doc_id = vec_id): each arm contributes
+    * 1/([[RrfK]] + rank) for its top-[[FuseN]] list, fused scores rank the
+    * final top-[[TopK]]. RRF is the rank-only combiner hybrid search
+    * deploys when lexical and semantic scores live on incomparable scales
+    * — no score normalization, no tuned mixture weight.
+    *
+    * 100 TB shape: each arm is its existing scale story (BM25 = two
+    * narrow corpus passes + TakeOrdered; cosine = a 1-row broadcast query
+    * against a corpus scan + TakeOrdered — q24's schedule with one query)
+    * and the fusion itself touches only 2×[[FuseN]] rows: rank windows run
+    * AFTER the top-N cut, on constant-bounded frames, then one full-outer
+    * join on doc_id over those frames. The corpus is scanned twice and
+    * never shuffled.
+    *
+    * Parity: ranks are integers (both arms tie-break on doc_id; the
+    * lexical arm orders by the DECIMAL score, the semantic arm by the
+    * 4 dp-rounded sim — q24's rule); each RRF term is one IEEE division
+    * `1.0/(k+rank)` and the fused score one fixed-shape two-term sum —
+    * identical in both engines, no libm anywhere. */
+  private val RrfK     = 60
+  private val FuseN    = 100
+  private val QueryVec = 0
+
+  private def dot(a: Column, b: Column): Column = graft.expr.VecDot.dot(a, b)
+
+  def q143RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lexTop = bm25Scored(spark, dir)
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(FuseN)
+    val lex = lexTop
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score_dec").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables(spark, dir).embeddings
+    val qv = e.filter(col("vec_id") === QueryVec)
+      .select(col("embedding").as("qv"))
+    val sim = dot(col("qv"), col("cv")) /
+      (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))
+    val semTop = e.select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), round(sim, 4).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+      .limit(FuseN)
+    val sem = semTop
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sem_rank"))
+    val term: Column => Column = r => coalesce(lit(1.0) / (lit(RrfK) + r.cast(DoubleType)), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (term(col("lex_rank")) + term(col("sem_rank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  val q143Sql: String =
+    s"""WITH $bm25CtesSql,
+       |lex AS (SELECT doc_id, row_number() OVER (ORDER BY $sSumSql DESC, doc_id) AS lex_rank
+       |        FROM s ORDER BY $sSumSql DESC, doc_id LIMIT $FuseN),
+       |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $QueryVec),
+       |sims AS (SELECT vec_id AS doc_id,
+       |    round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS sim
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings), q),
+       |sem AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS sem_rank
+       |        FROM sims ORDER BY sim DESC, doc_id LIMIT $FuseN),
+       |f AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |        coalesce(1.0 / (CAST($RrfK AS DOUBLE) + CAST(lex_rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+       |          + coalesce(1.0 / (CAST($RrfK AS DOUBLE) + CAST(sem_rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+       |      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q66_bm25_search" -> (q66Bm25 _))
+    Map("q66_bm25_search" -> (q66Bm25 _),
+      "q143_rrf_fusion" -> (q143RrfFusion _))
 
   val oracleSql: Map[String, String] =
-    Map("q66_bm25_search" -> q66Sql)
+    Map("q66_bm25_search" -> q66Sql,
+      "q143_rrf_fusion" -> q143Sql)
 }

@@ -494,6 +494,62 @@ class PlanAuditSpec extends SparkSpec {
       s"q133: expected the exact session-support distinct\n$plan")
   }
 
+  test("q143 RRF: both arms end in TakeOrdered (no full sort), 1-row frames broadcast, no cartesian") {
+    val plan = physical("q143_rrf_fusion")
+    // the two top-N cuts and the final fused top-k are all bounded heaps
+    assert(countOccurrences(plan, "TakeOrderedAndProject") >= 3,
+      s"q143: expected TakeOrdered at every top-N boundary\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q143: the stats/query-vector 1-row frames must broadcast\n$plan")
+  }
+
+  test("q144 HLL: the documents scan prunes to (text, lang); register agg never nested-loops") {
+    val plan = physical("q144_hll_distinct")
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"q144: scan must prune to the hash kernel's columns\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q144: register/exact join degenerated\n$plan")
+  }
+
+  test("q145 SSSP: the published plan reads the checkpointed distance frame (zero parquet re-scans)") {
+    val plan = physical("q145_sssp")
+    // every relaxation round checkpoints; the final plan must be the
+    // materialized frame + presentation formatting only (q93's rule)
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q145: expected zero parquet scans after the per-round checkpoints\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), s"q145: missing the checkpoint scan\n$plan")
+  }
+
+  test("q146 EWMA: events scan prunes to (event_type, ts); the offset fan-out broadcasts") {
+    val plan = physical("q146_ewma_spikes")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+        !s.contains("value") && !s.contains("user_id") && !s.contains("properties")),
+      s"q146: events scan reads more than the hourly-count kernel needs\n$plan")
+    // the 25-row offsets dimension joins broadcast (condition-free → BNLJ)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"q146: the offsets dimension must broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q146: unbroadcast cartesian\n$plan")
+  }
+
+  test("q147 logistic GD: per-step folds are global aggregates — no wide shuffle, no window") {
+    val plan = physical("q147_logistic_gd")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 0,
+      s"q147: the gradient fold must be partial-agg + single merge, never a keyed shuffle\n$plan")
+    assert(!plan.contains("Window"), s"q147: no window belongs in a gradient fold\n$plan")
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      s"q147: embeddings scan must prune to (embedding, label)\n$plan")
+  }
+
+  test("q148 compaction plan: exactly the source-partition exchange (+ sort), nothing corpus-wide") {
+    val plan = physical("q148_compaction_plan")
+    assert(countOccurrences(plan, "Exchange hashpartitioning") == 1,
+      s"q148: expected only the per-source window exchange\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>") ||
+      plan.contains("ReadSchema: struct<doc_id:bigint,text"),
+      s"q148: documents scan must prune to the listing columns\n$plan")
+  }
+
   test("q134 chi-square: dims broadcast into the one fact shuffle; no cartesian anywhere") {
     // the cell build (pre-checkpoint, where the fact join lives)
     val cellPlan = MiningQueries.q134Cells(spark, Sf0001)
