@@ -97,7 +97,21 @@ object Scale {
     // q98 shape) — replica docs carry distinct content, keys grow 10×
     "q141_dup_weights",
     // q142: q121's corpus pass + type²-bounded induction frames
-    "q142_markov_absorption")
+    "q142_markov_absorption",
+    // round-10 cards: q143's two arms are corpus scans + TakeOrdered
+    // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
+    // aggregate over distinct-content replicas; q145/q151 run over the
+    // disconnected trade-graph copies (the q93/q123 rule); q146/q149
+    // ride events (time-shifted replicas = organic history; q149's ×32
+    // fan-out collapses map-side); q147 is q137's value-blind
+    // scan+fold (identical replicated vectors walk the identical
+    // trajectory); q148 windows the 10×-file listing. q150 is EXCLUDED
+    // with q24's shape (its cost story is the broadcast-query scan,
+    // pinned by PlanAuditSpec, and the replicated corpus would add
+    // fake identical-vector neighbors to every top-k set)
+    "q143_rrf_fusion", "q144_hll_distinct", "q145_sssp", "q146_ewma_spikes",
+    "q147_logistic_gd", "q148_compaction_plan", "q149_bootstrap_ci",
+    "q151_kcore")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

@@ -2,6 +2,7 @@ package graft.graph
 
 import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -598,6 +599,82 @@ object GraphQueries {
        |FROM d$SsspHops ORDER BY seed, node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q151
+  /** k-core peeling ([[CoreRounds]] synchronous peel rounds) on the
+    * symmetrized trade graph — the structural-pruning member of the
+    * graph family: each round simultaneously deletes every node of
+    * degree < k, and the survivors at the fixpoint are the k-core
+    * (Seidman 1983), the standard "dense backbone" extraction before
+    * expensive downstream graph work. k is DATA-ADAPTIVE — the lower
+    * QUARTILE of the initial degree distribution (q39's discrete
+    * integer-threshold device) — because a fixed k is meaningless across
+    * densities: this bipartite trade graph's median degree grows ~10×
+    * per SF decade, so any constant either prunes nothing or everything.
+    * The card reports the peel TRAJECTORY — (round, k, nodes, undirected
+    * edges) — the audit (how fast does the periphery shed?) plus the
+    * core size; a fixed round budget keeps the oracle an unrolled CTE
+    * chain, with convergence showing as a flat tail.
+    *
+    * 100 TB shape: per round one map-side-combinable degree count + two
+    * survivor semi-joins on long keys (the survivor set BROADCASTS below
+    * [[BroadcastNodes]] — it only ever shrinks), with the edge frame
+    * `localCheckpoint`ed per round (the per-round-join lineage rule);
+    * the quartile threshold runs once over the node-cardinality degree
+    * frame and ferries as one bounded scalar (the pageRank-`n` rule).
+    * Counts are exact integers. */
+  private val CoreRounds = 4
+
+  def q151KCore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(spark, dir)
+    var edges = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // adaptive k: lower-quartile initial degree via the discrete
+    // cumulative-count threshold (integer compares only)
+    val deg0 = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val cum = deg0.groupBy(col("d")).agg(count(lit(1)).as("c"))
+      .withColumn("cw", sum(col("c")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+    val k = cum.filter(col("cw") * 4 >= col("tot"))
+      .agg(min(col("d"))).collect()(0).getLong(0)
+    val rounds = (1 to CoreRounds).map { r =>
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+      edges = edges
+        .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val stats = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
+      stats.select(lit(r).as("round"), lit(k).as("k"), col("n_nodes"), col("n_edges"))
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val q151Sql: String = {
+    def round(r: Int): String =
+      s"""k$r AS (SELECT src AS v FROM e${r - 1} GROUP BY src
+         |        HAVING count(*) >= (SELECT k FROM kq)),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |        JOIN k$r a ON e.src = a.v JOIN k$r b ON e.dst = b.v)""".stripMargin
+    val counts = (1 to CoreRounds).map(r =>
+      s"""SELECT $r AS round, (SELECT k FROM kq) AS k,
+         |  (SELECT count(*) FROM k$r) AS n_nodes,
+         |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e$r) AS n_edges""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (SELECT src, dst FROM t0 UNION ALL SELECT dst, src FROM t0),
+       |d0 AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+       |dc AS (SELECT d, count(*) AS c FROM d0 GROUP BY 1),
+       |dw AS (SELECT d, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw,
+       |         sum(c) OVER () AS tot FROM dc),
+       |kq AS (SELECT CAST(min(d) AS BIGINT) AS k FROM dw WHERE cw * 4 >= tot),
+       |${(1 to CoreRounds).map(round).mkString(",\n")}
+       |SELECT round, k, CAST(n_nodes AS BIGINT) AS n_nodes, n_edges
+       |FROM ($counts) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_triangles" -> (q108Triangles _),
     "q118_label_propagation" -> (q118LabelPropagation _),
@@ -605,6 +682,7 @@ object GraphQueries {
     "q125_assortativity" -> (q125Assortativity _),
     "q130_hits" -> (q130Hits _),
     "q145_sssp" -> (q145Sssp _),
+    "q151_kcore" -> (q151KCore _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
@@ -614,5 +692,6 @@ object GraphQueries {
     "q125_assortativity" -> q125Sql,
     "q130_hits" -> q130Sql,
     "q145_sssp" -> q145Sql,
+    "q151_kcore" -> q151Sql,
     "q93_pagerank" -> q93Sql)
 }

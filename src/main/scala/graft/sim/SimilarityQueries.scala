@@ -742,7 +742,76 @@ object SimilarityQueries {
        |  CAST(CAST(CAST(n_pure AS DECIMAL(18,6)) / n_vecs AS DECIMAL(18,6)) AS DOUBLE) AS purity
        |FROM pg JOIN t USING (label) ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q150
+  /** Dimension-truncation fidelity (the Matryoshka/MRL deployment
+    * question): per query, the top-[[TopK]] cosine neighbor set under the
+    * full 64-dim embedding vs under its first [[TruncDims]] dimensions
+    * (renormalized), reported as neighbor-set recall. This is the audit a
+    * pipeline runs before shipping truncated vectors to cut index memory
+    * 2× — recall here is what the cheaper index actually retains.
+    *
+    * 100 TB shape: exactly two q24 schedules (broadcast query set ×
+    * corpus scan + per-query top-k; the corpus never shuffles) — the
+    * truncated arm reads the SAME column and slices in-row, no second
+    * materialized corpus; the set compare joins two (queries×k)-row
+    * frames. Parity: both arms inherit q24's determinism contract (4 dp
+    * sim rounding, vec_id tie-breaks); recall is count/k, one division. */
+  private val TruncDims = 32
+
+  def q150TruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    def arm(proj: Column => Column, qn: String, cn: String): DataFrame = {
+      val corpus = e.select(col("vec_id").as("cid"), proj(col("embedding")).as(cn))
+        .withColumn("cnorm", norm(col(cn)))
+      val qs = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), proj(col("embedding")).as(qn))
+        .withColumn("qnorm", norm(col(qn)))
+      val sim = dot(col(qn), col(cn)) / (col("qnorm") * col("cnorm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      corpus.join(broadcast(qs), col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"), round(sim, 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"))
+    }
+    val full  = arm(identity, "qv", "cv")
+    val trunc = arm(c => slice(c, 1, TruncDims), "qvt", "cvt")
+      .withColumnRenamed("qid", "tqid").withColumnRenamed("cid", "tcid")
+    full
+      .join(trunc, col("qid") === col("tqid") && col("cid") === col("tcid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(count(col("tcid")).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / lit(TopK.toDouble)).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  val q150Sql: String = {
+    def armSql(name: String, qv: String, cv: String): String =
+      s"""$name AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |    FROM (SELECT qid, cid,
+         |            round(list_dot_product($qv, $cv)
+         |              / (sqrt(list_dot_product($qv, $qv)) * sqrt(list_dot_product($cv, $cv))), 4) AS sim
+         |          FROM q, c WHERE cid != qid))
+         |  WHERE rank <= $TopK)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+       |             (embedding::DOUBLE[])[1:$TruncDims] AS qvt
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+       |        (embedding::DOUBLE[])[1:$TruncDims] AS cvt
+       |      FROM embeddings),
+       |${armSql("fl", "qv", "cv")},
+       |${armSql("tr", "qvt", "cvt")}
+       |SELECT fl.qid, count(tr.cid) AS n_overlap,
+       |  CAST(count(tr.cid) AS DOUBLE) / ${TopK.toDouble} AS recall
+       |FROM fl LEFT JOIN tr ON fl.qid = tr.qid AND fl.cid = tr.cid
+       |GROUP BY fl.qid ORDER BY fl.qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_truncation_recall" -> (q150TruncationRecall _),
     "q99_neighbor_purity"    -> (q99NeighborPurity _),
     "q96_semdedup"           -> (q96SemDedup _),
     "q83_embedding_dispersion" -> (q83EmbeddingDispersion _),
@@ -759,6 +828,7 @@ object SimilarityQueries {
     * engines, so they hash-gate like everything else; recall quality is
     * gated separately by `SimilarityRecallSpec`. */
   val oracleSql: Map[String, String] = Map(
+    "q150_truncation_recall" -> q150Sql,
     "q99_neighbor_purity"    -> q99Sql,
     "q96_semdedup"           -> q96Sql,
     "q83_embedding_dispersion" -> q83Sql,

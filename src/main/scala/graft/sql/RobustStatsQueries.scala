@@ -157,11 +157,108 @@ object RobustStatsQueries {
       |GROUP BY dev.event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Hash-bootstrap confidence interval for the mean event value per
+    * type — the uncertainty-quantification card (Efron's bootstrap,
+    * Poissonized for one-pass streams à la Kleiner et al.'s BLB): every
+    * row joins each of [[BootReps]] resamples with a DETERMINISTIC
+    * multiplicity w ~ Binomial(8, 1/8) (mean 1, variance 7/8 ≈ the
+    * Poisson(1) resampling weight) read from 8 disjoint 6-bit fields of
+    * the row's replicate-seeded md5 — no RNG state, any engine
+    * reproduces the exact same resamples (q95's shift/mask device). The
+    * CI is the [p05, p95] band of the replicate means via q39's
+    * integer-threshold percentile rule.
+    *
+    * 100 TB shape: ONE corpus scan fans out ×[[BootReps]] into a
+    * map-side-combinable (type, replicate) aggregate — the shuffle
+    * carries types × replicates partial rows, never events; the
+    * percentile window runs over [[BootReps]]-row frames. This is the
+    * standard trade: B× extra scan-stage compute buys error bars with
+    * ZERO extra passes (the full-sample mean rides the same scan at
+    * replicate −1… no, as its own two columns of the same fold).
+    *
+    * Parity: per-row values round through DECIMAL(18,6) (q85's rule) and
+    * w·x products stay decimal-exact, so every replicate sum is exact;
+    * each replicate mean is one IEEE division of identical inputs (no
+    * output rounding — q146's lesson); the CI bounds are SELECTED
+    * replicate means, not interpolations (q39's rule). */
+  private val BootReps   = 32
+  private val BootFields = 8 // Binomial(8, 1/8) multiplicity per (row, replicate)
+
+  def q149BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps.hex60
+    val d6 = DecimalType(18, 6)
+    val x = Tables(spark, dir).events
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value").cast(d6).as("x"))
+    val reps = x.select(col("*"), explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+      .withColumn("h", hex60(concat(lit("bs:"), col("event_id").cast("string"),
+        lit(":"), col("b").cast("string"))))
+    val w = (0 until BootFields).map(f =>
+        when(shiftright(col("h"), 6 * f).bitwiseAND(lit(63L)) < 8, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val repMeans = reps
+      .select(col("event_type"), col("b"), w.as("w"), col("x"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w")).as("nb"), sum(col("w").cast(DecimalType(2, 0)) * col("x")).as("sb"))
+      .select(col("event_type"), col("b"),
+        (col("sb").cast(DoubleType) / col("nb").cast(DoubleType)).as("mb"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ci = repMeans
+      .withColumn("cw", count(lit(1)).over(byType.orderBy(col("mb"), col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cw") * 20 >= BootReps, col("mb"))).as("ci_lo"),
+        min(when(col("cw") * 20 >= BootReps * 19, col("mb"))).as("ci_hi"))
+    val full = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("event_type"), col("n"),
+        (col("sx").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"))
+    full.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"), (col("ci_hi") - col("ci_lo")).as("ci_width"))
+      .orderBy(col("event_type"))
+  }
+
+  val q149Sql: String = {
+    val wSql = (0 until BootFields)
+      .map(f => s"(CASE WHEN ((h >> ${6 * f}) & 63) < 8 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH x AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |reps AS (SELECT event_type, b, x,
+       |    ('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM x CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS b)),
+       |rm AS (SELECT event_type, b,
+       |    CAST(sum(w) AS BIGINT) AS nb,
+       |    sum(CAST(w AS DECIMAL(2,0)) * x) AS sb
+       |  FROM (SELECT event_type, b, x, $wSql AS w FROM reps)
+       |  GROUP BY 1, 2),
+       |mb AS (SELECT event_type, b, CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb FROM rm),
+       |cw AS (SELECT event_type, mb,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY mb, b
+       |                   ROWS UNBOUNDED PRECEDING) AS cw
+       |  FROM mb),
+       |ci AS (SELECT event_type,
+       |    min(CASE WHEN cw * 20 >= $BootReps THEN mb END) AS ci_lo,
+       |    min(CASE WHEN cw * 20 >= ${BootReps * 19} THEN mb END) AS ci_hi
+       |  FROM cw GROUP BY 1),
+       |f AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+       |  FROM x GROUP BY 1)
+       |SELECT f.event_type, n, mean, ci_lo, ci_hi, ci_hi - ci_lo AS ci_width
+       |FROM f JOIN ci ON f.event_type = ci.event_type
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_weighted_median" -> (q138WeightedMedian _),
-    "q139_robust_outliers" -> (q139RobustOutliers _))
+    "q139_robust_outliers" -> (q139RobustOutliers _),
+    "q149_bootstrap_ci" -> (q149BootstrapCi _))
 
   val oracleSql: Map[String, String] = Map(
     "q138_weighted_median" -> q138Sql,
-    "q139_robust_outliers" -> q139Sql)
+    "q139_robust_outliers" -> q139Sql,
+    "q149_bootstrap_ci" -> q149Sql)
 }

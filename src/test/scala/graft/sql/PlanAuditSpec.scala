@@ -550,6 +550,35 @@ class PlanAuditSpec extends SparkSpec {
       s"q148: documents scan must prune to the listing columns\n$plan")
   }
 
+  test("q149 bootstrap: the replicate fold map-side combines — one (type,b) exchange, no replicate-row shuffle") {
+    val plan = physical("q149_bootstrap_ci")
+    // the ×32 fan-out must be collapsed by a partial aggregate before the
+    // exchange; event-cardinality rows crossing the wire would show as a
+    // second wide exchange keyed on something other than event_type
+    assert(countOccurrences(plan, "Exchange hashpartitioning") <= 3,
+      s"q149: expected only the (type,b) agg, percentile window, and full-mean exchanges\n$plan")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+        !s.contains("user_id") && !s.contains("props") && !s.contains("ts")),
+      s"q149: events scan reads more than (event_id, event_type, value)\n$plan")
+  }
+
+  test("q150 truncation recall: both arms broadcast the query set — the corpus never shuffles") {
+    val plan = physical("q150_truncation_recall")
+    assert(countOccurrences(plan, "BroadcastHashJoin") + countOccurrences(plan, "BroadcastNestedLoopJoin") >= 2,
+      s"q150: each arm must broadcast its 20-query side\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q150: unbroadcast cartesian\n$plan")
+  }
+
+  test("q151 k-core: published plan reads checkpointed frames (zero parquet re-scans)") {
+    val plan = physical("q151_kcore")
+    // the survivor semi-joins run inside the per-round checkpoint builds;
+    // the published plan is counts over the materialized frames only
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"q151: expected zero parquet scans after the per-round checkpoints\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), s"q151: missing the checkpoint scans\n$plan")
+  }
+
   test("q134 chi-square: dims broadcast into the one fact shuffle; no cartesian anywhere") {
     // the cell build (pre-checkpoint, where the fact join lives)
     val cellPlan = MiningQueries.q134Cells(spark, Sf0001)
