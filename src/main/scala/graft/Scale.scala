@@ -111,7 +111,11 @@ object Scale {
     // fake identical-vector neighbors to every top-k set)
     "q143_rrf_fusion", "q144_hll_distinct", "q145_sssp", "q146_ewma_spikes",
     "q147_logistic_gd", "q148_compaction_plan", "q149_bootstrap_ci",
-    "q151_kcore")
+    "q151_kcore",
+    // q152 rides the one user-keyed events pass (time-shifted replicas =
+    // organic history; the KM frame is duration-bounded); q153 is q146's
+    // frame + a type-cardinality fold
+    "q152_km_survival", "q153_forecast_eval")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

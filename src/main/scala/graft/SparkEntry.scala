@@ -20,6 +20,7 @@ object SparkEntry {
       graft.sql.MiningQueries.queries ++
       graft.sql.RobustStatsQueries.queries ++
       graft.sql.TimeSeriesQueries.queries ++
+      graft.sql.SurvivalQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.SearchQueries.queries ++
       graft.dedup.DedupQueries.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.sql.MiningQueries.oracleSql ++
       graft.sql.RobustStatsQueries.oracleSql ++
       graft.sql.TimeSeriesQueries.oracleSql ++
+      graft.sql.SurvivalQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++

@@ -637,16 +637,31 @@ object GraphQueries {
       .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
     val k = cum.filter(col("cw") * 4 >= col("tot"))
       .agg(min(col("d"))).collect()(0).getLong(0)
+    // converged-fixpoint early-out: once a peel round removes no edge,
+    // every later round is identical — re-peeling would re-materialize
+    // the same frame CoreRounds−r more times (measured 2× of this
+    // query's bench cost on a graph that converges in round 1). The
+    // edge count is a bounded scalar off the eager checkpoint (the
+    // pageRank-`n` rule), and the flat-tail rows it licenses are
+    // exactly what the oracle's unrolled rounds compute.
+    var prevEdges = edges.count()
+    var converged = false
+    var lastStats: DataFrame = null
     val rounds = (1 to CoreRounds).map { r =>
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("v"))
-      edges = edges
-        .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
-      val stats = keep.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(edges.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
-      stats.select(lit(r).as("round"), lit(k).as("k"), col("n_nodes"), col("n_edges"))
+      if (!converged) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("v"))
+        edges = edges
+          .join(broadcast(keep.withColumnRenamed("v", "src")), Seq("src"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("v", "dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        val ec = edges.count()
+        converged = ec == prevEdges
+        prevEdges = ec
+        lastStats = keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg((count(lit(1)) / 2).cast("long").as("n_edges")))
+      }
+      lastStats.select(lit(r).as("round"), lit(k).as("k"), col("n_nodes"), col("n_edges"))
     }
     rounds.reduce(_ unionByName _).orderBy(col("round"))
   }

@@ -161,21 +161,23 @@ object RobustStatsQueries {
   /** Hash-bootstrap confidence interval for the mean event value per
     * type — the uncertainty-quantification card (Efron's bootstrap,
     * Poissonized for one-pass streams à la Kleiner et al.'s BLB): every
-    * row joins each of [[BootReps]] resamples with a DETERMINISTIC
+    * row carries, for each of [[BootReps]] resamples, a DETERMINISTIC
     * multiplicity w ~ Binomial(8, 1/8) (mean 1, variance 7/8 ≈ the
-    * Poisson(1) resampling weight) read from 8 disjoint 6-bit fields of
-    * the row's replicate-seeded md5 — no RNG state, any engine
-    * reproduces the exact same resamples (q95's shift/mask device). The
-    * CI is the [p05, p95] band of the replicate means via q39's
-    * integer-threshold percentile rule.
+    * Poisson(1) resampling weight) read from 8 disjoint 3-bit fields of
+    * an AFFINE per-replicate hash (a_b·h₀+c_b mod p over ONE md5 per
+    * row — the q21 MinHash-family device; a per-(row, replicate) md5
+    * measured 2.4× slower at sf0.1). No RNG state: any engine
+    * reproduces the exact same resamples. The CI is the [p05, p95] band
+    * of the replicate means via q39's integer-threshold percentile
+    * rule.
     *
-    * 100 TB shape: ONE corpus scan fans out ×[[BootReps]] into a
+    * 100 TB shape: ONE corpus scan computes the 32 weights IN-ROW (one
+    * md5 + 32 multiply-add-mods, codegen'd) and posexplodes into a
     * map-side-combinable (type, replicate) aggregate — the shuffle
     * carries types × replicates partial rows, never events; the
     * percentile window runs over [[BootReps]]-row frames. This is the
     * standard trade: B× extra scan-stage compute buys error bars with
-    * ZERO extra passes (the full-sample mean rides the same scan at
-    * replicate −1… no, as its own two columns of the same fold).
+    * ZERO extra passes.
     *
     * Parity: per-row values round through DECIMAL(18,6) (q85's rule) and
     * w·x products stay decimal-exact, so every replicate sum is exact;
@@ -186,19 +188,24 @@ object RobustStatsQueries {
   private val BootFields = 8 // Binomial(8, 1/8) multiplicity per (row, replicate)
 
   def q149BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.TextOps.hex60
+    import graft.text.TextOps.{hex32Mod, minhashCoeff, MinHashPrime}
     val d6 = DecimalType(18, 6)
     val x = Tables(spark, dir).events
       .filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("value").cast(d6).as("x"))
-    val reps = x.select(col("*"), explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
-      .withColumn("h", hex60(concat(lit("bs:"), col("event_id").cast("string"),
-        lit(":"), col("b").cast("string"))))
-    val w = (0 until BootFields).map(f =>
-        when(shiftright(col("h"), 6 * f).bitwiseAND(lit(63L)) < 8, 1L).otherwise(0L))
-      .reduce(_ + _)
-    val repMeans = reps
-      .select(col("event_type"), col("b"), w.as("w"), col("x"))
+      .withColumn("h0", hex32Mod(concat(lit("bs:"), col("event_id").cast("string"))))
+    // 32 in-row multiplicities: affine replicate hash, 8 disjoint 3-bit
+    // fields, each contributing P(field = 0) = 1/8
+    def wOf(b: Int) = {
+      val hb = (col("h0") * lit(minhashCoeff("bsa", b)) + lit(minhashCoeff("bsb", b))) %
+        MinHashPrime
+      (0 until BootFields).map(f =>
+        when(shiftright(hb, 3 * f).bitwiseAND(lit(7L)) === 0, 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val repMeans = x
+      .select(col("event_type"), col("x"),
+        posexplode(array((0 until BootReps).map(wOf): _*)).as(Seq("b", "w")))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("w")).as("nb"), sum(col("w").cast(DecimalType(2, 0)) * col("x")).as("sb"))
       .select(col("event_type"), col("b"),
@@ -222,14 +229,20 @@ object RobustStatsQueries {
   }
 
   val q149Sql: String = {
+    import graft.text.TextOps.{minhashCoeff, MinHashPrime}
     val wSql = (0 until BootFields)
-      .map(f => s"(CASE WHEN ((h >> ${6 * f}) & 63) < 8 THEN 1 ELSE 0 END)")
+      .map(f => s"(CASE WHEN ((hb >> ${3 * f}) & 7) = 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH x AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x
+    val coeffRows = (0 until BootReps)
+      .map(b => s"($b, ${minhashCoeff("bsa", b)}, ${minhashCoeff("bsb", b)})")
+      .mkString(",\n|  ")
+    s"""WITH x AS (SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS x,
+       |    ('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % $MinHashPrime AS h0
        |  FROM events WHERE value IS NOT NULL),
-       |reps AS (SELECT event_type, b, x,
-       |    ('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM x CROSS JOIN (SELECT unnest(range(0, $BootReps)) AS b)),
+       |cf(b, ca, cb) AS (VALUES
+       |  $coeffRows),
+       |reps AS (SELECT event_type, b, x, (h0 * ca + cb) % $MinHashPrime AS hb
+       |  FROM x CROSS JOIN cf),
        |rm AS (SELECT event_type, b,
        |    CAST(sum(w) AS BIGINT) AS nb,
        |    sum(CAST(w AS DECIMAL(2,0)) * x) AS sb

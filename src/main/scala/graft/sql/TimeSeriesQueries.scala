@@ -59,7 +59,9 @@ object TimeSeriesQueries {
     new java.math.BigDecimal(BigInt(3).pow(j).toDouble / BigInt(4).pow(j).toDouble)
       .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString
 
-  def q146EwmaSpikes(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared scored frame: (event_type, h, cnt, ewma, baseline) —
+    * q146 formats it, q153 backtests it. */
+  private def ewmaFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hourly = Tables(spark, dir).events
       .groupBy(col("event_type"),
@@ -92,22 +94,29 @@ object TimeSeriesQueries {
     val ewma = col("nc").cast(DoubleType) / col("dc").cast(DoubleType)
     val base = col("nb").cast(DoubleType) / col("db").cast(DoubleType)
     hourly.join(contrib, col("event_type") === col("et") && col("h") === col("t"))
-      .select(col("event_type"),
-        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("cnt"), ewma.as("ewma"),
-        base.as("baseline"),
-        coalesce(col("cnt").cast(DoubleType) > lit(SpikeFactor) * base,
-          lit(false)).as("is_spike"))
-      .orderBy(col("event_type"), col("hour"))
+      .select(col("event_type"), col("h"), col("cnt"),
+        ewma.as("ewma"), base.as("baseline"))
   }
 
-  val q146Sql: String = {
+  def q146EwmaSpikes(spark: SparkSession, dir: String): DataFrame =
+    ewmaFrame(spark, dir)
+      .select(col("event_type"),
+        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cnt"), col("ewma"), col("baseline"),
+        coalesce(col("cnt").cast(DoubleType) > lit(SpikeFactor) * col("baseline"),
+          lit(false)).as("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+
+  /** The scored-frame CTE chain, DuckDB side, ending in
+    * `o(event_type, h, cnt, ewma, baseline)` — shared by q146 and q153
+    * so the forecast arithmetic can never diverge. */
+  private val ewmaCtesSql: String = {
     val rows = (0 to EwmaSpan).map { j =>
       val wc = if (j < EwmaSpan) s"CAST('${w75s(j)}' AS DECIMAL(18,9))" else "CAST(NULL AS DECIMAL(18,9))"
       val wb = if (j >= 1) s"CAST('${w75s(j - 1)}' AS DECIMAL(18,9))" else "CAST(NULL AS DECIMAL(18,9))"
       s"($j, $wc, $wb)"
     }.mkString(",\n|  ")
-    s"""WITH hc AS (SELECT event_type,
+    s"""hc AS (SELECT event_type,
        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS cnt
        |  FROM events GROUP BY 1, 2),
        |off(j, wc, wb) AS (VALUES
@@ -121,17 +130,66 @@ object TimeSeriesQueries {
        |o AS (SELECT hc.event_type, hc.h, hc.cnt,
        |    CAST(nc AS DOUBLE) / CAST(dc AS DOUBLE) AS ewma,
        |    CAST(nb AS DOUBLE) / CAST(db AS DOUBLE) AS baseline
-       |  FROM hc JOIN ag ON hc.event_type = ag.event_type AND hc.h = ag.t)
+       |  FROM hc JOIN ag ON hc.event_type = ag.event_type AND hc.h = ag.t)""".stripMargin
+  }
+
+  val q146Sql: String =
+    s"""WITH $ewmaCtesSql
        |SELECT event_type,
        |  strftime(epoch_ms(h * 3600000), '%Y-%m-%d %H:%M:%S') AS hour,
        |  cnt, ewma, baseline,
        |  coalesce(CAST(cnt AS DOUBLE) > $SpikeFactor * baseline, false) AS is_spike
        |FROM o ORDER BY event_type, hour""".stripMargin
+
+  // ---------------------------------------------------------------- q153
+  /** Forecast-accuracy backtest of q146's one-step-ahead predictor (the
+    * prior-only EWMA baseline IS the forecast for the hour it excludes):
+    * per event type, MAE, sMAPE (the scale-free industry default), and
+    * signed bias over every hour that has a forecast — the eval card
+    * that must accompany any deployed forecaster. Chains with q146
+    * exactly like q124 (estimate) pairs with its calibration.
+    *
+    * 100 TB shape: q146's frame (type×hour-cardinality after the one
+    * map-side-combinable corpus aggregate) folds to type-cardinality
+    * metric rows — the backtest adds ZERO corpus passes. Parity:
+    * per-row error terms round through DECIMAL(18,6) (abs/signed) and
+    * DECIMAL(18,9) (the sMAPE ratio) so the sums are exact and
+    * order-free; each metric is one IEEE division (q146's rule). */
+  def q153ForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val f = ewmaFrame(spark, dir).filter(col("baseline").isNotNull)
+    val err = col("cnt").cast(DoubleType) - col("baseline")
+    val smapeTerm = (abs(err) * lit(2.0) / (col("cnt").cast(DoubleType) + col("baseline")))
+      .cast(DecimalType(18, 9))
+    f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_forecasts"),
+        sum(abs(err).cast(DecimalType(18, 6))).as("sae"),
+        sum(err.cast(DecimalType(18, 6))).as("se"),
+        sum(smapeTerm).as("ss"))
+      .select(col("event_type"), col("n_forecasts"),
+        (col("sae").cast(DoubleType) / col("n_forecasts").cast(DoubleType)).as("mae"),
+        (col("ss").cast(DoubleType) / col("n_forecasts").cast(DoubleType)).as("smape"),
+        (col("se").cast(DoubleType) / col("n_forecasts").cast(DoubleType)).as("bias"))
+      .orderBy(col("event_type"))
   }
 
+  val q153Sql: String =
+    s"""WITH $ewmaCtesSql
+       |SELECT event_type, count(*) AS n_forecasts,
+       |  CAST(sum(CAST(abs(CAST(cnt AS DOUBLE) - baseline) AS DECIMAL(18,6))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS mae,
+       |  CAST(sum(CAST(abs(CAST(cnt AS DOUBLE) - baseline) * 2.0
+       |      / (CAST(cnt AS DOUBLE) + baseline) AS DECIMAL(18,9))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS smape,
+       |  CAST(sum(CAST(CAST(cnt AS DOUBLE) - baseline AS DECIMAL(18,6))) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS bias
+       |FROM o WHERE baseline IS NOT NULL
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q146_ewma_spikes" -> (q146EwmaSpikes _))
+    Map("q146_ewma_spikes" -> (q146EwmaSpikes _),
+      "q153_forecast_eval" -> (q153ForecastEval _))
 
   val oracleSql: Map[String, String] =
-    Map("q146_ewma_spikes" -> q146Sql)
+    Map("q146_ewma_spikes" -> q146Sql,
+      "q153_forecast_eval" -> q153Sql)
 }

@@ -579,6 +579,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), s"q151: missing the checkpoint scans\n$plan")
   }
 
+  test("q152 KM survival: events scan prunes to (user_id, event_type, ts); 1-row frames broadcast") {
+    val plan = physical("q152_km_survival")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+        !s.contains("value") && !s.contains("props") && !s.contains("event_id")),
+      s"q152: events scan reads more than the per-user extrema need\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q152: the user-total 1-row frame must broadcast\n$plan")
+  }
+
+  test("q153 forecast eval: same pruned scan as q146, folds to type-cardinality metrics") {
+    val plan = physical("q153_forecast_eval")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(s =>
+        !s.contains("value") && !s.contains("user_id") && !s.contains("props")),
+      s"q153: events scan reads more than the hourly-count kernel needs\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q153: unbroadcast cartesian\n$plan")
+  }
+
   test("q134 chi-square: dims broadcast into the one fact shuffle; no cartesian anywhere") {
     // the cell build (pre-checkpoint, where the fact join lives)
     val cellPlan = MiningQueries.q134Cells(spark, Sf0001)
