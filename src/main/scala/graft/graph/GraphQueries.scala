@@ -164,12 +164,18 @@ object GraphQueries {
 
   /** LPA core over a DIRECTED long edge list, symmetrized here; returns
     * (v, lbl) after `rounds` synchronous plurality updates. */
-  def labelPropagation(e0: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+  def labelPropagation(e0: DataFrame, rounds: Int = LpaRounds): DataFrame =
+    labelPropagationRounds(e0, rounds).last
+
+  /** Per-round LPA label frames (round 1 … `rounds`), for trajectory
+    * consumers (q156's modularity audit). */
+  def labelPropagationRounds(e0: DataFrame, rounds: Int = LpaRounds): Seq[DataFrame] = {
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var lab = sym.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
     val small = lab.count() <= BroadcastNodes
+    val out = Seq.newBuilder[DataFrame]
     for (_ <- 1 to rounds) {
       val l = lab.withColumnRenamed("v", "src")
       // plurality argmax as two HASH aggregates, not a sort-window: the
@@ -184,8 +190,9 @@ object GraphQueries {
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
         .select(col("dst").as("v"), col("lbl"))
       if (rounds > CheckpointDepth) lab = lab.localCheckpoint(true)
+      out += lab
     }
-    lab
+    out.result()
   }
 
   def q118LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
@@ -197,18 +204,25 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val q118Sql: String = {
+  /** The LPA CTE chain, DuckDB side (no WITH): e0/sym/l0…l[[LpaRounds]] —
+    * shared by q118 and q156 so the community assignment the modularity
+    * audit scores is the exact chain the LPA gate pins. */
+  private val lpaCtesSql: String = {
     def round(k: Int): String =
       s"""c$k AS (SELECT s.dst, l.lbl, count(*) AS c
          |  FROM sym s JOIN l${k - 1} l ON s.src = l.v GROUP BY 1, 2),
          |l$k AS (SELECT dst AS v, lbl FROM (SELECT dst, lbl,
          |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rk FROM c$k)
          |  WHERE rk = 1)""".stripMargin
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
-       |${(1 to LpaRounds).map(round).mkString(",\n")},
+       |${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val q118Sql: String =
+    s"""WITH $lpaCtesSql,
        |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
        |       FROM l$LpaRounds GROUP BY 1)
        |SELECT CASE WHEN v % 2 = 0 THEN 'c:' || CAST(v // 2 AS BIGINT)
@@ -217,6 +231,116 @@ object GraphQueries {
        |       ELSE 's:' || CAST((lbl - 1) // 2 AS BIGINT) END AS community,
        |  community_size
        |FROM l$LpaRounds JOIN sz USING (lbl) ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q156
+  /** Newman modularity TRAJECTORY of q118's LPA partition, one audit
+    * ledger per propagation round: per (round, community), node count,
+    * internal-edge count, degree sum, the contribution
+    * Q_c = L_c/m − (d_c/2m)², and the round's grand Q — the
+    * partition-QUALITY card that tells you whether the communities a
+    * detector emits are better than random rewiring (Q ≈ 0) before
+    * anything downstream trusts them, and WHEN to stop iterating. Pairs
+    * with q118 the way q153 backtests q146 and q154 evaluates q147 — and
+    * like q150's truncation audit, its verdict here is honestly negative:
+    * on this bipartite graph the synchronous schedule converges to the
+    * two-sided label flip (round-3 Q = −0.5, the degenerate cut), which
+    * is exactly what the audit exists to catch.
+    *
+    * 100 TB shape: edges materialize ONCE (`localCheckpoint`, shared by
+    * LPA and all round audits); degrees fold once and are round-shared;
+    * labels are node-cardinality frames that BROADCAST below
+    * [[BroadcastNodes]] into the two edge-side joins (src label, dst
+    * label) — above it they fall back to partitioned long-key
+    * equi-joins, q93's knob; everything after the per-round intra-edge
+    * count + degree rollup is community-cardinality, and the per-round
+    * grand Q is a rounds-partitioned window over that ledger. `m`
+    * ferries as one bounded driver scalar (the pageRank-`n` rule).
+    *
+    * Parity: each contribution is kept as the exact RATIONAL
+    * (4·m·L_c − d_c²) / 4m² — numerator and denominator are exact
+    * DECIMAL(38,0) integers (d_c² overflows a long at corpus scale,
+    * q125's rule), so per-community Q_c and the grand Q (numerators
+    * decimal-summed BEFORE the one division) are each ONE IEEE division
+    * of exact integers: no float→decimal rounding exists anywhere in
+    * this query, stronger than the half-way-trap mitigations q146/q154
+    * need. */
+  def q156Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(spark, dir).localCheckpoint(true)
+    val labs = labelPropagationRounds(e0)
+    val m = e0.count() // bounded driver scalar: edge count
+    // degrees off the symmetrized list = undirected degree; round-shared
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val small = deg.count() <= BroadcastNodes
+    val d19 = DecimalType(19, 0)
+    val denD = (BigInt(m) * BigInt(m) * 4).doubleValue // round-to-nearest, both engines
+
+    // one audit ledger per LPA round: num = 4·m·L_c − d_c² per community
+    val perRound = labs.zipWithIndex.map { case (lab0, i) =>
+      val lab = lab0.localCheckpoint(true) // audited twice (lc + dc)
+      def labAs(v: String): DataFrame = {
+        val l = lab.select(col("v").as(v), col("lbl").as(s"lbl_$v"))
+        if (small) broadcast(l) else l
+      }
+      // intra-community edge count (over the DISTINCT undirected edge
+      // list — each edge counted once)
+      val lc = e0.join(labAs("src"), Seq("src")).join(labAs("dst"), Seq("dst"))
+        .filter(col("lbl_src") === col("lbl_dst"))
+        .groupBy(col("lbl_src").as("lbl")).agg(count(lit(1)).as("internal_edges"))
+      val dc = deg.join(if (small) broadcast(lab) else lab, Seq("v"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+      dc.join(lc, Seq("lbl"), "left")
+        .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+        .withColumn("num",
+          (lit(4L * m) * col("internal_edges").cast(d19) -
+            col("degree_sum").cast(d19) * col("degree_sum").cast(d19))
+            .cast(DecimalType(38, 0)))
+        .withColumn("round", lit(i + 1))
+    }
+    // per-round grand Q: exact numerators summed within the round before
+    // the ONE division (a rounds-partitioned window over the
+    // community-cardinality ledger, never corpus rows)
+    val wRound = org.apache.spark.sql.expressions.Window.partitionBy(col("round"))
+    perRound.reduce(_ unionByName _)
+      .withColumn("modularity",
+        sum(col("num")).over(wRound).cast(DoubleType) / lit(denD))
+      .select(col("round"), fmtNode(col("lbl")).as("community"), col("n_nodes"),
+        col("internal_edges"), col("degree_sum"),
+        (col("num").cast(DoubleType) / lit(denD)).as("contribution"),
+        col("modularity"))
+      .orderBy(col("round"), col("community"))
+  }
+
+  val q156Sql: String = {
+    def roundCtes(r: Int): String =
+      s"""dcq$r AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg) AS BIGINT) AS degree_sum
+         |       FROM deg JOIN l$r USING (v) GROUP BY 1),
+         |lcq$r AS (SELECT a.lbl, CAST(count(*) AS BIGINT) AS internal_edges
+         |       FROM e0 JOIN l$r a ON e0.src = a.v
+         |                JOIN l$r b ON e0.dst = b.v
+         |       WHERE a.lbl = b.lbl GROUP BY 1),
+         |base$r AS (SELECT $r AS round, dcq$r.lbl, n_nodes,
+         |    coalesce(internal_edges, 0) AS internal_edges, degree_sum,
+         |    CAST(CAST(4 AS DECIMAL(2,0)) * m * CAST(coalesce(internal_edges, 0) AS DECIMAL(12,0))
+         |      - CAST(degree_sum AS DECIMAL(13,0)) * CAST(degree_sum AS DECIMAL(13,0))
+         |      AS DECIMAL(38,0)) AS num,
+         |    CAST(CAST(4 AS DECIMAL(2,0)) * m * m AS DOUBLE) AS den
+         |  FROM dcq$r LEFT JOIN lcq$r ON dcq$r.lbl = lcq$r.lbl CROSS JOIN mq)""".stripMargin
+    s"""WITH $lpaCtesSql,
+       |mq AS (SELECT CAST(count(*) AS DECIMAL(12,0)) AS m FROM e0),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY 1),
+       |${(1 to LpaRounds).map(roundCtes).mkString(",\n")},
+       |base AS (${(1 to LpaRounds).map(r => s"SELECT * FROM base$r").mkString(" UNION ALL ")})
+       |SELECT round,
+       |  CASE WHEN lbl % 2 = 0 THEN 'c:' || CAST(lbl // 2 AS BIGINT)
+       |       ELSE 's:' || CAST((lbl - 1) // 2 AS BIGINT) END AS community,
+       |  n_nodes, internal_edges, degree_sum,
+       |  CAST(num AS DOUBLE) / den AS contribution,
+       |  CAST(sum(num) OVER (PARTITION BY round) AS DOUBLE) / den AS modularity
+       |FROM base ORDER BY round, community""".stripMargin
   }
 
   // ---------------------------------------------------------------- q123
@@ -698,6 +822,7 @@ object GraphQueries {
     "q130_hits" -> (q130Hits _),
     "q145_sssp" -> (q145Sssp _),
     "q151_kcore" -> (q151KCore _),
+    "q156_modularity" -> (q156Modularity _),
     "q93_pagerank" -> (q93PageRank _))
 
   val oracleSql: Map[String, String] = Map(
@@ -708,5 +833,6 @@ object GraphQueries {
     "q130_hits" -> q130Sql,
     "q145_sssp" -> q145Sql,
     "q151_kcore" -> q151Sql,
+    "q156_modularity" -> q156Sql,
     "q93_pagerank" -> q93Sql)
 }

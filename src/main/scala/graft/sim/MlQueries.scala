@@ -2,14 +2,17 @@ package graft.sim
 
 import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Distributed model fitting over the embedding corpus — the supervised
   * companion to [[SpectralQueries]]' unsupervised power iteration: each
   * optimizer step is one full-corpus scan folding to a gradient vector,
   * the map-reduce training loop (Chu et al., NIPS 2006) that every
-  * data-parallel trainer is built on.
+  * data-parallel trainer is built on — plus the evaluation card (q154)
+  * a fitted model must ship with, the way q153 backtests q146's
+  * forecaster.
   */
 object MlQueries {
 
@@ -38,20 +41,35 @@ object MlQueries {
   private val NumFeat = 4
   private val GdSteps = 2
 
-  def q147LogisticGd(spark: SparkSession, dir: String): DataFrame = {
+  /** The feature frame shared by fit (q147) and eval (q154): x0..x<d-1>
+    * double features + y ∈ {0.0, 1.0}. */
+  private def featureFrame(spark: SparkSession, dir: String): DataFrame = {
     val feats = (0 until NumFeat).map(i =>
       element_at(col("embedding"), i + 1).cast(DoubleType).as(s"x$i"))
     val y = when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y")
-    val x = Tables(spark, dir).embeddings.select(feats :+ y: _*)
+    Tables(spark, dir).embeddings.select(feats :+ y: _*)
+  }
+
+  /** The fixed-shape margin + 6-dp sigmoid for a given weight vector —
+    * the ONE scoring expression both the in-step residual and q154's
+    * eval reuse, so train- and eval-time scores cannot diverge. */
+  private def sigmoid6(w: Array[Double]): Column = {
+    val z = (0 until NumFeat).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _) +
+      lit(w(NumFeat))
+    (lit(1.0) / (lit(1.0) + exp(-z))).cast(DecimalType(18, 6))
+  }
+
+  /** Runs the [[GdSteps]]-step fit. Returns the per-step 1-row weight
+    * frames (for q147's trajectory output) and the final weights as
+    * driver-ferried bounded scalars (for q154's scoring pass). */
+  private def fit(spark: SparkSession, dir: String): (Seq[DataFrame], Array[Double]) = {
+    val x = featureFrame(spark, dir)
 
     // one GD step from weight vector w: returns the 1-row frame holding
-    // the updated weights as DECIMAL(18,9) (w0..w<NumFeat> = features,
+    // the updated weights as DECIMAL(18,9) (w0..w<NumFeat-1> = features,
     // w<NumFeat> = bias)
     def step(w: Array[Double]): DataFrame = {
-      val z = (0 until NumFeat).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _) +
-        lit(w(NumFeat))
-      val sg = (lit(1.0) / (lit(1.0) + exp(-z))).cast(DecimalType(18, 6))
-      val resid = sg.cast(DoubleType) - col("y")
+      val resid = sigmoid6(w).cast(DoubleType) - col("y")
       val gTerms = (0 until NumFeat).map(i =>
         sum((resid * col(s"x$i")).cast(DecimalType(18, 9))).as(s"g$i")) :+
         sum(resid.cast(DecimalType(18, 9))).as(s"g$NumFeat") :+
@@ -70,6 +88,11 @@ object MlQueries {
         .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
       f
     }
+    (trajectory, w)
+  }
+
+  def q147LogisticGd(spark: SparkSession, dir: String): DataFrame = {
+    val (trajectory, _) = fit(spark, dir)
     def names(s: Int): Seq[String] =
       (0 until NumFeat).map(i => s"w${s}_x$i") :+ s"w${s}_b"
     trajectory.zipWithIndex
@@ -80,7 +103,11 @@ object MlQueries {
       .reduce(_ crossJoin _)
   }
 
-  val q147Sql: String = {
+  /** The fit CTE chain, DuckDB side (no WITH): x (features+label) and
+    * s1/g1/w1 … s<GdSteps>/g<GdSteps>/w<GdSteps> — shared by q147 and
+    * q154 so the oracle's trajectory arithmetic cannot diverge between
+    * the fit gate and the eval gate. */
+  private val mlCtesSql: String = {
     val xCols = (0 until NumFeat)
       .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(",\n|  ")
     def zSql(wRef: Int => String): String =
@@ -106,21 +133,145 @@ object MlQueries {
       if (k == 1) stepSql(1, zero, "")
       else stepSql(k, fromW(k - 1), s" CROSS JOIN w${k - 1}")
     }.mkString(",\n")
+    s"""x AS (SELECT $xCols,
+       |  CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM embeddings),
+       |$steps""".stripMargin
+  }
+
+  val q147Sql: String = {
     val outCols = (1 to GdSteps).flatMap { s =>
       (0 until NumFeat).map(i => s"CAST(w$s.w$i AS DOUBLE) AS w${s}_x$i") :+
         s"CAST(w$s.w$NumFeat AS DOUBLE) AS w${s}_b"
     }.mkString(",\n|  ")
-    s"""WITH x AS (SELECT $xCols,
-       |  CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
-       |  FROM embeddings),
-       |$steps
+    s"""WITH $mlCtesSql
        |SELECT $outCols
        |FROM ${(1 to GdSteps).map(s => s"w$s").mkString(" CROSS JOIN ")}""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q154
+  /** ROC-AUC + Brier score + 10-bin reliability (calibration) table for
+    * q147's fitted scores — the eval card a trained classifier must ship
+    * with (pairs with q147 exactly the way q153's backtest pairs with
+    * q146's forecaster; q124's estimate/calibration split, applied to a
+    * model). AUC is the tie-corrected Mann–Whitney form: over the
+    * DISTINCT-score collapse, Σ_s [pos(s)·neg_below(s) + pos(s)·neg(s)/2]
+    * / (P·N) — computed in the doubled all-integer form
+    * num2 = Σ_s [2·pos·neg_below + pos·neg] so every cross-row term is an
+    * exact integer and AUC is ONE IEEE division at the end.
+    *
+    * 100 TB shape: scoring rides ONE corpus scan (the margin + sigmoid
+    * are codegen'd scalar expressions); the distinct-score collapse is a
+    * map-side-combinable aggregate whose output is bounded by the score
+    * DOMAIN — the 6-dp sigmoid rounding admits at most 10⁶+1 distinct
+    * values, so the rank sweep window that follows runs on a
+    * value-cardinality frame (q131's sweep argument), never on corpus
+    * rows. Calibration bins and P/N totals fold from the same collapsed
+    * frame; nothing after the scan is corpus-sized.
+    *
+    * Parity: scores reuse the EXACT fit-time scoring expression (shared
+    * [[sigmoid6]] kernel / shared CTE text); num2 sums as DECIMAL(38,0)
+    * (P·N overflows a long at corpus scale — q125's rule); Brier terms
+    * (s−y)² are PURE decimal products of exact operands — no float ever
+    * enters, dodging the double→decimal half-way trap q146 documents
+    * (measured here: 2e-12 drift with a pow-then-round formulation);
+    * AUC/Brier/mean_score/frac_pos are each
+    * one fixed-shape IEEE division of exact sums (q146's no-output-
+    * rounding rule). */
+  def q154ModelEval(spark: SparkSession, dir: String): DataFrame = {
+    val (_, w) = fit(spark, dir)
+    val scored = featureFrame(spark, dir)
+      .select(sigmoid6(w).as("s"), col("y"))
+
+    // distinct-score collapse: (s, pos, neg) — map-side combinable,
+    // bounded by the 6-dp score domain. The Brier term (s−y)² stays in
+    // PURE decimal arithmetic (s is 6-dp decimal, y ∈ {0,1} exact): a
+    // double-pow-then-round term would hit the double→decimal half-way
+    // trap q146 documents (measured here: 2e-12 drift over 500 rows)
+    val sdiff = (col("s") - col("y").cast(DecimalType(1, 0))).cast(DecimalType(7, 6))
+    val grp = scored.groupBy(col("s"))
+      .agg(count(when(col("y") === 1.0, 1)).as("pos"),
+        count(when(col("y") === 0.0, 1)).as("neg"),
+        sum(sdiff * sdiff).as("sqerr"))
+
+    // rank sweep over the value-cardinality frame (q131's device): negs
+    // strictly below each distinct score
+    val wBelow = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val swept = grp.withColumn("neg_below", coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+
+    // per-row term in decimal BEFORE the multiply: pos·(2·neg_below+neg)
+    // can pass 2^63 at corpus scale (the inner long 2·neg_below+neg ≤ ~2N
+    // stays safe); DuckDB's side computes the same exact integer in
+    // native 128-bit, so the differing shapes agree bit-for-bit
+    val totals = swept.agg(
+      sum((col("pos").cast(DecimalType(19, 0)) *
+        (lit(2L) * col("neg_below") + col("neg")))
+        .cast(DecimalType(38, 0))).as("num2"),
+      sum(col("pos")).as("p"),
+      sum(col("neg")).as("n"),
+      sum(col("sqerr")).as("sq"))
+      .select(
+        (col("num2").cast(DoubleType) /
+          (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType))).as("auc"),
+        (col("sq").cast(DoubleType) /
+          (col("p") + col("n")).cast(DoubleType)).as("brier"))
+
+    // reliability bins from the same collapsed frame: fixed-width deciles
+    // of the score, mean score vs realized positive rate per bin
+    val bin = least(floor(col("s").cast(DoubleType) * lit(10.0)).cast(IntegerType), lit(9))
+    val bins = grp.groupBy(bin.as("bin"))
+      .agg(sum(col("pos") + col("neg")).as("n_rows"),
+        sum(col("s") * (col("pos") + col("neg")).cast(DecimalType(12, 0))).as("ssum"),
+        sum(col("pos")).as("npos"))
+      .select(col("bin"), col("n_rows"),
+        (col("ssum").cast(DoubleType) / col("n_rows").cast(DoubleType)).as("mean_score"),
+        (col("npos").cast(DoubleType) / col("n_rows").cast(DoubleType)).as("frac_pos"))
+
+    bins.crossJoin(broadcast(totals)).orderBy(col("bin"))
+  }
+
+  val q154Sql: String =
+    s"""WITH $mlCtesSql,
+       |scored AS (SELECT
+       |    CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(${
+      ((0 until NumFeat).map(i => s"CAST(w$GdSteps.w$i AS DOUBLE) * x$i") :+
+        s"CAST(w$GdSteps.w$NumFeat AS DOUBLE)").mkString(" + ")
+    }))) AS DECIMAL(18,6)) AS s, y
+       |  FROM x CROSS JOIN w$GdSteps),
+       |grp AS (SELECT s,
+       |    count(*) FILTER (WHERE y = 1.0) AS pos,
+       |    count(*) FILTER (WHERE y = 0.0) AS neg,
+       |    sum(CAST(s - CAST(y AS DECIMAL(1,0)) AS DECIMAL(7,6))
+       |      * CAST(s - CAST(y AS DECIMAL(1,0)) AS DECIMAL(7,6))) AS sqerr
+       |  FROM scored GROUP BY 1),
+       |swept AS (SELECT s, pos, neg, sqerr,
+       |    coalesce(sum(neg) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM grp),
+       |tot AS (SELECT
+       |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
+       |      / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)) AS auc,
+       |    CAST(sum(sqerr) AS DOUBLE)
+       |      / CAST(sum(pos) + sum(neg) AS DOUBLE) AS brier
+       |  FROM swept),
+       |bins AS (SELECT
+       |    least(CAST(floor(CAST(s AS DOUBLE) * 10.0) AS INT), 9) AS bin,
+       |    sum(pos + neg) AS n_rows,
+       |    sum(s * CAST(pos + neg AS DECIMAL(12,0))) AS ssum,
+       |    sum(pos) AS npos
+       |  FROM grp GROUP BY 1)
+       |SELECT bin, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(ssum AS DOUBLE) / CAST(n_rows AS DOUBLE) AS mean_score,
+       |  CAST(npos AS DOUBLE) / CAST(n_rows AS DOUBLE) AS frac_pos,
+       |  auc, brier
+       |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q147_logistic_gd" -> (q147LogisticGd _))
+    Map("q147_logistic_gd" -> (q147LogisticGd _),
+      "q154_model_eval" -> (q154ModelEval _))
 
   val oracleSql: Map[String, String] =
-    Map("q147_logistic_gd" -> q147Sql)
+    Map("q147_logistic_gd" -> q147Sql,
+      "q154_model_eval" -> q154Sql)
 }
