@@ -673,9 +673,103 @@ object MiningQueries {
     s"$rungs\nORDER BY bucket_width"
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Item-item collaborative filtering over order baskets at the OPEN
+    * part-key domain: cosine similarity on co-purchase counts
+    * (sim(a,b) = c_ab / √(c_a·c_b), Sarwar et al., WWW'01), materialized
+    * as each item's top-[[CfTopK]] neighbor list — the "customers who
+    * bought X also bought" artifact a recommender serves. Distinct from
+    * q126's 25-brand rule table: here the item domain is unbounded
+    * (thousands of part keys, the real recommender regime), the score is
+    * the symmetric normalized cosine rather than directed
+    * confidence/lift, and the deliverable is a per-item RANKED shortlist
+    * — cut by the row_number()≤k idiom so q140's injected
+    * `TopKWindowRewrite` plans it as the custom bounded-heap
+    * `TopKPerKey` operator (item-cardinality keys ≫ the window sort).
+    *
+    * 100 TB shape: the distinct (order, item) basket frame pays the one
+    * orderkey shuffle and is `localCheckpoint`ed (read by item counts
+    * AND pair generation — zero fact re-scans, q126's device). Pairs
+    * explode locally from per-basket sorted arrays, capped at
+    * [[CfBasketCap]] items per basket (the fan-out guard — q108's CoCap
+    * device; oversized baskets are promiscuous noise in CF anyway, and
+    * the cap is mirrored in the oracle). The pair shuffle carries
+    * map-side-combined (a,b) partials; the two item-count joins are
+    * long-key equi-joins AQE broadcasts below threshold (item counts ≪
+    * corpus). Nothing after the basket frame is corpus-sized.
+    *
+    * Parity: √ is IEEE-correctly-rounded in both engines and its
+    * operands are exact integer counts widened to double, so
+    * sim = c_ab / √(c_a·c_b) is a fixed-shape chain of three exactly
+    * reproducible IEEE ops — no decimal rounding needed anywhere. The
+    * top-k cut orders by (sim DESC, neighbor) — a total order, so the
+    * row_number cut is deterministic and oracle-identical. Item counts
+    * deliberately count ALL baskets (cap trims pair GENERATION only):
+    * the denominator stays the item's true reach, making capped-basket
+    * similarities conservative rather than inflated. */
+  private val CfTopK = 3
+  private val CfBasketCap = 64
+
+  def q155ItemCf(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("oid"), col("l_partkey").as("item"))
+      .distinct()
+      .localCheckpoint(true)
+    val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("ic"))
+    val pairExpr = flatten(transform(
+      sequence(lit(1), size(col("items")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("items"))),
+        j => struct(element_at(col("items"), i).as("a"),
+          element_at(col("items"), j).as("b")))))
+    val pairCnt = baskets.groupBy(col("oid"))
+      .agg(array_sort(collect_list(col("item"))).as("items"))
+      .filter(size(col("items")).between(2, CfBasketCap))
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cooc"))
+    val directed = pairCnt
+      .unionByName(pairCnt.select(col("b").as("a"), col("a").as("b"), col("cooc")))
+    val sims = directed
+      .join(itemCnt.select(col("item").as("a"), col("ic").as("ica")), Seq("a"))
+      .join(itemCnt.select(col("item").as("b"), col("ic").as("icb")), Seq("b"))
+      .select(col("a").as("item"), col("b").as("neighbor"), col("cooc"),
+        (col("cooc").cast(DoubleType) /
+          sqrt(col("ica").cast(DoubleType) * col("icb").cast(DoubleType))).as("sim"))
+    // the row_number()≤k idiom — TopKWindowRewrite plans this as the
+    // bounded-heap TopKPerKey operator (item-cardinality partitions)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("sim").desc, col("neighbor"))
+    sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CfTopK)
+      .select(col("item"), col("neighbor"), col("cooc"), col("sim"))
+      .orderBy(col("item"), col("sim").desc, col("neighbor"))
+  }
+
+  val q155Sql: String =
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem),
+       |ic AS (SELECT item, count(*) AS ic FROM b GROUP BY 1),
+       |ok AS (SELECT oid FROM b GROUP BY oid
+       |       HAVING count(*) BETWEEN 2 AND $CfBasketCap),
+       |pc AS (SELECT x.item AS a, y.item AS b, count(*) AS cooc
+       |       FROM b x JOIN b y ON x.oid = y.oid AND x.item < y.item
+       |       JOIN ok ON x.oid = ok.oid
+       |       GROUP BY 1, 2),
+       |d AS (SELECT a, b, cooc FROM pc UNION ALL SELECT b, a, cooc FROM pc),
+       |s AS (SELECT d.a AS item, d.b AS neighbor, CAST(d.cooc AS BIGINT) AS cooc,
+       |        CAST(d.cooc AS DOUBLE)
+       |          / sqrt(CAST(ia.ic AS DOUBLE) * CAST(ib.ic AS DOUBLE)) AS sim
+       |      FROM d JOIN ic ia ON d.a = ia.item JOIN ic ib ON d.b = ib.item)
+       |SELECT item, neighbor, cooc, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY item
+       |    ORDER BY sim DESC, neighbor) AS rk FROM s)
+       |WHERE rk <= $CfTopK
+       |ORDER BY item, sim DESC, neighbor""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_cep_patterns" -> (q135CepPatterns _),
     "q136_k_anonymity" -> (q136KAnonymity _),
+    "q155_item_cf" -> (q155ItemCf _),
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
@@ -687,6 +781,7 @@ object MiningQueries {
   val oracleSql: Map[String, String] = Map(
     "q135_cep_patterns" -> q135Sql,
     "q136_k_anonymity" -> q136Sql,
+    "q155_item_cf" -> q155Sql,
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,
