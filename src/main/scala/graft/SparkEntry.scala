@@ -23,6 +23,7 @@ object SparkEntry {
       graft.sql.SurvivalQueries.queries ++
       graft.text.TextQueries.queries ++
       graft.text.SearchQueries.queries ++
+      graft.text.BpeQueries.queries ++
       graft.dedup.DedupQueries.queries ++
       graft.sim.SimilarityQueries.queries ++
       graft.sim.SpectralQueries.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.sql.SurvivalQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
+      graft.text.BpeQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++
       graft.sim.SimilarityQueries.oracleSql ++
       graft.sim.SpectralQueries.oracleSql ++
