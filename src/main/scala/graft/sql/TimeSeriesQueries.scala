@@ -185,11 +185,120 @@ object TimeSeriesQueries {
        |FROM o WHERE baseline IS NOT NULL
        |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** Autocorrelation function of the zero-filled hourly event-rate series
+    * per type, at lags {1, 2, 3, 6, 12, 24} — the seasonality/persistence
+    * card (Box–Jenkins model identification): a 24 h spike in the ACF
+    * says "daily cycle", fast decay says "short memory", and it is the
+    * diagnostic read BEFORE choosing q146's smoothing constant or
+    * q117's window width. Gaps are true zeros here (no events = rate 0),
+    * so the series is completed over each type's [min, max] hour spine.
+    *
+    * 100 TB shape: the corpus folds ONCE into the map-side-combinable
+    * (type, hour) count; the spine (sequence + explode over per-type
+    * extrema) and everything after are hour-cardinality. Lag pairs come
+    * from ONE composite-key equi-join of the spine frame against itself
+    * shifted by the 6-row broadcast lag dimension — never a window over
+    * corpus rows. Output is types × lags.
+    *
+    * Parity: the estimator is cleared of its rational mean x̄ = S/n by
+    * multiplying through — r_L = (n²·P_L − n·S·T_L + k_L·S²) /
+    * (n·(n·SS − S²)) with P_L = Σx_t·x_{t+L}, T_L = Σ(x_t+x_{t+L}),
+    * SS = Σx², k_L = n−L — so numerator and denominator are EXACT
+    * DECIMAL(38,0) integers (fits for n ≤ 10⁶ spine hours and hourly
+    * counts ≤ 10⁹ — i.e. up to 10¹⁵ events per type; products stage
+    * through bounded casts to respect the 38-digit cap) and each ACF
+    * value is ONE IEEE division, q156's
+    * no-float-anywhere discipline. A constant series (zero variance)
+    * yields NULL via nullif on both engines. */
+  private val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  def q158Acf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    // zero-filled spine over each type's [min, max] hour range —
+    // hour-cardinality, read by the stats fold AND both join sides
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint(true)
+    val d15 = DecimalType(15, 0)
+    // per-type exact stats: n, S = Σx, SS = Σx²
+    val stats = spine.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum((col("x").cast(d15) * col("x").cast(d15))).as("ss"))
+    val lags = AcfLags.toDF("lag")
+    // lag pairs: one composite-key equi-join of the spine against itself
+    val lhs = spine.crossJoin(broadcast(lags))
+      .select(col("event_type").as("et"), col("lag"),
+        (col("h") + col("lag")).as("h2"), col("x").as("xa"))
+    val pairs = lhs.join(spine,
+        col("et") === col("event_type") && col("h2") === col("h"))
+      .groupBy(col("et"), col("lag"))
+      .agg(sum(col("xa").cast(d15) * col("x").cast(d15)).as("p"),
+        sum((col("xa") + col("x")).cast(d15)).as("t"),
+        count(lit(1)).as("k"))
+    // exact integer numerator/denominator, staged within the 38-digit cap
+    val n6 = col("n").cast(DecimalType(6, 0))
+    val num = (n6 * n6 * col("p").cast(DecimalType(25, 0)) -
+      n6 * col("s").cast(d15) * col("t").cast(DecimalType(16, 0)) +
+      col("k").cast(DecimalType(6, 0)) * col("s").cast(d15) * col("s").cast(d15))
+      .cast(DecimalType(38, 0))
+    val den = (n6 * (n6 * col("ss").cast(DecimalType(25, 0)) -
+      col("s").cast(d15) * col("s").cast(d15)).cast(DecimalType(31, 0)))
+      .cast(DecimalType(38, 0))
+    pairs.join(broadcast(stats), col("et") === col("event_type"))
+      .select(col("et").as("event_type"), col("lag"), col("k").as("n_pairs"),
+        (num.cast(DoubleType) / nullif(den, lit(0)).cast(DoubleType)).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q158Sql: String = {
+    val lagRows = AcfLags.map(l => s"($l)").mkString(", ")
+    s"""WITH hc AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |ext AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
+       |spx AS (SELECT ext.event_type, u.h
+       |  FROM ext, unnest(generate_series(ext.h0, ext.h1)) AS u(h)),
+       |sp AS (SELECT spx.event_type, spx.h, coalesce(hc.cnt, 0) AS x
+       |  FROM spx LEFT JOIN hc ON hc.event_type = spx.event_type AND hc.h = spx.h),
+       |st AS (SELECT event_type, count(*) AS n, sum(x) AS s,
+       |    sum(CAST(x AS DECIMAL(15,0)) * CAST(x AS DECIMAL(15,0))) AS ss
+       |  FROM sp GROUP BY 1),
+       |lg(lag) AS (VALUES $lagRows),
+       |pr AS (SELECT a.event_type AS et, lg.lag,
+       |    sum(CAST(a.x AS DECIMAL(15,0)) * CAST(b.x AS DECIMAL(15,0))) AS p,
+       |    sum(CAST(a.x + b.x AS DECIMAL(16,0))) AS t,
+       |    count(*) AS k
+       |  FROM sp a CROSS JOIN lg
+       |  JOIN sp b ON b.event_type = a.event_type AND b.h = a.h + lg.lag
+       |  GROUP BY 1, 2)
+       |SELECT pr.et AS event_type, pr.lag, CAST(pr.k AS BIGINT) AS n_pairs,
+       |  CAST(CAST(n AS DECIMAL(6,0)) * CAST(n AS DECIMAL(6,0)) * CAST(p AS DECIMAL(25,0))
+       |     - CAST(n AS DECIMAL(6,0)) * CAST(s AS DECIMAL(15,0)) * CAST(t AS DECIMAL(16,0))
+       |     + CAST(k AS DECIMAL(6,0)) * CAST(s AS DECIMAL(15,0)) * CAST(s AS DECIMAL(15,0))
+       |     AS DOUBLE)
+       |  / CAST(nullif(CAST(n AS DECIMAL(6,0)) *
+       |      CAST(CAST(n AS DECIMAL(6,0)) * CAST(ss AS DECIMAL(25,0))
+       |         - CAST(s AS DECIMAL(15,0)) * CAST(s AS DECIMAL(15,0)) AS DECIMAL(31,0)),
+       |      0) AS DOUBLE) AS acf
+       |FROM pr JOIN st ON st.event_type = pr.et
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q146_ewma_spikes" -> (q146EwmaSpikes _),
-      "q153_forecast_eval" -> (q153ForecastEval _))
+      "q153_forecast_eval" -> (q153ForecastEval _),
+      "q158_acf" -> (q158Acf _))
 
   val oracleSql: Map[String, String] =
     Map("q146_ewma_spikes" -> q146Sql,
-      "q153_forecast_eval" -> q153Sql)
+      "q153_forecast_eval" -> q153Sql,
+      "q158_acf" -> q158Sql)
 }
