@@ -267,11 +267,100 @@ object MlQueries {
        |  auc, brier
        |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Weight-of-evidence decile binning + information value of the first
+    * embedding feature against the q147 target — the feature-SCREENING
+    * card (the credit-scoring WOE/IV standard; Siddiqi 2006): per decile
+    * bin, the Laplace-smoothed log-odds lift WOE_b = ln(ps_b/ns_b), and
+    * the grand IV = Σ (ps_b − ns_b)·WOE_b that ranks features BEFORE any
+    * model is fit (IV < 0.02 ⇒ not predictive; > 0.3 ⇒ strong).
+    * Completes the supervised family: q159 screens, q147 fits, q154
+    * evaluates.
+    *
+    * 100 TB shape: ONE corpus scan collapses to the distinct-VALUE count
+    * table (map-side combinable, value-cardinality ≤ 2³² float domain);
+    * decile thresholds are q39/q122's integer-threshold device folded to
+    * ONE broadcast array row; bucket assignment runs on the collapsed
+    * frame (cheaper than q122, which assigns per corpus row) and
+    * everything after is 10-bin-sized. Smoothing is integer
+    * ((pos+1)/(P+10)) so empty-side bins are deterministic, never ±∞.
+    *
+    * Parity: counts/thresholds exact (float compares are
+    * bit-deterministic); each share is one double division; ln rounds
+    * through DECIMAL(18,6) (the q66/q74 rule) for WOE, the IV term
+    * rounds once as a whole (q122's spelling) and decimal-sums. */
+  def q159WoeIv(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).embeddings
+      .select(element_at(col("embedding"), 1).as("x"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+    val cnt = d.groupBy(col("x"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = cnt
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+    val thresholds = (1 to 9).map(i =>
+      min(when(col("cum") * 10 >= col("tot") * i, col("x"))).as(s"t$i"))
+    val tarr = cum.agg(thresholds.head, thresholds.tail: _*)
+      .select(array((1 to 9).map(i => col(s"t$i")): _*).as("ts"))
+    val byBin = cnt.crossJoin(broadcast(tarr))
+      .select((size(filter(col("ts"), t => col("x") > t)) + 1).as("bin"),
+        col("cnt"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n"), sum(col("pos")).as("n_pos"))
+    val totals = byBin.agg(sum(col("n")).as("nt"), sum(col("n_pos")).as("pt"))
+    val ps = (col("n_pos") + 1).cast(DoubleType) / (col("pt") + 10)
+    val ns = ((col("n") - col("n_pos")) + 1).cast(DoubleType) /
+      ((col("nt") - col("pt")) + 10)
+    val scored = byBin.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n"), col("n_pos"),
+        log(ps / ns).cast(DecimalType(18, 6)).cast(DoubleType).as("woe"),
+        ((ps - ns) * log(ps / ns)).cast(DecimalType(18, 6)).as("term"))
+      .localCheckpoint(true) // read twice: bin rows + the IV fold
+    val iv = scored.agg(
+      sum(col("term")).cast(DecimalType(18, 6)).cast(DoubleType).as("iv"))
+    scored.drop("term").crossJoin(broadcast(iv)).orderBy(col("bin"))
+  }
+
+  val q159Sql: String = {
+    val tmins = (1 to 9).map(i =>
+      s"min(CASE WHEN cum * 10 >= tot * $i THEN x END)").mkString(",\n|    ")
+    s"""WITH d AS (SELECT embedding[1] AS x,
+       |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+       |cnt AS (SELECT x, count(*) AS cnt, sum(y) AS pos FROM d GROUP BY 1),
+       |cum AS (SELECT x, cnt, pos,
+       |    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(cnt) OVER () AS tot FROM cnt),
+       |tarr AS (SELECT [
+       |    $tmins] AS ts FROM cum),
+       |bins AS (SELECT 1 + len(list_filter(ts, t -> x > t)) AS bin,
+       |    CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+       |  FROM cnt CROSS JOIN tarr GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(n_pos) AS BIGINT) AS pt
+       |  FROM bins),
+       |sc AS (SELECT bin, n, n_pos,
+       |    CAST(CAST(ln((CAST(n_pos + 1 AS DOUBLE) / (pt + 10))
+       |         / (CAST((n - n_pos) + 1 AS DOUBLE) / ((nt - pt) + 10)))
+       |      AS DECIMAL(18,6)) AS DOUBLE) AS woe,
+       |    CAST((CAST(n_pos + 1 AS DOUBLE) / (pt + 10)
+       |          - CAST((n - n_pos) + 1 AS DOUBLE) / ((nt - pt) + 10))
+       |      * ln((CAST(n_pos + 1 AS DOUBLE) / (pt + 10))
+       |           / (CAST((n - n_pos) + 1 AS DOUBLE) / ((nt - pt) + 10)))
+       |      AS DECIMAL(18,6)) AS term
+       |  FROM bins CROSS JOIN tot),
+       |iv AS (SELECT CAST(CAST(sum(term) AS DECIMAL(18,6)) AS DOUBLE) AS iv FROM sc)
+       |SELECT bin, n, n_pos, woe, iv
+       |FROM sc CROSS JOIN iv ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q147_logistic_gd" -> (q147LogisticGd _),
-      "q154_model_eval" -> (q154ModelEval _))
+      "q154_model_eval" -> (q154ModelEval _),
+      "q159_woe_iv" -> (q159WoeIv _))
 
   val oracleSql: Map[String, String] =
     Map("q147_logistic_gd" -> q147Sql,
-      "q154_model_eval" -> q154Sql)
+      "q154_model_eval" -> q154Sql,
+      "q159_woe_iv" -> q159Sql)
 }
