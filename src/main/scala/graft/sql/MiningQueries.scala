@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Pattern-mining and data-profiling cards — the corpus-curation questions
   * that sit between the relational core ([[RelationalQueries]]) and the
@@ -766,10 +766,82 @@ object MiningQueries {
        |WHERE rk <= $CfTopK
        |ORDER BY item, sim DESC, neighbor""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** ε-differentially-private release of the customers-per-nation
+    * histogram (Laplace mechanism, ε = 1, Dwork et al. TCC'06) plus the
+    * private-side utility audit — the OTHER privacy lever next to q136's
+    * k-anonymity ladder: q136 measures re-identification risk of a raw
+    * release, q160 produces the noised release a DP pipeline actually
+    * publishes, with the realized per-cell error and mean |noise| that
+    * only the data owner can see. Noise is SEEDED: u derives from the
+    * shared md5/hex60 kernel on the cell key (the q63/q91/q98 device),
+    * so the release is reproducible run-to-run and the ORACLE draws the
+    * identical noise — hash equality gates the whole mechanism. (A
+    * production release would swap the seed string per epoch; the
+    * mechanism and ε-accounting are unchanged.)
+    *
+    * 100 TB shape: one broadcast-dim fact aggregate (map-side
+    * combinable) folds to cell-cardinality rows; the noise draw, clip,
+    * and audit all run on that 25-row frame. Parity: u sits on the
+    * integer 10⁶ grid ((m+0.5)/10⁶, endpoints unreachable so ln never
+    * sees 0); the Laplace inverse-CDF ln rounds through DECIMAL(18,6)
+    * (q74's rule) and the integerized noise is a half-away-from-zero
+    * decimal round — identical in both engines; clipping at 0 is
+    * post-processing (ε unchanged). */
+  private val DpGrid = 1000000L
+
+  def q160DpHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val counts = t.customer
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("true_count"))
+    val m = graft.text.TextOps.hex60(concat(lit("dp:"), col("nation"))) % DpGrid
+    val u = (m.cast(DoubleType) + lit(0.5)) / lit(DpGrid.toDouble)
+    // Laplace inverse CDF at b = 1/ε = 1: sign(u−½)·(−ln(1−2|u−½|))
+    val lap = when(u >= 0.5, -log(lit(1.0) - lit(2.0) * (u - lit(0.5))))
+      .otherwise(log(lit(1.0) - lit(2.0) * (lit(0.5) - u)))
+    val noised = counts
+      .select(col("nation"), col("true_count"),
+        round(lap.cast(DecimalType(18, 6))).cast(LongType).as("noise"))
+      .withColumn("noisy_count",
+        greatest(lit(0L), col("true_count") + col("noise")))
+      .localCheckpoint(true) // read twice: rows + the audit fold
+    val audit = noised.agg(
+      (sum(abs(col("noise"))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("mean_abs_noise"))
+    noised.crossJoin(broadcast(audit))
+      .select(col("nation"), col("true_count"), col("noise"),
+        col("noisy_count"), col("mean_abs_noise"), lit(1.0).as("epsilon"))
+      .orderBy(col("nation"))
+  }
+
+  val q160Sql: String =
+    s"""WITH c AS (SELECT n_name AS nation, count(*) AS true_count
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1),
+       |nz AS (SELECT nation, CAST(true_count AS BIGINT) AS true_count,
+       |    CAST(round(CAST(
+       |      CASE WHEN u >= 0.5 THEN -ln(1.0 - 2.0 * (u - 0.5))
+       |           ELSE ln(1.0 - 2.0 * (0.5 - u)) END
+       |      AS DECIMAL(18,6))) AS BIGINT) AS noise
+       |  FROM (SELECT nation, true_count,
+       |      (CAST(('0x' || substr(md5('dp:' || nation), 1, 15))::BIGINT % $DpGrid AS DOUBLE)
+       |        + 0.5) / ${DpGrid.toDouble} AS u
+       |    FROM c)),
+       |aud AS (SELECT CAST(sum(abs(noise)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS mean_abs_noise FROM nz)
+       |SELECT nation, true_count, noise,
+       |  greatest(CAST(0 AS BIGINT), true_count + noise) AS noisy_count,
+       |  mean_abs_noise, CAST(1.0 AS DOUBLE) AS epsilon
+       |FROM nz CROSS JOIN aud ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_cep_patterns" -> (q135CepPatterns _),
     "q136_k_anonymity" -> (q136KAnonymity _),
     "q155_item_cf" -> (q155ItemCf _),
+    "q160_dp_histogram" -> (q160DpHistogram _),
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
@@ -782,6 +854,7 @@ object MiningQueries {
     "q135_cep_patterns" -> q135Sql,
     "q136_k_anonymity" -> q136Sql,
     "q155_item_cf" -> q155Sql,
+    "q160_dp_histogram" -> q160Sql,
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,
