@@ -837,11 +837,89 @@ object MiningQueries {
        |  mean_abs_noise, CAST(1.0 AS DOUBLE) AS epsilon
        |FROM nz CROSS JOIN aud ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** A/B experiment readout: users deterministically hash-assigned to two
+    * arms (the q98 split device — exactly how a real experimentation
+    * platform buckets), metric = per-user total event value, decision =
+    * Welch-style two-sample z on the arm means — the experimentation
+    * card every growth pipeline ends in, and the inferential sibling of
+    * q134's chi-square (contingency independence) and q149's bootstrap
+    * (resampling CI): same family, the two-ARM comparison member. Output
+    * is one row per arm (n, mean, variance) with the shared t statistic
+    * and the |t| > 1.96 large-sample verdict.
+    *
+    * 100 TB shape: ONE corpus scan folds per-event values to per-user
+    * totals (the one user-keyed shuffle; arm assignment is a scan-stage
+    * hash projection, no membership table); arm stats are a
+    * 2-row map-side-combinable aggregate; the test is driver-free
+    * arithmetic on that 2-row frame. Parity: per-event values round
+    * through DECIMAL(18,6) (q85's rule) so user totals and the arm-level
+    * Σ and Σ² are exact decimals (squares at (37,12) stay under the cap
+    * for user totals < 10¹²); mean/variance/t are fixed-shape IEEE
+    * chains over those exact sums (sqrt is correctly rounded), q146's
+    * no-output-rounding rule. Arms with < 2 users yield NULL via the
+    * n−1 guard on both engines. */
+  def q161AbTest(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val perUser = Tables(spark, dir).events
+      .select(col("user_id"), col("value").cast(d6).as("v"))
+      .groupBy(col("user_id")).agg(sum(col("v")).as("tv"))
+      .select(
+        (graft.text.TextOps.hex60(concat(lit("ab:"), col("user_id").cast("string")))
+          % 2).cast("int").as("arm"),
+        col("tv").cast(DecimalType(18, 6)).as("tv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("tv")).as("s"),
+        sum(col("tv") * col("tv")).as("ss"))
+      .localCheckpoint(true) // read twice: arm rows + the 1-row test fold
+    def d(c: Column): Column = c.cast(DoubleType)
+    val mean = d(col("s")) / d(col("n_users"))
+    val varr = (d(col("n_users")) * d(col("ss")) - d(col("s")) * d(col("s"))) /
+      (d(col("n_users")) * d(when(col("n_users") > 1, col("n_users") - 1)))
+    val withStats = arms.select(col("arm"), col("n_users"),
+      mean.as("mean_value"), varr.as("var_value"))
+    val test = withStats.agg(
+      max(when(col("arm") === 0, col("mean_value"))).as("ma"),
+      max(when(col("arm") === 1, col("mean_value"))).as("mb"),
+      max(when(col("arm") === 0, col("var_value"))).as("va"),
+      max(when(col("arm") === 1, col("var_value"))).as("vb"),
+      max(when(col("arm") === 0, col("n_users"))).as("na"),
+      max(when(col("arm") === 1, col("n_users"))).as("nb"))
+      .select(((col("ma") - col("mb")) /
+        sqrt(col("va") / d(col("na")) + col("vb") / d(col("nb")))).as("t_stat"))
+      .select(col("t_stat"), (abs(col("t_stat")) > 1.96).as("significant"))
+    withStats.crossJoin(broadcast(test)).orderBy(col("arm"))
+  }
+
+  val q161Sql: String =
+    """WITH pu AS (SELECT user_id, sum(CAST(value AS DECIMAL(18,6))) AS tv
+      |  FROM events GROUP BY 1),
+      |au AS (SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS INT) AS arm,
+      |    CAST(tv AS DECIMAL(18,6)) AS tv
+      |  FROM pu),
+      |ar AS (SELECT arm, count(*) AS n_users, sum(tv) AS s,
+      |    sum(CAST(tv AS DECIMAL(19,6)) * CAST(tv AS DECIMAL(19,6))) AS ss
+      |  FROM au GROUP BY 1),
+      |st AS (SELECT arm, CAST(n_users AS BIGINT) AS n_users,
+      |    CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_value,
+      |    (CAST(n_users AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      / (CAST(n_users AS DOUBLE) * CAST(CASE WHEN n_users > 1 THEN n_users - 1 END AS DOUBLE)) AS var_value
+      |  FROM ar),
+      |ts AS (SELECT (max(CASE WHEN arm = 0 THEN mean_value END)
+      |             - max(CASE WHEN arm = 1 THEN mean_value END))
+      |    / sqrt(max(CASE WHEN arm = 0 THEN var_value END) / max(CASE WHEN arm = 0 THEN CAST(n_users AS DOUBLE) END)
+      |         + max(CASE WHEN arm = 1 THEN var_value END) / max(CASE WHEN arm = 1 THEN CAST(n_users AS DOUBLE) END))
+      |    AS t_stat FROM st)
+      |SELECT arm, n_users, mean_value, var_value, t_stat,
+      |  abs(t_stat) > 1.96 AS significant
+      |FROM st CROSS JOIN ts ORDER BY arm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_cep_patterns" -> (q135CepPatterns _),
     "q136_k_anonymity" -> (q136KAnonymity _),
     "q155_item_cf" -> (q155ItemCf _),
     "q160_dp_histogram" -> (q160DpHistogram _),
+    "q161_ab_test" -> (q161AbTest _),
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
@@ -855,6 +933,7 @@ object MiningQueries {
     "q136_k_anonymity" -> q136Sql,
     "q155_item_cf" -> q155Sql,
     "q160_dp_histogram" -> q160Sql,
+    "q161_ab_test" -> q161Sql,
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,
