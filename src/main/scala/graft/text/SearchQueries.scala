@@ -181,11 +181,93 @@ object SearchQueries {
        |SELECT doc_id, lex_rank, sem_rank, rrf
        |FROM f ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Inverted-index BUILD with a varint-delta compression audit — the
+    * materialization step between a curated corpus and the q66/q143
+    * search layer: per term (df ≥ [[IndexMinDf]]), document frequency,
+    * collection frequency, the sorted posting list, and the byte cost of
+    * storing it delta+varint-encoded vs raw 8-byte ids (the
+    * Zobel–Moffat index-compression ledger). A search stack consumes
+    * exactly this artifact; the bytes columns are the capacity-planning
+    * numbers an index deployment is sized with.
+    *
+    * 100 TB shape: one corpus scan explodes tokens and collapses to the
+    * (term, doc) posting frame — map-side combinable, the only
+    * corpus-sized shuffle, keyed by term so the per-term window and the
+    * final fold reuse its partitioning (subset satisfaction). Deltas
+    * come from ONE lag window over posting rows (posting-cardinality,
+    * term-partitioned — never global); the varint cost is an exact
+    * integer CASE ladder (doc-id gaps < 128⁵ here; extend the ladder for
+    * wider id spaces). Postings serialize via string_agg/concat_ws —
+    * deterministic in both engines because the list is sorted by the
+    * window's order. All-integer — nothing floats except the one
+    * compression-ratio division.
+    *
+    * Parity: counts/deltas/byte costs are exact integers; the posting
+    * string is the same comma-join of the same sorted ids; ratio =
+    * CAST(raw AS DOUBLE)/CAST(delta AS DOUBLE), one IEEE division. */
+  private val IndexMinDf = 5
+
+  def q162InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val postings = d
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(
+        graft.text.TextOps.normText(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val withDelta = postings
+      .withColumn("delta", coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+        col("doc_id") + 1))
+      .withColumn("vbytes",
+        when(col("delta") < 128L, 1)
+          .when(col("delta") < 16384L, 2)
+          .when(col("delta") < 2097152L, 3)
+          .when(col("delta") < 268435456L, 4)
+          .when(col("delta") < 34359738368L, 5)
+          .otherwise(6))
+    withDelta.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        concat_ws(",", sort_array(collect_list(col("doc_id")))).as("postings"),
+        sum(col("vbytes")).as("bytes_delta"))
+      .filter(col("df") >= IndexMinDf)
+      .select(col("term"), col("df"), col("cf"), col("postings"),
+        col("bytes_delta"), (col("df") * 8).as("bytes_raw"),
+        ((col("df") * 8).cast(DoubleType) / col("bytes_delta").cast(DoubleType))
+          .as("compression"))
+      .orderBy(col("term"))
+  }
+
+  val q162Sql: String = {
+    val toks =
+      s"string_split(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g'))), ' ')"
+    s"""WITH p AS (SELECT term, doc_id, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |wd AS (SELECT term, doc_id, tf,
+       |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+       |             doc_id + 1) AS delta
+       |  FROM p),
+       |vb AS (SELECT term, doc_id, tf,
+       |    CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
+       |         WHEN delta < 2097152 THEN 3 WHEN delta < 268435456 THEN 4
+       |         WHEN delta < 34359738368 THEN 5 ELSE 6 END AS vbytes
+       |  FROM wd)
+       |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       |  CAST(sum(vbytes) AS BIGINT) AS bytes_delta,
+       |  CAST(count(*) * 8 AS BIGINT) AS bytes_raw,
+       |  CAST(count(*) * 8 AS DOUBLE) / CAST(sum(vbytes) AS DOUBLE) AS compression
+       |FROM vb GROUP BY term HAVING count(*) >= $IndexMinDf
+       |ORDER BY term""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q66_bm25_search" -> (q66Bm25 _),
-      "q143_rrf_fusion" -> (q143RrfFusion _))
+      "q143_rrf_fusion" -> (q143RrfFusion _),
+      "q162_inverted_index" -> (q162InvertedIndex _))
 
   val oracleSql: Map[String, String] =
     Map("q66_bm25_search" -> q66Sql,
-      "q143_rrf_fusion" -> q143Sql)
+      "q143_rrf_fusion" -> q143Sql,
+      "q162_inverted_index" -> q162Sql)
 }
