@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -914,12 +915,121 @@ object MiningQueries {
       |  abs(t_stat) > 1.96 AS significant
       |FROM st CROSS JOIN ts ORDER BY arm""".stripMargin
 
+  // ---------------------------------------------------------------- q163
+  /** RFM customer segmentation (recency / frequency / monetary quintile
+    * codes, Hughes 1994 — the classic lifecycle-marketing operator): per
+    * customer, days since last order (vs the corpus max date), order
+    * count, and total spend, each scored 1–5 by q39's integer-threshold
+    * quintiles (5 = best: most recent / most frequent / highest spend),
+    * folded to the ≤125-segment distribution with per-segment averages
+    * and share — the segment table a CRM campaign is keyed on.
+    *
+    * 100 TB shape: ONE orders scan folds to the customer-cardinality
+    * (r, f, m) frame (map-side combinable; the corpus max date is a
+    * 1-row broadcast, never a driver scalar), `localCheckpoint`ed
+    * because THREE value-collapsed threshold folds and the binning pass
+    * all read it; each quintile array folds to one broadcast row
+    * (q122's device) so scoring is a projection; everything after is
+    * segment-cardinality. Parity: days/counts are exact integers, spend
+    * rounds per order through DECIMAL(18,6) (q85's rule) and
+    * decimal-sums; threshold compares are exact; each per-segment
+    * average/share is one IEEE division of exact sums. */
+  def q163RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val o = Tables(spark, dir).orders
+    val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast(d6)).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("last_order")).as("r"), col("f"), col("m"))
+      .localCheckpoint(true)
+    // quintile cut points t1..t4 per dimension: q39's integer-threshold
+    // device over the value collapse, folded to one broadcast array row
+    def cuts(c: String): DataFrame = {
+      val cnt = cust.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val cum = cnt
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(col(c))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+      val ts = (1 to 4).map(i =>
+        min(when(col("cum") * 5 >= col("tot") * i, col(c))).as(s"t$i"))
+      cum.agg(ts.head, ts.tail: _*)
+        .select(array((1 to 4).map(i => col(s"t$i")): _*).as(s"ts_$c"))
+    }
+    def binOf(c: String): Column =
+      size(filter(col(s"ts_$c"), t => col(c) > t)) + 1
+    val scored = cust
+      .crossJoin(broadcast(cuts("r")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m")))
+      .select(col("r"), col("f"), col("m"),
+        (lit(6) - binOf("r")).as("r_score"), // recent = low days = best
+        binOf("f").as("f_score"), binOf("m").as("m_score"))
+    val segs = scored
+      .groupBy(concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("r")).as("sr"), sum(col("f")).as("sf"), sum(col("m")).as("sm"))
+      .localCheckpoint(true) // read twice: rows + the share denominator
+    val tot = segs.agg(sum(col("n_customers")).as("nt"))
+    def dv(c: Column): Column = c.cast(DoubleType)
+    segs.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n_customers"),
+        (dv(col("sr")) / dv(col("n_customers"))).as("avg_recency_days"),
+        (dv(col("sf")) / dv(col("n_customers"))).as("avg_orders"),
+        (dv(col("sm")) / dv(col("n_customers"))).as("avg_spend"),
+        (dv(col("n_customers")) / dv(col("nt"))).as("share"))
+      .orderBy(col("segment"))
+  }
+
+  val q163Sql: String = {
+    def cutsSql(c: String): String = {
+      val ts = (1 to 4).map(i =>
+        s"min(CASE WHEN cum * 5 >= tot * $i THEN v END)").mkString(", ")
+      s"""cut_$c AS (SELECT [$ts] AS ts_$c FROM (
+         |  SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(cnt) OVER () AS tot
+         |  FROM (SELECT $c AS v, count(*) AS cnt FROM cust GROUP BY 1)))""".stripMargin
+    }
+    s"""WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+       |cust AS (SELECT o_custkey,
+       |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+       |              CAST((SELECT maxd FROM maxd) AS DATE)) AS r,
+       |    count(*) AS f,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS m
+       |  FROM orders GROUP BY 1),
+       |${cutsSql("r")},
+       |${cutsSql("f")},
+       |${cutsSql("m")},
+       |sc AS (SELECT r, f, m,
+       |    6 - (1 + len(list_filter(ts_r, t -> r > t))) AS r_score,
+       |    1 + len(list_filter(ts_f, t -> f > t)) AS f_score,
+       |    1 + len(list_filter(ts_m, t -> m > t)) AS m_score
+       |  FROM cust CROSS JOIN cut_r CROSS JOIN cut_f CROSS JOIN cut_m),
+       |sg AS (SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |         || CAST(m_score AS VARCHAR) AS segment,
+       |    count(*) AS n_customers, sum(r) AS sr, sum(f) AS sf, sum(m) AS sm
+       |  FROM sc GROUP BY 1),
+       |tt AS (SELECT sum(n_customers) AS nt FROM sg)
+       |SELECT segment, CAST(n_customers AS BIGINT) AS n_customers,
+       |  CAST(sr AS DOUBLE) / CAST(n_customers AS DOUBLE) AS avg_recency_days,
+       |  CAST(sf AS DOUBLE) / CAST(n_customers AS DOUBLE) AS avg_orders,
+       |  CAST(sm AS DOUBLE) / CAST(n_customers AS DOUBLE) AS avg_spend,
+       |  CAST(n_customers AS DOUBLE) / CAST(nt AS DOUBLE) AS share
+       |FROM sg CROSS JOIN tt ORDER BY segment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_cep_patterns" -> (q135CepPatterns _),
     "q136_k_anonymity" -> (q136KAnonymity _),
     "q155_item_cf" -> (q155ItemCf _),
     "q160_dp_histogram" -> (q160DpHistogram _),
     "q161_ab_test" -> (q161AbTest _),
+    "q163_rfm_segments" -> (q163RfmSegments _),
     "q126_basket_rules" -> (q126BasketRules _),
     "q127_data_profile" -> (q127DataProfile _),
     "q128_fuzzy_blocking" -> (q128FuzzyBlocking _),
@@ -934,6 +1044,7 @@ object MiningQueries {
     "q155_item_cf" -> q155Sql,
     "q160_dp_histogram" -> q160Sql,
     "q161_ab_test" -> q161Sql,
+    "q163_rfm_segments" -> q163Sql,
     "q126_basket_rules" -> q126Sql,
     "q127_data_profile" -> q127Sql,
     "q128_fuzzy_blocking" -> q128Sql,
