@@ -98,6 +98,30 @@ object Scale {
     "q141_dup_weights",
     // q142: q121's corpus pass + type²-bounded induction frames
     "q142_markov_absorption",
+    // round-9 late batch: q154 is q147's scan schedule twice + a
+    // domain-bounded score collapse (value-blind like q137 — identical-
+    // vector replicas are an honest COST proxy; the sweep frame is
+    // capped by the 6-dp score domain either way); q156 runs the q118
+    // schedule ×3 rounds over the disconnected trade-graph copies;
+    // q157's cost is the corpus word explode (grows 10×) — merge rounds
+    // ride the barely-growing vocab frame, which organic growth also
+    // keeps Zipf-sublinear; q158 rides events (time-shifted replicas =
+    // organic longer history: the spine, join, and stats all grow with
+    // hours); q161's per-user totals deepen under the same organic-
+    // history rule (a long-running experiment); q162's posting lists
+    // DEEPEN ×10 with the term domain fixed (q69/q71's group-depth
+    // argument — an honest upper-bound stress for the lag window);
+    // q163's customer frame grows 10× via the replica key offsets;
+    // q155's baskets multiply against the UNREPLICATED part dim —
+    // exactly q126's organic-basket-growth argument.
+    // EXCLUDED: q159 (identical-vector replicas keep the distinct-value
+    // collapse constant — organic growth widens a continuous feature's
+    // value domain ~linearly, so the replica would flatter the
+    // threshold window; the q139 rule); q160 (25-row dim card, nothing
+    // to measure — the q128 rule); q164 (276-pair sample-bounded audit,
+    // same rule).
+    "q154_model_eval", "q155_item_cf", "q156_modularity", "q157_bpe_merges",
+    "q158_acf", "q161_ab_test", "q162_inverted_index", "q163_rfm_segments",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the

@@ -168,8 +168,17 @@ object GraphQueries {
     labelPropagationRounds(e0, rounds).last
 
   /** Per-round LPA label frames (round 1 … `rounds`), for trajectory
-    * consumers (q156's modularity audit). */
-  def labelPropagationRounds(e0: DataFrame, rounds: Int = LpaRounds): Seq[DataFrame] = {
+    * consumers (q156's modularity audit). `materializeEach` checkpoints
+    * every round: a caller that MATERIALIZES all rounds (the audit) must
+    * set it, or round k's lazy plan recomputes rounds 1…k−1 from scratch
+    * on every action — O(rounds²) joins (measured on q156 at sf0.1:
+    * 8.3 s per-round-recompute → 5.4 s with materialization + the
+    * single-pass union ledger; the remaining floor is the LPA rounds
+    * themselves, q118's own 2.5 s). q118 materializes only the last
+    * round and keeps the unrolled plan for Catalyst (the
+    * ≤[[CheckpointDepth]] rule). */
+  def labelPropagationRounds(e0: DataFrame, rounds: Int = LpaRounds,
+      materializeEach: Boolean = false): Seq[DataFrame] = {
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var lab = sym.select(col("src").as("v")).distinct()
@@ -189,7 +198,7 @@ object GraphQueries {
         .groupBy(col("dst"))
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
         .select(col("dst").as("v"), col("lbl"))
-      if (rounds > CheckpointDepth) lab = lab.localCheckpoint(true)
+      if (rounds > CheckpointDepth || materializeEach) lab = lab.localCheckpoint(true)
       out += lab
     }
     out.result()
@@ -266,7 +275,7 @@ object GraphQueries {
     * need. */
   def q156Modularity(spark: SparkSession, dir: String): DataFrame = {
     val e0 = tradeEdges(spark, dir).localCheckpoint(true)
-    val labs = labelPropagationRounds(e0)
+    val labs = labelPropagationRounds(e0, materializeEach = true)
     val m = e0.count() // bounded driver scalar: edge count
     // degrees off the symmetrized list = undirected degree; round-shared
     val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -276,34 +285,44 @@ object GraphQueries {
     val d19 = DecimalType(19, 0)
     val denD = (BigInt(m) * BigInt(m) * 4).doubleValue // round-to-nearest, both engines
 
-    // one audit ledger per LPA round: num = 4·m·L_c − d_c² per community
-    val perRound = labs.zipWithIndex.map { case (lab0, i) =>
-      val lab = lab0.localCheckpoint(true) // audited twice (lc + dc)
-      def labAs(v: String): DataFrame = {
-        val l = lab.select(col("v").as(v), col("lbl").as(s"lbl_$v"))
-        if (small) broadcast(l) else l
-      }
-      // intra-community edge count (over the DISTINCT undirected edge
-      // list — each edge counted once)
-      val lc = e0.join(labAs("src"), Seq("src")).join(labAs("dst"), Seq("dst"))
-        .filter(col("lbl_src") === col("lbl_dst"))
-        .groupBy(col("lbl_src").as("lbl")).agg(count(lit(1)).as("internal_edges"))
-      val dc = deg.join(if (small) broadcast(lab) else lab, Seq("v"))
-        .groupBy(col("lbl"))
-        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
-      dc.join(lc, Seq("lbl"), "left")
-        .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
-        .withColumn("num",
-          (lit(4L * m) * col("internal_edges").cast(d19) -
-            col("degree_sum").cast(d19) * col("degree_sum").cast(d19))
-            .cast(DecimalType(38, 0)))
-        .withColumn("round", lit(i + 1))
-    }
+    // ONE audit pass for ALL rounds: the three (materialized) label
+    // frames union into a (round, v, lbl) dimension — 3×nodes rows,
+    // broadcast below the node knob — so the edge list is joined TWICE
+    // total (src side, dst side with a round-aligned key), not twice
+    // per round; ditto the degree rollup. Measured 7.2 s → 5.4 s at
+    // sf0.1 against the per-round-ledger formulation.
+    // no checkpoint: the three inputs are already materialized per round
+    // (materializeEach) and the union is a zero-shuffle concat
+    val labAll = labs.zipWithIndex
+      .map { case (lab, i) => lab.withColumn("round", lit(i + 1)) }
+      .reduce(_ unionByName _)
+    def bc(l: DataFrame): DataFrame = if (small) broadcast(l) else l
+    val ls = labAll.select(col("round").as("r1"), col("v").as("src"),
+      col("lbl").as("lbl_src"))
+    val ld = labAll.select(col("round").as("r2"), col("v").as("vd"),
+      col("lbl").as("lbl_dst"))
+    // intra-community edge count per (round, community) — each DISTINCT
+    // undirected edge counted once per round
+    val lc = e0.join(bc(ls), Seq("src"))
+      .join(bc(ld),
+        col("dst") === col("vd") && col("r1") === col("r2") &&
+          col("lbl_src") === col("lbl_dst"))
+      .groupBy(col("r1").as("round"), col("lbl_src").as("lbl"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val dc = deg.join(bc(labAll), Seq("v"))
+      .groupBy(col("round"), col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("degree_sum"))
+    val ledger = dc.join(lc, Seq("round", "lbl"), "left")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .withColumn("num",
+        (lit(4L * m) * col("internal_edges").cast(d19) -
+          col("degree_sum").cast(d19) * col("degree_sum").cast(d19))
+          .cast(DecimalType(38, 0)))
     // per-round grand Q: exact numerators summed within the round before
     // the ONE division (a rounds-partitioned window over the
     // community-cardinality ledger, never corpus rows)
     val wRound = org.apache.spark.sql.expressions.Window.partitionBy(col("round"))
-    perRound.reduce(_ unionByName _)
+    ledger
       .withColumn("modularity",
         sum(col("num")).over(wRound).cast(DoubleType) / lit(denD))
       .select(col("round"), fmtNode(col("lbl")).as("community"), col("n_nodes"),

@@ -127,9 +127,108 @@ object SpectralQueries {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q164
+  /** Johnson–Lindenstrauss random projection (64 → [[JlOutDims]] dims,
+    * seeded ±1 signs — Achlioptas JCSS'03's database-friendly variant)
+    * with a cosine-distortion audit on a deterministic
+    * [[JlSample]]-vector sample: per pair, cosine under the full
+    * embedding vs the projection, plus the grand mean/max |Δcos| — the
+    * go/no-go card for running ANN (q25/q45) on a 4×-cheaper index, the
+    * sibling of q150's truncation audit (which cuts dims; JL MIXES
+    * them, keeping distortion dimension-uniform). Cosine is
+    * scale-invariant, so the usual 1/√k factor is dropped.
+    *
+    * 100 TB shape: the sign matrix is 64×16 LITERALS baked into the
+    * plan at build time (driver computes md5 constants, never data);
+    * the projection is a narrow per-row expression a full-corpus
+    * materialization would run scan-shaped — here it runs on the
+    * 24-row audit sample picked by hash-order TakeOrdered (q24's
+    * bounded-queries device; the 276-pair cross join never touches the
+    * corpus). Parity: ±1·x terms fold left-to-right in double matching
+    * `list_dot_product`'s fold (the q24 contract); cosines round to
+    * 4 dp; |Δ| rounds through DECIMAL(18,6) and decimal-sums for the
+    * grand mean (one IEEE division); max over identical doubles. */
+  private val JlOutDims = 16
+  private val JlInDims  = 64
+  private val JlSample  = 24
+
+  /** Seeded ±1 entry of the projection matrix — a BUILD-TIME constant
+    * (both the plan and the oracle text embed the same literals). */
+  private def jlSign(i: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$i:$j".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) 1.0 else -1.0
+  }
+
+  def q164JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dot  = (a: Column, b: Column) => graft.expr.VecDot.dot(a, b)
+    val e = Tables(spark, dir).embeddings
+    val hj = graft.text.TextOps.hex60(concat(lit("jls:"), col("vec_id").cast("string")))
+    val sample = e
+      .select(col("vec_id"), col("embedding"), hj.as("hj"))
+      .orderBy(col("hj"), col("vec_id")).limit(JlSample)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // read by both sides of the pair join
+    def proj(x: Column, j: Int): Column =
+      (0 until JlInDims).map(i =>
+        lit(jlSign(i, j)) * element_at(x, i + 1).cast(DoubleType)).reduce(_ + _)
+    val projected = sample.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"),
+      array((0 until JlOutDims).map(j => proj(col("embedding"), j)): _*).as("pv"))
+      .localCheckpoint(true)
+    def side(s: String): DataFrame = projected.select(
+      col("vec_id").as(s"id_$s"), col("cv").as(s"cv_$s"), col("pv").as(s"pv_$s"))
+    def cosine(a: Column, b: Column): Column =
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val pairs = side("a").join(side("b"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("cv_a"), col("cv_b")), 4).as("cos_full"),
+        round(cosine(col("pv_a"), col("pv_b")), 4).as("cos_proj"))
+      .withColumn("err", abs(col("cos_full") - col("cos_proj")).cast(DecimalType(18, 6)))
+      .localCheckpoint(true) // read twice: pair rows + the audit fold
+    val grand = pairs.agg(
+      (sum(col("err")).cast(DoubleType) / count(lit(1)).cast(DoubleType)).as("mean_abs_err"),
+      max(col("err").cast(DoubleType)).as("max_abs_err"))
+    pairs
+      .select(col("id_a"), col("id_b"), col("cos_full"), col("cos_proj"),
+        col("err").cast(DoubleType).as("abs_err"))
+      .crossJoin(broadcast(grand))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q164Sql: String = {
+    def projSql(v: String, j: Int): String =
+      (0 until JlInDims).map { i =>
+        val s = if (jlSign(i, j) > 0) "1.0" else "-1.0"
+        s"$s * $v[${i + 1}]"
+      }.mkString(" + ")
+    val pvList = (0 until JlOutDims).map(j => projSql("cv", j)).mkString(",\n|    ")
+    s"""WITH h AS (SELECT vec_id, embedding::DOUBLE[] AS cv,
+       |    ('0x' || substr(md5('jls:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS hj
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, cv FROM h ORDER BY hj, vec_id LIMIT $JlSample),
+       |p AS (SELECT vec_id, cv, [
+       |    $pvList] AS pv FROM s),
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(list_dot_product(a.cv, b.cv)
+       |      / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 4) AS cos_full,
+       |    round(list_dot_product(a.pv, b.pv)
+       |      / (sqrt(list_dot_product(a.pv, a.pv)) * sqrt(list_dot_product(b.pv, b.pv))), 4) AS cos_proj
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+       |er AS (SELECT *, CAST(abs(cos_full - cos_proj) AS DECIMAL(18,6)) AS err FROM pr),
+       |g AS (SELECT CAST(sum(err) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_abs_err,
+       |    max(CAST(err AS DOUBLE)) AS max_abs_err FROM er)
+       |SELECT id_a, id_b, cos_full, cos_proj, CAST(err AS DOUBLE) AS abs_err,
+       |  mean_abs_err, max_abs_err
+       |FROM er CROSS JOIN g ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q137_pca_power" -> (q137PcaPower _))
+    "q137_pca_power" -> (q137PcaPower _),
+    "q164_jl_projection" -> (q164JlProjection _))
 
   val oracleSql: Map[String, String] = Map(
-    "q137_pca_power" -> q137Sql)
+    "q137_pca_power" -> q137Sql,
+    "q164_jl_projection" -> q164Sql)
 }
