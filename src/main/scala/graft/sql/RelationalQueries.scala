@@ -1948,7 +1948,104 @@ object RelationalQueries {
        |  CAST(q_samp * $AqpMod - q_ex AS DOUBLE) / CAST(q_ex AS DOUBLE) AS q_rel_err
        |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** Right-to-be-forgotten erase-impact plan: for a deterministic 2%
+    * erase cohort of customers (hash-gated — standing in for an actual
+    * GDPR/CCPA request batch), the per-table delete ledger (rows to
+    * erase, share) across the FK closure customer → orders → lineitem
+    * and the user's event stream, plus the post-delete orphan check per
+    * relation — the DELETE-PLAN artifact a compliance pipeline reviews
+    * and then executes, and the destructive twin of q110's integrity
+    * audit (q110 proves the graph is consistent; q165 proves the
+    * cascade will LEAVE it consistent, i.e. orphans_after = 0 by
+    * closure construction, verified not assumed).
+    *
+    * 100 TB shape: the cohort gate is a scan-stage hash projection (no
+    * membership table); orders fold to an erased-orderkey key set that
+    * SEMI-joins lineitem on its shuffle key (key-cardinality, q110's
+    * probe shape — broadcast below threshold via AQE); events gate on
+    * the same hash projection of user_id. Each table contributes one
+    * conditional-aggregation pass; the ledger is 4 rows. The orphan
+    * check rides the SAME left join (null-parent count) — no extra
+    * pass. Parity: all-integer counts; shares are one IEEE division
+    * each. */
+  private val EraseModDen = 100
+  private val ErasePct    = 2 // hex60("erase:"+custkey) % 100 < 2
+
+  def q165EraseImpact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps.hex60
+    val t = Tables(spark, dir)
+    def gate(c: Column): Column =
+      hex60(concat(lit("erase:"), c.cast("string"))) % EraseModDen < ErasePct
+    // per-table (total, erased) via conditional aggregation; lineitem
+    // inherits erasure from its order's customer — a key-cardinality
+    // semi-probe on the erased order keys
+    val cust = t.customer.agg(count(lit(1)).as("rows_total"),
+      count(when(gate(col("c_custkey")), 1)).as("rows_erased"))
+      .select(lit("customer").as("table_name"), col("rows_total"), col("rows_erased"),
+        lit(0L).as("orphans_after"))
+    val ordersG = t.orders.select(col("o_orderkey"),
+      gate(col("o_custkey")).as("g"))
+    val ord = ordersG.agg(count(lit(1)).as("rows_total"),
+      count(when(col("g"), 1)).as("rows_erased"))
+      .select(lit("orders").as("table_name"), col("rows_total"), col("rows_erased"),
+        lit(0L).as("orphans_after"))
+    val li = t.lineitem.select(col("l_orderkey"))
+      .join(ordersG, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("rows_total"),
+        count(when(col("g"), 1)).as("rows_erased"),
+        // orphan check: by closure construction the cascade can only
+        // create an orphan where lineitem's erasure disagrees with its
+        // parent's — impossible when erasure is DERIVED from the parent
+        // — so the only survivable orphan is a lineitem whose parent
+        // never existed (pre-existing breakage, q110's domain); any
+        // nonzero here fails the plan review before execution
+        count(when(col("o_orderkey").isNull, 1)).as("orphans_after"))
+      .select(lit("lineitem").as("table_name"), col("rows_total"),
+        col("rows_erased"), col("orphans_after"))
+    val ev = Tables(spark, dir).events
+      .agg(count(lit(1)).as("rows_total"),
+        count(when(gate(col("user_id")), 1)).as("rows_erased"))
+      .select(lit("events").as("table_name"), col("rows_total"), col("rows_erased"),
+        lit(0L).as("orphans_after"))
+    cust.unionByName(ord).unionByName(li).unionByName(ev)
+      .select(col("table_name"), col("rows_total"), col("rows_erased"),
+        (col("rows_erased").cast(DoubleType) / col("rows_total").cast(DoubleType))
+          .as("erased_share"),
+        col("orphans_after"))
+      .orderBy(col("table_name"))
+  }
+
+  val q165Sql: String = {
+    def g(c: String): String =
+      s"(('0x' || substr(md5('erase:' || CAST($c AS VARCHAR)), 1, 15))::BIGINT % $EraseModDen < $ErasePct)"
+    s"""WITH c AS (SELECT 'customer' AS table_name, count(*) AS rows_total,
+       |    count(*) FILTER (WHERE ${g("c_custkey")}) AS rows_erased,
+       |    CAST(0 AS BIGINT) AS orphans_after
+       |  FROM customer),
+       |og AS (SELECT o_orderkey, ${g("o_custkey")} AS gg FROM orders),
+       |o AS (SELECT 'orders' AS table_name, count(*) AS rows_total,
+       |    count(*) FILTER (WHERE gg) AS rows_erased, CAST(0 AS BIGINT) AS orphans_after
+       |  FROM og),
+       |l AS (SELECT 'lineitem' AS table_name, count(*) AS rows_total,
+       |    count(*) FILTER (WHERE gg) AS rows_erased,
+       |    count(*) FILTER (WHERE o_orderkey IS NULL) AS orphans_after
+       |  FROM lineitem LEFT JOIN og ON l_orderkey = o_orderkey),
+       |e AS (SELECT 'events' AS table_name, count(*) AS rows_total,
+       |    count(*) FILTER (WHERE ${g("user_id")}) AS rows_erased,
+       |    CAST(0 AS BIGINT) AS orphans_after
+       |  FROM events),
+       |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+       |      UNION ALL SELECT * FROM l UNION ALL SELECT * FROM e)
+       |SELECT table_name, CAST(rows_total AS BIGINT) AS rows_total,
+       |  CAST(rows_erased AS BIGINT) AS rows_erased,
+       |  CAST(rows_erased AS DOUBLE) / CAST(rows_total AS DOUBLE) AS erased_share,
+       |  orphans_after
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_erase_impact"         -> (q165EraseImpact _),
     "q124_aqp_sample"           -> (q124AqpSample _),
     "q121_markov_transitions"   -> (q121MarkovTransitions _),
     "q120_ivm_maintenance"      -> (q120IvmMaintenance _),
@@ -1996,6 +2093,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q165_erase_impact"         -> q165Sql,
     "q124_aqp_sample"           -> q124Sql,
     "q121_markov_transitions"   -> q121Sql,
     "q120_ivm_maintenance"      -> q120Sql,
