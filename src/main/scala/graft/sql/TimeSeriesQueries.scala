@@ -292,13 +292,63 @@ object TimeSeriesQueries {
        |ORDER BY event_type, lag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q166
+  /** Multiplicative monthly seasonal indices of order revenue (the
+    * ratio-to-overall decomposition, the first stage of classical
+    * X-11-style seasonal adjustment): per calendar month, the revenue
+    * across all observed (year, month) cells relative to the overall
+    * monthly mean — index > 1 ⇒ seasonally strong month — plus the
+    * deseasonalization ledger (n cells, total revenue). The calendar
+    * companion to q158's ACF (ACF detects periodicity; the index
+    * QUANTIFIES it per phase) and the seasonality input a forecast like
+    * q146 would be adjusted by.
+    *
+    * 100 TB shape: ONE orders scan folds map-side to (year, month)
+    * revenue cells — everything after is cell-cardinality (≤ 12·years).
+    * Parity: revenue rounds per order through DECIMAL(18,6) (q85's
+    * rule) and decimal-sums; per-month mean, the overall mean, and each
+    * index are fixed-shape IEEE divisions of exact sums. The index
+    * formula avg_month / overall_avg spells as (sm/nm) / (st/nt) —
+    * identical text both engines. */
+  def q166SeasonalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val cells = Tables(spark, dir).orders
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(sum(col("o_totalprice").cast(d6)).as("rev"))
+      .localCheckpoint(true) // read twice: per-month fold + grand fold
+    val byMonth = cells.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("rev")).as("sm"))
+    val grand = cells.agg(count(lit(1)).as("nt"), sum(col("rev")).as("st"))
+    byMonth.crossJoin(broadcast(grand))
+      .select(col("m").as("month"), col("n_cells"),
+        col("sm").cast(DoubleType).as("revenue"),
+        ((col("sm").cast(DoubleType) / col("n_cells").cast(DoubleType)) /
+          (col("st").cast(DoubleType) / col("nt").cast(DoubleType)))
+          .as("seasonal_index"))
+      .orderBy(col("month"))
+  }
+
+  val q166Sql: String =
+    """WITH cells AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |bm AS (SELECT m, count(*) AS n_cells, sum(rev) AS sm FROM cells GROUP BY 1),
+      |g AS (SELECT count(*) AS nt, sum(rev) AS st FROM cells)
+      |SELECT m AS month, CAST(n_cells AS BIGINT) AS n_cells,
+      |  CAST(sm AS DOUBLE) AS revenue,
+      |  (CAST(sm AS DOUBLE) / CAST(n_cells AS DOUBLE))
+      |    / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
+      |FROM bm CROSS JOIN g ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q146_ewma_spikes" -> (q146EwmaSpikes _),
       "q153_forecast_eval" -> (q153ForecastEval _),
-      "q158_acf" -> (q158Acf _))
+      "q158_acf" -> (q158Acf _),
+      "q166_seasonal_index" -> (q166SeasonalIndex _))
 
   val oracleSql: Map[String, String] =
     Map("q146_ewma_spikes" -> q146Sql,
       "q153_forecast_eval" -> q153Sql,
-      "q158_acf" -> q158Sql)
+      "q158_acf" -> q158Sql,
+      "q166_seasonal_index" -> q166Sql)
 }
