@@ -130,7 +130,10 @@ object TextQueries {
     "es" -> Seq("el", "los", "y", "las", "que"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  def q17LangId(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc prediction frame (doc_id, lang, pred_lang) — q17
+    * formats it, q167 evaluates it (shared kernel so the eval can never
+    * diverge from the classifier — the q146/q153 rule). */
+  private def langScored(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     val toks = tokens(normText(col("text")))
     val scored = d.select(
@@ -143,13 +146,17 @@ object TextQueries {
       val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
       when(ge, lit(l)).otherwise(rest)
     }
-    scored
-      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
-      .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))
-      .orderBy(col("doc_id"))
+    scored.select(col("doc_id"), col("lang"), pred.as("pred_lang"))
   }
 
-  val q17Sql: String = {
+  def q17LangId(spark: SparkSession, dir: String): DataFrame =
+    langScored(spark, dir)
+      .withColumn("agree", (col("lang") === col("pred_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+
+  /** The shared scored subquery, DuckDB side (SELECT doc_id, lang,
+    * pred_lang) — q17 and q167 both build on this exact text. */
+  private val langScoredSql: String = {
     val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     val scores = markers.map { case (l, ws) => s"${sqlCountIn(toks, ws)} AS s_$l" } :+
       s"len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh"
@@ -158,11 +165,82 @@ object TextQueries {
       val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"CASE WHEN $ge THEN '$l' ELSE $rest END"
     }
-    s"""SELECT doc_id, lang, pred_lang, CAST(lang = pred_lang AS INT) AS agree
-       |FROM (SELECT doc_id, lang, $pred AS pred_lang
-       |      FROM (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents))
-       |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang, $pred AS pred_lang
+       |      FROM (SELECT doc_id, lang, ${scores.mkString(", ")} FROM documents)""".stripMargin
   }
+
+  val q17Sql: String =
+    s"""SELECT doc_id, lang, pred_lang, CAST(lang = pred_lang AS INT) AS agree
+       |FROM ($langScoredSql)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** Classifier evaluation of q17's language-ID against the dataset's
+    * label column: per true language, support, prediction count, true
+    * positives, precision / recall / F1, plus overall accuracy and
+    * macro-F1 — the eval card a deployed classifier ships with (the
+    * q154-for-q147 pattern applied to q17; together the eval family now
+    * covers a forecaster (q153), a probabilistic classifier (q154), and
+    * a hard classifier (q167)). F1 uses the 2·TP/(n_pred + n_true)
+    * identity — one fixed-shape division instead of a p,r chain.
+    *
+    * 100 TB shape: the per-doc scoring is q17's narrow codegen'd pass;
+    * the confusion collapse is ONE map-side-combinable (lang, pred)
+    * aggregate bounded by the language-pair domain; every metric runs on
+    * that ≤|langs|²-row frame. Parity: counts are exact; precision/
+    * recall/accuracy are raw IEEE divisions; F1 rounds through
+    * DECIMAL(18,6) because macro-F1 must SUM the F1s (order-free decimal
+    * sum, then one division). Zero-prediction languages yield NULL
+    * precision/F1 via nullif on both engines. */
+  def q167LangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langScored(spark, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // read three ways: by-true, by-pred, grand
+    val byTrue = cells.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("pred_lang") === col("lang"), col("n")).otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("pred_lang"))
+      .agg(sum(col("n")).as("n_pred"))
+    val d6 = DecimalType(18, 6)
+    val perLang = byTrue
+      .join(byPred, col("lang") === col("pred_lang"), "left")
+      .select(col("lang"), col("n_true"), coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        col("tp"))
+      .withColumn("precision",
+        col("tp").cast(DoubleType) / nullif(col("n_pred"), lit(0)).cast(DoubleType))
+      .withColumn("recall", col("tp").cast(DoubleType) / col("n_true").cast(DoubleType))
+      .withColumn("f1",
+        ((lit(2L) * col("tp")).cast(DoubleType) /
+          nullif(col("n_pred") + col("n_true"), lit(0)).cast(DoubleType)).cast(d6))
+      .localCheckpoint(true) // read twice: lang rows + the grand fold
+    val grand = perLang.agg(
+      (sum(col("tp")).cast(DoubleType) / sum(col("n_true")).cast(DoubleType)).as("accuracy"),
+      (sum(col("f1")).cast(DoubleType) / count(col("f1")).cast(DoubleType)).as("macro_f1"))
+    perLang
+      .select(col("lang"), col("n_true"), col("n_pred"), col("tp"),
+        col("precision"), col("recall"), col("f1").cast(DoubleType).as("f1"))
+      .crossJoin(broadcast(grand))
+      .orderBy(col("lang"))
+  }
+
+  val q167Sql: String =
+    s"""WITH sc AS ($langScoredSql),
+       |cells AS (SELECT lang, pred_lang, count(*) AS n FROM sc GROUP BY 1, 2),
+       |bt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+       |  FROM cells GROUP BY 1),
+       |bp AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+       |pl AS (SELECT lang, n_true, coalesce(n_pred, 0) AS n_pred, tp,
+       |    CAST(tp AS DOUBLE) / CAST(nullif(coalesce(n_pred, 0), 0) AS DOUBLE) AS precision,
+       |    CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall,
+       |    CAST(CAST(2 * tp AS DOUBLE)
+       |      / CAST(nullif(coalesce(n_pred, 0) + n_true, 0) AS DOUBLE) AS DECIMAL(18,6)) AS f1
+       |  FROM bt LEFT JOIN bp ON bt.lang = bp.pred_lang),
+       |g AS (SELECT CAST(sum(tp) AS DOUBLE) / CAST(sum(n_true) AS DOUBLE) AS accuracy,
+       |    CAST(sum(f1) AS DOUBLE) / CAST(count(f1) AS DOUBLE) AS macro_f1 FROM pl)
+       |SELECT lang, n_true, n_pred, tp, precision, recall,
+       |  CAST(f1 AS DOUBLE) AS f1, accuracy, macro_f1
+       |FROM pl CROSS JOIN g ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q18
   /** Document fingerprinting: content hash of normalized text, shingle-set
@@ -1356,6 +1434,7 @@ object TextQueries {
     "q15_text_tokens"      -> (q15TextTokens _),
     "q16_text_quality"     -> (q16TextQuality _),
     "q17_text_langid"      -> (q17LangId _),
+    "q167_langid_eval"     -> (q167LangIdEval _),
     "q18_text_fingerprint" -> (q18Fingerprint _),
     "q50_text_winnow"      -> (q50TextWinnow _),
     "q58_pii_scrub"        -> (q58PiiScrub _),
@@ -1384,6 +1463,7 @@ object TextQueries {
     "q15_text_tokens"      -> q15Sql,
     "q16_text_quality"     -> q16Sql,
     "q17_text_langid"      -> q17Sql,
+    "q167_langid_eval"     -> q167Sql,
     "q18_text_fingerprint" -> q18Sql,
     "q50_text_winnow"      -> q50Sql,
     "q58_pii_scrub"        -> q58Sql,

@@ -614,4 +614,103 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !cellPlan.contains("CartesianProduct"),
       s"q134: the 1-row total must broadcast, not cartesian\n$plan")
   }
+
+  test("q154 model eval: embeddings scan prunes to (embedding, label); sweep runs after the collapse") {
+    val plan = physical("q154_model_eval")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("vec_id")),
+      s"q154: embeddings scan reads vec_id\n$plan")
+    // the single-partition rank sweep is allowed ONLY because it follows
+    // the distinct-score collapse (domain-bounded); the collapse itself
+    // must hash-exchange on the score
+    assert(plan.contains("Exchange hashpartitioning(s#") ||
+      countOccurrences(plan, "Exchange hashpartitioning") >= 1,
+      s"q154: missing the distinct-score collapse exchange\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q154: cartesian\n$plan")
+  }
+
+  test("q155 item CF: item-count joins broadcast; no cartesian; the cut is the heap operator") {
+    val plan = physical("q155_item_cf")
+    assert(countOccurrences(plan, "BroadcastHashJoin") >= 2,
+      s"q155: the two item-count joins must broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q155: cartesian\n$plan")
+    assert(plan.contains("TopKPerKey ["), s"q155: cut did not plan as TopKPerKey\n$plan")
+  }
+
+  test("q157 BPE: merge rounds never re-read parquet — the published plan reads materialized frames") {
+    val plan = physical("q157_bpe_merges")
+    assert(!plan.contains("Scan parquet"),
+      s"q157: a merge round re-scanned the corpus instead of the checkpointed vocab\n$plan")
+  }
+
+  test("q158 ACF: corpus work sits inside the spine checkpoint; lag pairs equi-join") {
+    val plan = physical("q158_acf")
+    // the events scan + zero-fill ran once inside the localCheckpoint —
+    // the published plan must read the materialized spine, never parquet
+    assert(!plan.contains("Scan parquet"),
+      s"q158: a consumer re-scanned events instead of the spine checkpoint\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q158: cartesian\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"q158: the lag self-join must be an equi-join\n$plan")
+  }
+
+  test("q161 A/B: the test arithmetic reads only the materialized 2-row arm stats") {
+    val plan = physical("q161_ab_test")
+    // the per-user fold (the one user-keyed shuffle) ran inside the arm
+    // checkpoint; the published plan must be checkpoint-fed
+    assert(!plan.contains("Scan parquet"),
+      s"q161: the t-statistic path re-scanned events\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(user_id"),
+      s"q161: a second user-keyed shuffle leaked into the published plan\n$plan")
+  }
+
+  test("q162 inverted index: exactly the collapse + window term exchanges, no global sort") {
+    val plan = physical("q162_inverted_index")
+    // two term-keyed exchanges by design: the (term, doc) collapse ships
+    // MAP-SIDE-COMBINED partials (shuffling raw token occurrences on
+    // term alone would forfeit the combine), then the term-only exchange
+    // feeds BOTH the lag window and the final fold (subset satisfaction
+    // — a third would mean the fold re-shuffled)
+    assert(countOccurrences(plan, "Exchange hashpartitioning(term") == 2,
+      s"q162: expected the collapse + window exchanges only\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q162: no global window allowed\n$plan")
+  }
+
+  test("q163 RFM: scoring + segment fold read the materialized customer frame") {
+    val plan = physical("q163_rfm_segments")
+    // the orders scan + per-customer fold ran inside the checkpoint; the
+    // published plan reads it (scoring, segment fold, share denominator)
+    assert(!plan.contains("Scan parquet"),
+      s"q163: a consumer re-scanned orders instead of the customer checkpoint\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"),
+      s"q163: the customer fold leaked a second shuffle\n$plan")
+  }
+
+  test("q164 JL: the published plan runs on the 24-row sample — no corpus scan, no corpus shuffle") {
+    val plan = physical("q164_jl_projection")
+    // the hash-order TakeOrdered sample materialized at checkpoint time;
+    // everything visible must be sample-sized
+    assert(!plan.contains("Scan parquet"),
+      s"q164: the pair join re-scanned the corpus\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      s"q164: the corpus must not shuffle\n$plan")
+  }
+
+  test("q165 erase plan: lineitem probe is the only fact-keyed exchange; lineitem reads one column") {
+    val plan = physical("q165_erase_impact")
+    assert(!plan.contains("CartesianProduct"), s"q165: cartesian\n$plan")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.exists(_ == "ReadSchema: struct<l_orderkey:bigint>"),
+      s"q165: lineitem must prune to l_orderkey only\n$plan")
+  }
+
+  test("q166 seasonal index: both folds read the materialized cell frame; grand broadcasts") {
+    val plan = physical("q166_seasonal_index")
+    // the orders scan ran once inside the cell checkpoint; per-month and
+    // grand folds read cells
+    assert(!plan.contains("Scan parquet"),
+      s"q166: a fold re-scanned orders instead of the cell checkpoint\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q166: the 1-row grand must broadcast\n$plan")
+  }
 }
