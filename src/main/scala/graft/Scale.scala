@@ -122,6 +122,13 @@ object Scale {
     // same rule).
     "q154_model_eval", "q155_item_cf", "q156_modularity", "q157_bpe_merges",
     "q158_acf", "q161_ab_test", "q162_inverted_index", "q163_rfm_segments",
+    // q165: conditional-aggregation passes over the replicated FK tables
+    // + the organic-history events gate; q166 is scan-bound (the replica
+    // does not shift o_orderdate, so the cell frame stays fixed while
+    // the corpus-sized half scales — the q134 margin rule); q167 is
+    // q17's narrow scan + a lang²-bounded collapse (labels unchanged
+    // under replication, like q134's value-cardinality grid)
+    "q165_erase_impact", "q166_seasonal_index", "q167_langid_eval",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the
