@@ -242,6 +242,59 @@ object TextQueries {
        |  CAST(f1 AS DOUBLE) AS f1, accuracy, macro_f1
        |FROM pl CROSS JOIN g ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q168
+  /** Flesch reading-ease readability per document (206.835 − 1.015·ASL −
+    * 84.6·ASW, Flesch 1948/Kincaid's constants), with sentence counts
+    * from terminal-punctuation runs and syllables from vowel-group runs
+    * — the standard readability heuristic a curation pipeline uses to
+    * band corpora by audience (and the missing member of the quality
+    * family: q16 gates on structure, q67 composes gates, q168 scores
+    * READABILITY — a different axis: high-quality text can still be
+    * graduate-level dense). Bands follow Flesch's published cut points
+    * (≥70 easy, ≥50 standard, else difficult).
+    *
+    * 100 TB shape: one narrow codegen'd regex pass per document — no
+    * shuffle except the presentation sort (q15's shape). Parity: the
+    * three counts are exact integers from the SAME regex semantics in
+    * both engines ([aeiouy]+ runs never cross the whitespace the shared
+    * tokenizer splits on; sentences = [.!?]+ runs, floored at 1); the
+    * score is a fixed-shape double chain over two IEEE ratios, rounded
+    * through DECIMAL(18,6) for the band compare so a knife-edge score
+    * can never band differently across engines. */
+  def q168Readability(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = greatest(size(tokens(normText(col("text")))), lit(1))
+    val nSents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val nSyll = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    val score = (lit(206.835)
+      - lit(1.015) * (nWords.cast(DoubleType) / nSents.cast(DoubleType))
+      - lit(84.6) * (nSyll.cast(DoubleType) / nWords.cast(DoubleType)))
+      .cast(DecimalType(18, 6))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyll.as("n_syllables"), score.cast(DoubleType).as("flesch"),
+        when(score >= 70, "easy").when(score >= 50, "standard")
+          .otherwise("difficult").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q168Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CAST(fl AS DOUBLE) AS flesch,
+       |  CASE WHEN fl >= 70 THEN 'easy' WHEN fl >= 50 THEN 'standard'
+       |       ELSE 'difficult' END AS band
+       |FROM (SELECT doc_id, n_words, n_sentences, n_syllables,
+       |    CAST(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+       |       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |      AS DECIMAL(18,6)) AS fl
+       |  FROM (SELECT doc_id,
+       |      greatest(len($toks), 1) AS n_words,
+       |      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+       |      greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q18
   /** Document fingerprinting: content hash of normalized text, shingle-set
     * signature (order-independent), shingle count, and min shingle hash
@@ -1433,6 +1486,7 @@ object TextQueries {
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q15_text_tokens"      -> (q15TextTokens _),
     "q16_text_quality"     -> (q16TextQuality _),
+    "q168_readability"     -> (q168Readability _),
     "q17_text_langid"      -> (q17LangId _),
     "q167_langid_eval"     -> (q167LangIdEval _),
     "q18_text_fingerprint" -> (q18Fingerprint _),
@@ -1462,6 +1516,7 @@ object TextQueries {
     "q53_stratified_sample" -> q53Sql,
     "q15_text_tokens"      -> q15Sql,
     "q16_text_quality"     -> q16Sql,
+    "q168_readability"     -> q168Sql,
     "q17_text_langid"      -> q17Sql,
     "q167_langid_eval"     -> q167Sql,
     "q18_text_fingerprint" -> q18Sql,
