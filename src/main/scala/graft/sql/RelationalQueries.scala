@@ -1887,6 +1887,174 @@ object RelationalQueries {
        |ORDER BY state, horizon""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q169
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * DATA-DRIVEN attribution standard, completing the family: q85
+    * last-touch (heuristic), q115 linear (heuristic), q169 model-based.
+    * Sessions become journeys START → events → (CONV | NULL): truncated
+    * at the first purchase (whose only outgoing edge is → CONV;
+    * purchase-free sessions terminate → NULL); the chain's
+    * [[RemHorizon]]-step conversion probability from START is computed
+    * by q142's backward induction, once on the full matrix and once per
+    * channel with that channel's rows AND columns deleted (lost mass
+    * falls to NULL — the standard no-renormalization rule). Removal
+    * effect = 1 − P_removed/P_base; attribution share normalizes the
+    * effects.
+    *
+    * 100 TB shape: the corpus work is ONE user-keyed shuffle (q121's —
+    * sessionization, truncation, lag pairs, and terminal rows all share
+    * the partition key), collapsed to the type²-bounded transition
+    * matrix and checkpointed; every one of the (1 + |channels|) ×
+    * [[RemHorizon]] induction steps runs on broadcast type²-frames and
+    * never re-touches events. Channels are FIXED literals (q75's funnel
+    * rule) so the oracle can unroll the identical removals; an absent
+    * channel filters nothing and yields effect 0.
+    *
+    * Parity: q142's discipline — transition probabilities are single
+    * divisions, per-step products round through DECIMAL(18,12) and sum
+    * exactly; the removal effect is a fixed-shape double expression
+    * rounded through DECIMAL(18,12) so the share's ΣRE is an exact
+    * decimal sum; each share is one IEEE division (NULL via nullif when
+    * nothing converts or ΣRE = 0). */
+  private val RemHorizon = 6
+  private val RemTarget = "purchase"
+  private val RemChannels = Seq("click", "error", "signup", "view")
+
+  def q169RemovalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(18, 12)
+    val sess = Sessionize.withSid(Tables(spark, dir).events)
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"))
+    val byWholeSession = Window.partitionBy(col("user_id"), col("sid"))
+    val numbered = sess.withColumn("rn", row_number().over(bySession))
+      .withColumn("prn",
+        min(when(col("event_type") === RemTarget, col("rn"))).over(byWholeSession))
+    val kept = numbered.filter(col("prn").isNull || col("rn") <= col("prn"))
+    val inner = kept
+      .withColumn("from_type",
+        coalesce(lag(col("event_type"), 1).over(bySession), lit("start")))
+      .select(col("from_type"), col("event_type").as("to_type"))
+    val terminal = kept.groupBy(col("user_id"), col("sid"))
+      .agg(max_by(col("event_type"), col("rn")).as("from_type"),
+        max(when(col("event_type") === RemTarget, 1).otherwise(0)).as("conv"))
+      .select(col("from_type"),
+        when(col("conv") === 1, "conv").otherwise("no_conv").as("to_type"))
+    val trans = inner.unionByName(terminal)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast(DoubleType) / col("from_total")).as("p"))
+      .localCheckpoint(true) // one corpus pass; every induction reads this
+    val states = trans.select(col("from_type").as("state"))
+      .unionByName(trans.select(col("to_type").as("state"))).distinct()
+      .localCheckpoint(true)
+    val zero = lit(0).cast(d12)
+
+    // q142's backward induction; returns the 1-row start-state frame
+    def absorb(tr: DataFrame): DataFrame = {
+      var pk = states.select(col("state"),
+        when(col("state") === "conv", lit(1).cast(d12)).otherwise(zero).as("ph"))
+      for (_ <- 1 to RemHorizon) {
+        val step = tr
+          .join(broadcast(pk.withColumnRenamed("state", "to_type")), Seq("to_type"))
+          .select(col("from_type"),
+            (col("p") * col("ph").cast(DoubleType)).cast(d12).as("c"))
+          .groupBy(col("from_type")).agg(sum(col("c")).cast(d12).as("s"))
+        pk = states
+          .join(broadcast(step.withColumnRenamed("from_type", "state")), Seq("state"), "left")
+          .select(col("state"),
+            when(col("state") === "conv", lit(1).cast(d12))
+              .otherwise(coalesce(col("s"), zero)).as("ph"))
+      }
+      pk.filter(col("state") === "start").select(col("ph"))
+    }
+
+    val base = absorb(trans).select(col("ph").as("pb"))
+    val removed = RemChannels.map { c =>
+      absorb(trans.filter(col("from_type") =!= c && col("to_type") =!= c))
+        .select(lit(c).as("channel"), col("ph").as("pr"))
+    }.reduce(_ unionByName _)
+    val scored = removed.crossJoin(broadcast(base))
+      .select(col("channel"), col("pb"), col("pr"),
+        (lit(1.0) - col("pr").cast(DoubleType) /
+          nullif(col("pb"), lit(0)).cast(DoubleType)).cast(d12).as("re"))
+      .localCheckpoint(true) // read twice: channel rows + the share fold
+    val tot = scored.agg(sum(col("re")).as("sre"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("channel"), col("pb").cast(DoubleType).as("p_base"),
+        col("pr").cast(DoubleType).as("p_removed"),
+        col("re").cast(DoubleType).as("removal_effect"),
+        (col("re").cast(DoubleType) /
+          nullif(col("sre"), lit(0)).cast(DoubleType)).as("attribution_share"))
+      .orderBy(col("channel"))
+  }
+
+  val q169Sql: String = {
+    def induction(tag: String, filter: String): String = {
+      def step(k: Int): String =
+        s"""${tag}p$k AS (SELECT s.state,
+           |  CASE WHEN s.state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
+           |       ELSE coalesce(x.s, CAST(0 AS DECIMAL(18,12))) END AS ph
+           |  FROM st s LEFT JOIN (
+           |    SELECT from_type, CAST(sum(CAST(p * CAST(ph AS DOUBLE) AS DECIMAL(18,12)))
+           |             AS DECIMAL(18,12)) AS s
+           |    FROM tr JOIN ${tag}p${k - 1} ON to_type = state $filter GROUP BY 1) x
+           |  ON s.state = x.from_type)""".stripMargin
+      val p0 =
+        s"""${tag}p0 AS (SELECT state,
+           |  CASE WHEN state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
+           |       ELSE CAST(0 AS DECIMAL(18,12)) END AS ph FROM st)""".stripMargin
+      (p0 +: (1 to RemHorizon).map(step)).mkString(",\n")
+    }
+    val rems = RemChannels.zipWithIndex.map { case (c, i) =>
+      induction(s"r$i", s"WHERE from_type != '$c' AND to_type != '$c'")
+    }.mkString(",\n")
+    val remRows = RemChannels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, (SELECT ph FROM r${i}p$RemHorizon WHERE state = 'start') AS pr"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+       |      FROM l),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+       |nb1 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+       |      FROM s),
+       |nb AS (SELECT *, min(CASE WHEN event_type = '$RemTarget' THEN rn END)
+       |          OVER (PARTITION BY user_id, sid) AS prn
+       |      FROM nb1),
+       |kp AS (SELECT * FROM nb WHERE prn IS NULL OR rn <= prn),
+       |inr AS (SELECT coalesce(lag(event_type, 1)
+       |          OVER (PARTITION BY user_id, sid ORDER BY us, event_id), 'start') AS from_type,
+       |        event_type AS to_type
+       |      FROM kp),
+       |ter AS (SELECT max_by(event_type, rn) AS from_type,
+       |        CASE WHEN max(CASE WHEN event_type = '$RemTarget' THEN 1 ELSE 0 END) = 1
+       |             THEN 'conv' ELSE 'no_conv' END AS to_type
+       |      FROM kp GROUP BY user_id, sid),
+       |un AS (SELECT from_type, to_type FROM inr UNION ALL SELECT from_type, to_type FROM ter),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM un GROUP BY 1, 2),
+       |tr AS (SELECT from_type, to_type,
+       |         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+       |       FROM c),
+       |st AS (SELECT DISTINCT from_type AS state FROM tr
+       |       UNION SELECT DISTINCT to_type FROM tr),
+       |${induction("b", "")},
+       |$rems,
+       |bb AS (SELECT ph AS pb FROM bp$RemHorizon WHERE state = 'start'),
+       |rr AS ($remRows),
+       |sc AS (SELECT channel, pb, pr,
+       |    CAST(1.0 - CAST(pr AS DOUBLE) / CAST(nullif(pb, 0) AS DOUBLE)
+       |      AS DECIMAL(18,12)) AS re
+       |  FROM rr CROSS JOIN bb),
+       |tt AS (SELECT sum(re) AS sre FROM sc)
+       |SELECT channel, CAST(pb AS DOUBLE) AS p_base, CAST(pr AS DOUBLE) AS p_removed,
+       |  CAST(re AS DOUBLE) AS removal_effect,
+       |  CAST(re AS DOUBLE) / CAST(nullif(sre, 0) AS DOUBLE) AS attribution_share
+       |FROM sc CROSS JOIN tt ORDER BY channel""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q124
   /** Approximate-query-processing calibration card: a DETERMINISTIC
     * 1/[[AqpMod]] Bernoulli sample (md5-hash-admitted on the row key, the
@@ -2045,6 +2213,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_removal_attribution"  -> (q169RemovalAttribution _),
     "q165_erase_impact"         -> (q165EraseImpact _),
     "q124_aqp_sample"           -> (q124AqpSample _),
     "q121_markov_transitions"   -> (q121MarkovTransitions _),
@@ -2093,6 +2262,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q169_removal_attribution"  -> q169Sql,
     "q165_erase_impact"         -> q165Sql,
     "q124_aqp_sample"           -> q124Sql,
     "q121_markov_transitions"   -> q121Sql,
