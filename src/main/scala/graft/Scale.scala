@@ -129,6 +129,11 @@ object Scale {
     // q17's narrow scan + a lang²-bounded collapse (labels unchanged
     // under replication, like q134's value-cardinality grid)
     "q165_erase_impact", "q166_seasonal_index", "q167_langid_eval",
+    // q168 is a narrow per-doc regex pass (scan-bound; replica docs are
+    // real new documents); q169 is q121's one user-keyed shuffle +
+    // type²-bounded inductions (time-shifted replicas = organic history,
+    // the q121/q142 rule)
+    "q168_readability", "q169_removal_attribution",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the
