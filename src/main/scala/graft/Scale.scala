@@ -134,6 +134,9 @@ object Scale {
     // type²-bounded inductions (time-shifted replicas = organic history,
     // the q121/q142 rule)
     "q168_readability", "q169_removal_attribution",
+    // q170 rides q157's trainer verbatim (same word-collapse honesty)
+    // and adds only 1-row stage folds
+    "q170_bpe_compression",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the
