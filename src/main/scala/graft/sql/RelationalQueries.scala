@@ -1920,8 +1920,12 @@ object RelationalQueries {
   private val RemTarget = "purchase"
   private val RemChannels = Seq("click", "error", "signup", "view")
 
-  def q169RemovalAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val d12 = DecimalType(18, 12)
+  /** The shared journey chain: sessions truncated at the first
+    * [[RemTarget]], START-prefixed, CONV/NULL-terminated, collapsed to
+    * the checkpointed row-normalized transition matrix — q169 and q171
+    * both analyze exactly this frame (the q146/q153 shared-kernel
+    * rule). */
+  private def journeyTrans(spark: SparkSession, dir: String): DataFrame = {
     val sess = Sessionize.withSid(Tables(spark, dir).events)
     val bySession = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("us"), col("event_id"))
@@ -1939,12 +1943,17 @@ object RelationalQueries {
         max(when(col("event_type") === RemTarget, 1).otherwise(0)).as("conv"))
       .select(col("from_type"),
         when(col("conv") === 1, "conv").otherwise("no_conv").as("to_type"))
-    val trans = inner.unionByName(terminal)
+    inner.unionByName(terminal)
       .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
       .withColumn("from_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"),
         (col("n").cast(DoubleType) / col("from_total")).as("p"))
       .localCheckpoint(true) // one corpus pass; every induction reads this
+  }
+
+  def q169RemovalAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val d12 = DecimalType(18, 12)
+    val trans = journeyTrans(spark, dir)
     val states = trans.select(col("from_type").as("state"))
       .unionByName(trans.select(col("to_type").as("state"))).distinct()
     val zero = lit(0).cast(d12)
@@ -1997,30 +2006,31 @@ object RelationalQueries {
       .orderBy(col("channel"))
   }
 
-  val q169Sql: String = {
-    def induction(tag: String, filter: String): String = {
-      def step(k: Int): String =
-        s"""${tag}p$k AS (SELECT s.state,
-           |  CASE WHEN s.state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
-           |       ELSE coalesce(x.s, CAST(0 AS DECIMAL(18,12))) END AS ph
-           |  FROM st s LEFT JOIN (
-           |    SELECT from_type, CAST(sum(CAST(p * CAST(ph AS DOUBLE) AS DECIMAL(18,12)))
-           |             AS DECIMAL(18,12)) AS s
-           |    FROM tr JOIN ${tag}p${k - 1} ON to_type = state $filter GROUP BY 1) x
-           |  ON s.state = x.from_type)""".stripMargin
-      val p0 =
-        s"""${tag}p0 AS (SELECT state,
-           |  CASE WHEN state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
-           |       ELSE CAST(0 AS DECIMAL(18,12)) END AS ph FROM st)""".stripMargin
-      (p0 +: (1 to RemHorizon).map(step)).mkString(",\n")
-    }
-    val rems = RemChannels.zipWithIndex.map { case (c, i) =>
-      induction(s"r$i", s"WHERE from_type != '$c' AND to_type != '$c'")
-    }.mkString(",\n")
-    val remRows = RemChannels.zipWithIndex.map { case (c, i) =>
-      s"SELECT '$c' AS channel, (SELECT ph FROM r${i}p$RemHorizon WHERE state = 'start') AS pr"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+  /** One unrolled backward induction over the `tr`/`st` journey CTEs
+    * (tags keep the chains apart) — shared by the q169 and q171
+    * oracles. */
+  private def inductionSql(tag: String, filter: String): String = {
+    def step(k: Int): String =
+      s"""${tag}p$k AS (SELECT s.state,
+         |  CASE WHEN s.state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
+         |       ELSE coalesce(x.s, CAST(0 AS DECIMAL(18,12))) END AS ph
+         |  FROM st s LEFT JOIN (
+         |    SELECT from_type, CAST(sum(CAST(p * CAST(ph AS DOUBLE) AS DECIMAL(18,12)))
+         |             AS DECIMAL(18,12)) AS s
+         |    FROM tr JOIN ${tag}p${k - 1} ON to_type = state $filter GROUP BY 1) x
+         |  ON s.state = x.from_type)""".stripMargin
+    val p0 =
+      s"""${tag}p0 AS (SELECT state,
+         |  CASE WHEN state = 'conv' THEN CAST(1 AS DECIMAL(18,12))
+         |       ELSE CAST(0 AS DECIMAL(18,12)) END AS ph FROM st)""".stripMargin
+    (p0 +: (1 to RemHorizon).map(step)).mkString(",\n")
+  }
+
+  /** The journey-chain CTEs (events → sessions → truncated journeys →
+    * row-normalized `tr` + state set `st`), DuckDB side, no WITH —
+    * shared by q169 and q171. */
+  private val journeySqlCtes: String =
+    s"""e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
        |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
        |      FROM e),
        |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
@@ -2043,11 +2053,21 @@ object RelationalQueries {
        |      FROM kp GROUP BY user_id, sid),
        |un AS (SELECT from_type, to_type FROM inr UNION ALL SELECT from_type, to_type FROM ter),
        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM un GROUP BY 1, 2),
-       |tr AS (SELECT from_type, to_type,
+       |tr AS MATERIALIZED (SELECT from_type, to_type,
        |         CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
        |       FROM c),
-       |st AS (SELECT DISTINCT from_type AS state FROM tr
-       |       UNION SELECT DISTINCT to_type FROM tr),
+       |st AS MATERIALIZED (SELECT DISTINCT from_type AS state FROM tr
+       |       UNION SELECT DISTINCT to_type FROM tr)""".stripMargin
+
+  val q169Sql: String = {
+    def induction(tag: String, filter: String): String = inductionSql(tag, filter)
+    val rems = RemChannels.zipWithIndex.map { case (c, i) =>
+      induction(s"r$i", s"WHERE from_type != '$c' AND to_type != '$c'")
+    }.mkString(",\n")
+    val remRows = RemChannels.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS channel, (SELECT ph FROM r${i}p$RemHorizon WHERE state = 'start') AS pr"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $journeySqlCtes,
        |${induction("b", "")},
        |$rems,
        |bb AS (SELECT ph AS pb FROM bp$RemHorizon WHERE state = 'start'),
@@ -2061,6 +2081,130 @@ object RelationalQueries {
        |  CAST(re AS DOUBLE) AS removal_effect,
        |  CAST(re AS DOUBLE) / CAST(nullif(sre, 0) AS DOUBLE) AS attribution_share
        |FROM sc CROSS JOIN tt ORDER BY channel""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** EXACT Shapley-value attribution over the journey chain (Shapley
+    * 1953 applied to conversion games — the axiomatic upgrade over
+    * q169's leave-one-out removal effect, which famously over-credits
+    * substitutable channels): the characteristic function v(S) =
+    * P(convert within the horizon with ONLY channel subset S present)
+    * is evaluated for ALL 2⁴ subsets of the four channels, and each
+    * channel's value is the exact weighted marginal sum
+    * φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S)). With n = 4 the
+    * game is small enough to solve EXACTLY — no sampling — and the
+    * efficiency axiom Σφ = v(full) − v(∅) holds as an algebraic
+    * identity over the computed v's (spec-pinned).
+    *
+    * 100 TB shape: the corpus cost is the SAME one user-keyed shuffle
+    * as q169 (shared [[journeyTrans]] kernel); all 16 chains run
+    * through ONE variant-tagged induction ([[RemHorizon]] checkpointed
+    * steps over a 16×type²-bounded frame — q169's device, just a wider
+    * tag), and the Shapley fold is a 32-row mapping-table join. The
+    * whole analysis layer is corpus-independent.
+    *
+    * Parity: weights enter as the INTEGER factors |S|!(n−1−|S|)! ∈
+    * {6, 2} (dividing by n! = 24 only at the very end — 1/12 is not a
+    * terminating decimal, the integers are exact); marginals
+    * v(S∪c) − v(S) are exact DECIMAL(18,12) differences, weighted sums
+    * exact decimals; φ and the share are each one IEEE division. */
+  def q171ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d12 = DecimalType(18, 12)
+    val trans = journeyTrans(spark, dir)
+    val states = trans.select(col("from_type").as("state"))
+      .unionByName(trans.select(col("to_type").as("state"))).distinct()
+    val zero = lit(0).cast(d12)
+    val n = RemChannels.length
+    val core = Seq("start", RemTarget, "conv", "no_conv")
+    def allowed(mask: Int): Seq[String] =
+      core ++ RemChannels.zipWithIndex.collect { case (c, i) if (mask & (1 << i)) != 0 => c }
+    val tagged = (0 until (1 << n)).map { m =>
+      val a = allowed(m)
+      trans.filter(col("from_type").isin(a: _*) && col("to_type").isin(a: _*))
+        .withColumn("variant", lit(m))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val vStates = states.crossJoin(
+      tagged.select(col("variant")).distinct()).localCheckpoint(true)
+    var pk = vStates.select(col("variant"), col("state"),
+      when(col("state") === "conv", lit(1).cast(d12)).otherwise(zero).as("ph"))
+    for (_ <- 1 to RemHorizon) {
+      val step = tagged
+        .join(pk.withColumnRenamed("state", "to_type"), Seq("variant", "to_type"))
+        .select(col("variant"), col("from_type"),
+          (col("p") * col("ph").cast(DoubleType)).cast(d12).as("c"))
+        .groupBy(col("variant"), col("from_type")).agg(sum(col("c")).cast(d12).as("s"))
+      pk = vStates
+        .join(step.withColumnRenamed("from_type", "state"), Seq("variant", "state"), "left")
+        .select(col("variant"), col("state"),
+          when(col("state") === "conv", lit(1).cast(d12))
+            .otherwise(coalesce(col("s"), zero)).as("ph"))
+        .localCheckpoint(true) // tiny; one shallow job per step
+    }
+    val v = pk.filter(col("state") === "start")
+      .select(col("variant"), col("ph")).localCheckpoint(true)
+    // Shapley mapping: integer weights |S|!·(n−1−|S|)! per marginal
+    def fact(x: Int): Int = (1 to x).product
+    val mapping = (for {
+      (c, i) <- RemChannels.zipWithIndex
+      m <- 0 until (1 << n) if (m & (1 << i)) == 0
+    } yield (c, m | (1 << i), m,
+        fact(Integer.bitCount(m)) * fact(n - 1 - Integer.bitCount(m))))
+      .toDF("channel", "wm", "wom", "w")
+    val contrib = broadcast(mapping)
+      .join(v.select(col("variant").as("wm"), col("ph").as("vw")), Seq("wm"))
+      .join(v.select(col("variant").as("wom"), col("ph").as("vwo")), Seq("wom"))
+      .select(col("channel"), (col("w") * (col("vw") - col("vwo"))).as("t"))
+    val phi = contrib.groupBy(col("channel")).agg(sum(col("t")).as("phi_n"))
+      .localCheckpoint(true) // read twice: channel rows + the share fold
+    val tot = phi.agg(sum(col("phi_n")).as("tot_n"))
+    val vFull = v.filter(col("variant") === ((1 << n) - 1)).select(col("ph").as("v_full"))
+    val vEmpty = v.filter(col("variant") === 0).select(col("ph").as("v_empty"))
+    phi.crossJoin(broadcast(tot)).crossJoin(broadcast(vFull)).crossJoin(broadcast(vEmpty))
+      .select(col("channel"),
+        col("v_empty").cast(DoubleType).as("v_empty"),
+        col("v_full").cast(DoubleType).as("v_full"),
+        (col("phi_n").cast(DoubleType) / lit(fact(n).toDouble)).as("shapley"),
+        (col("phi_n").cast(DoubleType) /
+          nullif(col("tot_n"), lit(0)).cast(DoubleType)).as("attribution_share"))
+      .orderBy(col("channel"))
+  }
+
+  val q171Sql: String = {
+    val n = RemChannels.length
+    val core = Seq("start", RemTarget, "conv", "no_conv")
+    def allowed(mask: Int): Seq[String] =
+      core ++ RemChannels.zipWithIndex.collect { case (c, i) if (mask & (1 << i)) != 0 => c }
+    def fact(x: Int): Int = (1 to x).product
+    val inductions = (0 until (1 << n)).map { m =>
+      val list = allowed(m).map(s => s"'$s'").mkString(", ")
+      inductionSql(s"s$m", s"WHERE from_type IN ($list) AND to_type IN ($list)")
+    }.mkString(",\n")
+    val vRows = (0 until (1 << n)).map(m =>
+      s"SELECT $m AS variant, (SELECT ph FROM s${m}p$RemHorizon WHERE state = 'start') AS ph")
+      .mkString("\nUNION ALL\n")
+    val mapRows = (for {
+      (c, i) <- RemChannels.zipWithIndex
+      m <- 0 until (1 << n) if (m & (1 << i)) == 0
+    } yield s"('$c', ${m | (1 << i)}, $m, " +
+        s"${fact(Integer.bitCount(m)) * fact(n - 1 - Integer.bitCount(m))})")
+      .mkString(",\n|  ")
+    s"""WITH $journeySqlCtes,
+       |$inductions,
+       |vv AS ($vRows),
+       |mp(channel, wm, wom, w) AS (VALUES
+       |  $mapRows),
+       |ct AS (SELECT channel, w * (a.ph - b.ph) AS t
+       |  FROM mp JOIN vv a ON mp.wm = a.variant JOIN vv b ON mp.wom = b.variant),
+       |ph AS (SELECT channel, sum(t) AS phi_n FROM ct GROUP BY 1),
+       |tt AS (SELECT sum(phi_n) AS tot_n FROM ph),
+       |vf AS (SELECT ph AS v_full FROM vv WHERE variant = ${(1 << n) - 1}),
+       |ve AS (SELECT ph AS v_empty FROM vv WHERE variant = 0)
+       |SELECT channel, CAST(v_empty AS DOUBLE) AS v_empty,
+       |  CAST(v_full AS DOUBLE) AS v_full,
+       |  CAST(phi_n AS DOUBLE) / CAST(${fact(n)} AS DOUBLE) AS shapley,
+       |  CAST(phi_n AS DOUBLE) / CAST(nullif(tot_n, 0) AS DOUBLE) AS attribution_share
+       |FROM ph CROSS JOIN tt CROSS JOIN vf CROSS JOIN ve ORDER BY channel""".stripMargin
   }
 
   // ---------------------------------------------------------------- q124
@@ -2221,6 +2365,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_shapley_attribution"  -> (q171ShapleyAttribution _),
     "q169_removal_attribution"  -> (q169RemovalAttribution _),
     "q165_erase_impact"         -> (q165EraseImpact _),
     "q124_aqp_sample"           -> (q124AqpSample _),
@@ -2270,6 +2415,7 @@ object RelationalQueries {
     "q46_salted_join"           -> (q46SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q171_shapley_attribution"  -> q171Sql,
     "q169_removal_attribution"  -> q169Sql,
     "q165_erase_impact"         -> q165Sql,
     "q124_aqp_sample"           -> q124Sql,
