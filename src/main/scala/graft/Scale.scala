@@ -137,6 +137,9 @@ object Scale {
     // q170 rides q157's trainer verbatim (same word-collapse honesty)
     // and adds only 1-row stage folds
     "q170_bpe_compression",
+    // q171: q169's corpus shuffle + a 16-way tagged induction — the
+    // analysis layer is corpus-independent like q169's
+    "q171_shapley_attribution",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the
