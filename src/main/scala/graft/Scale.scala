@@ -140,6 +140,10 @@ object Scale {
     // q171: q169's corpus shuffle + a 16-way tagged induction — the
     // analysis layer is corpus-independent like q169's
     "q171_shapley_attribution",
+    // q172: two passes over the one user-keyed session shuffle
+    // (time-shifted replicas = organic history, the q121 rule); the
+    // model broadcast and TakeOrdered cut are bounded
+    "q172_session_surprise",
     // round-10 cards: q143's two arms are corpus scans + TakeOrdered
     // (fusion is constant-bounded); q144 is a (lang, bucket)-bounded
     // aggregate over distinct-content replicas; q145/q151 run over the

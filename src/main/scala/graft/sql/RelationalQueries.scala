@@ -1793,6 +1793,89 @@ object RelationalQueries {
       |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** Session surprise scoring — behavioral anomaly detection by negative
+    * log-likelihood under q121's own first-order transition model: each
+    * session's consecutive-pair chain is scored Σ −ln p(from→to) and the
+    * [[SurpriseTopK]] most surprising sessions (by per-transition NLL —
+    * length-normalized so long ordinary sessions don't drown short
+    * bizarre ones) are surfaced with their full path. The behavioral
+    * analogue of q74's bigram-LM document scoring: q121 says what
+    * usually happens next, q172 finds the users for whom it didn't —
+    * the fraud/bot/UX-breakage triage queue. (No path column: a
+    * collect_list through a shuffle is order-nondeterministic; the
+    * triage UI re-reads the session by key.)
+    *
+    * 100 TB shape: two passes over the one user-keyed session shuffle —
+    * pass 1 folds to the type²-bounded model (map-side combinable,
+    * q121's), which broadcasts back into pass 2's scoring projection;
+    * the per-session fold reuses the user partition (subset
+    * satisfaction) and the top-k cut is TakeOrdered (bounded). The
+    * corpus-sized pair frame is deliberately NOT materialized — two
+    * cheap scans beat checkpointing an events-sized frame.
+    *
+    * Parity: p is q121's single division; each −ln p rounds through
+    * DECIMAL(18,9) (q74's ln rule) so session NLLs are exact decimal
+    * sums; nll_per_transition is one IEEE division and the top-k order
+    * ties break on (user_id, sid) — a total order. */
+  private val SurpriseTopK = 20
+
+  def q172SessionSurprise(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = DecimalType(18, 9)
+    def pairsOf(): DataFrame = {
+      val bySession = Window.partitionBy(col("user_id"), col("sid"))
+        .orderBy(col("us"), col("event_id"))
+      Sessionize.withSid(Tables(spark, dir).events)
+        .withColumn("from_type", lag(col("event_type"), 1).over(bySession))
+        .filter(col("from_type").isNotNull)
+        .select(col("user_id"), col("sid"), col("from_type"),
+          col("event_type").as("to_type"))
+    }
+    val model = pairsOf()
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+      .withColumn("from_total", sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast(DoubleType) / col("from_total")).as("p"))
+    val scored = pairsOf()
+      .join(broadcast(model), Seq("from_type", "to_type"))
+      .withColumn("term", (-log(col("p"))).cast(d9))
+    scored
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("term")).as("nll_d"))
+      .select(col("user_id"), col("sid"), col("n_transitions"),
+        col("nll_d").cast(DoubleType).as("nll"),
+        (col("nll_d").cast(DoubleType) / col("n_transitions").cast(DoubleType))
+          .as("nll_per_transition"))
+      .orderBy(col("nll_per_transition").desc, col("user_id"), col("sid"))
+      .limit(SurpriseTopK)
+  }
+
+  val q172Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |l AS (SELECT *, lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |      FROM e),
+       |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+       |      FROM l),
+       |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+       |t AS (SELECT user_id, sid, event_type AS to_type,
+       |        lag(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY us, event_id)
+       |          AS from_type
+       |      FROM s),
+       |pr AS (SELECT user_id, sid, from_type, to_type FROM t WHERE from_type IS NOT NULL),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+       |m AS (SELECT from_type, to_type,
+       |        CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p
+       |      FROM c),
+       |sc AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_transitions,
+       |        sum(CAST(-ln(p) AS DECIMAL(18,9))) AS nll_d
+       |      FROM pr JOIN m USING (from_type, to_type) GROUP BY 1, 2)
+       |SELECT user_id, CAST(sid AS BIGINT) AS sid, n_transitions,
+       |  CAST(nll_d AS DOUBLE) AS nll,
+       |  CAST(nll_d AS DOUBLE) / CAST(n_transitions AS DOUBLE) AS nll_per_transition
+       |FROM sc
+       |ORDER BY nll_per_transition DESC, user_id, sid LIMIT $SurpriseTopK""".stripMargin
+
   // ---------------------------------------------------------------- q142
   /** Markov absorption: P(reach `purchase` within k ≤ [[AbsHorizon]]
     * steps) from every state, by unrolled backward induction over
@@ -2366,6 +2449,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_shapley_attribution"  -> (q171ShapleyAttribution _),
+    "q172_session_surprise"     -> (q172SessionSurprise _),
     "q169_removal_attribution"  -> (q169RemovalAttribution _),
     "q165_erase_impact"         -> (q165EraseImpact _),
     "q124_aqp_sample"           -> (q124AqpSample _),
@@ -2416,6 +2500,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q171_shapley_attribution"  -> q171Sql,
+    "q172_session_surprise"     -> q172Sql,
     "q169_removal_attribution"  -> q169Sql,
     "q165_erase_impact"         -> q165Sql,
     "q124_aqp_sample"           -> q124Sql,
