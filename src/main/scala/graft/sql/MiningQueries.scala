@@ -777,9 +777,13 @@ object MiningQueries {
     * only the data owner can see. Noise is SEEDED: u derives from the
     * shared md5/hex60 kernel on the cell key (the q63/q91/q98 device),
     * so the release is reproducible run-to-run and the ORACLE draws the
-    * identical noise — hash equality gates the whole mechanism. (A
-    * production release would swap the seed string per epoch; the
-    * mechanism and ε-accounting are unchanged.)
+    * identical noise — hash equality gates the whole mechanism. BECAUSE
+    * the seed derivation is public (md5 of the cell name), any consumer
+    * can recompute and subtract the noise: the ε here is NOMINAL — the
+    * column is named `epsilon_nominal` and the guarantee holds only if
+    * the seed string is kept secret (a production release swaps in a
+    * secret per-epoch seed; the mechanism and ε-accounting are
+    * unchanged).
     *
     * 100 TB shape: one broadcast-dim fact aggregate (map-side
     * combinable) folds to cell-cardinality rows; the noise draw, clip,
@@ -814,7 +818,7 @@ object MiningQueries {
         count(lit(1)).cast(DoubleType)).as("mean_abs_noise"))
     noised.crossJoin(broadcast(audit))
       .select(col("nation"), col("true_count"), col("noise"),
-        col("noisy_count"), col("mean_abs_noise"), lit(1.0).as("epsilon"))
+        col("noisy_count"), col("mean_abs_noise"), lit(1.0).as("epsilon_nominal"))
       .orderBy(col("nation"))
   }
 
@@ -835,7 +839,7 @@ object MiningQueries {
        |    AS mean_abs_noise FROM nz)
        |SELECT nation, true_count, noise,
        |  greatest(CAST(0 AS BIGINT), true_count + noise) AS noisy_count,
-       |  mean_abs_noise, CAST(1.0 AS DOUBLE) AS epsilon
+       |  mean_abs_noise, CAST(1.0 AS DOUBLE) AS epsilon_nominal
        |FROM nz CROSS JOIN aud ORDER BY nation""".stripMargin
 
   // ---------------------------------------------------------------- q161

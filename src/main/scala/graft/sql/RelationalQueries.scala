@@ -2371,7 +2371,15 @@ object RelationalQueries {
     * conditional-aggregation pass; the ledger is 4 rows. The orphan
     * check rides the SAME left join (null-parent count) — no extra
     * pass. Parity: all-integer counts; shares are one IEEE division
-    * each. */
+    * each.
+    *
+    * DOMAIN ASSUMPTION (stated, verified): `events.user_id` shares the
+    * customer key domain (testdata: user_id ∈ [0,150) ⊆ c_custkey ∈
+    * [0,1500)), so gating events on hex60("erase:"||user_id) is
+    * EXACTLY the customer cohort's gate evaluated at the FK value — the
+    * same rows a semi-join on erased custkeys would select, without the
+    * join. On a schema where user_id is NOT the customer key, swap the
+    * events gate for a semi-join against the erased-custkey set. */
   private val EraseModDen = 100
   private val ErasePct    = 2 // hex60("erase:"+custkey) % 100 < 2
 

@@ -206,8 +206,10 @@ object TimeSeriesQueries {
     * (n·(n·SS − S²)) with P_L = Σx_t·x_{t+L}, T_L = Σ(x_t+x_{t+L}),
     * SS = Σx², k_L = n−L — so numerator and denominator are EXACT
     * DECIMAL(38,0) integers (fits for n ≤ 10⁶ spine hours and hourly
-    * counts ≤ 10⁹ — i.e. up to 10¹⁵ events per type; products stage
-    * through bounded casts to respect the 38-digit cap) and each ACF
+    * counts < 10⁹ — i.e. up to 10¹⁵ events per type; products stage
+    * through bounded casts to respect the 38-digit cap, and a
+    * raise_error guard fails LOUDLY past the bounds — matching DuckDB's
+    * overflow error instead of non-ANSI Spark's silent NULL) and each ACF
     * value is ONE IEEE division, q156's
     * no-float-anywhere discipline. A constant series (zero variance)
     * yields NULL via nullif on both engines. */
@@ -231,7 +233,8 @@ object TimeSeriesQueries {
     // per-type exact stats: n, S = Σx, SS = Σx²
     val stats = spine.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
-        sum((col("x").cast(d15) * col("x").cast(d15))).as("ss"))
+        sum((col("x").cast(d15) * col("x").cast(d15))).as("ss"),
+        max(col("x")).as("xmax"))
     val lags = AcfLags.toDF("lag")
     // lag pairs: one composite-key equi-join of the spine against itself
     val lhs = spine.crossJoin(broadcast(lags))
@@ -243,8 +246,19 @@ object TimeSeriesQueries {
       .agg(sum(col("xa").cast(d15) * col("x").cast(d15)).as("p"),
         sum((col("xa") + col("x")).cast(d15)).as("t"),
         count(lit(1)).as("k"))
-    // exact integer numerator/denominator, staged within the 38-digit cap
-    val n6 = col("n").cast(DecimalType(6, 0))
+    // exact integer numerator/denominator, staged within the 38-digit cap.
+    // Past the documented staging bounds (n ≤ 10⁶ spine hours, hourly
+    // counts < 10⁹) DuckDB raises a cast/overflow error while non-ANSI
+    // Spark would silently yield NULL acf — fail loudly and identically
+    // instead (ADVICE r9): the guard rides the per-output-row projection
+    // (types × lags rows), not the corpus.
+    val nGuarded = when(col("n") > lit(999999L) || col("xmax") > lit(999999999L),
+      raise_error(concat(
+        lit("q158: spine exceeds exact-integer staging bounds (n="),
+        col("n").cast("string"), lit(" > 999999 hours or max hourly count="),
+        col("xmax").cast("string"), lit(" > 999999999)"))).cast("long"))
+      .otherwise(col("n"))
+    val n6 = nGuarded.cast(DecimalType(6, 0))
     val num = (n6 * n6 * col("p").cast(DecimalType(25, 0)) -
       n6 * col("s").cast(d15) * col("t").cast(DecimalType(16, 0)) +
       col("k").cast(DecimalType(6, 0)) * col("s").cast(d15) * col("s").cast(d15))

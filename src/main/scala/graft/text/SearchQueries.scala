@@ -216,8 +216,11 @@ object SearchQueries {
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
     val withDelta = postings
+      // first posting's delta = raw doc_id (gap from an implicit 0 base,
+      // the conventional gap coding) — an id sitting exactly on a varint
+      // boundary (127, 16383, …) must not pay an extra byte
       .withColumn("delta", coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
-        col("doc_id") + 1))
+        col("doc_id")))
       .withColumn("vbytes",
         when(col("delta") < 128L, 1)
           .when(col("delta") < 16384L, 2)
@@ -245,7 +248,7 @@ object SearchQueries {
        |  GROUP BY 1, 2),
        |wd AS (SELECT term, doc_id, tf,
        |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
-       |             doc_id + 1) AS delta
+       |             doc_id) AS delta
        |  FROM p),
        |vb AS (SELECT term, doc_id, tf,
        |    CASE WHEN delta < 128 THEN 1 WHEN delta < 16384 THEN 2
