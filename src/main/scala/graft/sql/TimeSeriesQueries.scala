@@ -205,7 +205,7 @@ object TimeSeriesQueries {
     * multiplying through — r_L = (n²·P_L − n·S·T_L + k_L·S²) /
     * (n·(n·SS − S²)) with P_L = Σx_t·x_{t+L}, T_L = Σ(x_t+x_{t+L}),
     * SS = Σx², k_L = n−L — so numerator and denominator are EXACT
-    * DECIMAL(38,0) integers (fits for n ≤ 10⁶ spine hours and hourly
+    * DECIMAL(38,0) integers (fits for n < 10⁶ spine hours and hourly
     * counts < 10⁹ — i.e. up to 10¹⁵ events per type; products stage
     * through bounded casts to respect the 38-digit cap, and a
     * raise_error guard fails LOUDLY past the bounds — matching DuckDB's
@@ -247,7 +247,7 @@ object TimeSeriesQueries {
         sum((col("xa") + col("x")).cast(d15)).as("t"),
         count(lit(1)).as("k"))
     // exact integer numerator/denominator, staged within the 38-digit cap.
-    // Past the documented staging bounds (n ≤ 10⁶ spine hours, hourly
+    // Past the documented staging bounds (n < 10⁶ spine hours, hourly
     // counts < 10⁹) DuckDB raises a cast/overflow error while non-ANSI
     // Spark would silently yield NULL acf — fail loudly and identically
     // instead (ADVICE r9): the guard rides the per-output-row projection

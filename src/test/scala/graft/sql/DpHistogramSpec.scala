@@ -29,7 +29,7 @@ class DpHistogramSpec extends SparkSpec {
       assert(r.getAs[Long]("noisy_count") ==
         math.max(0L, r.getAs[Long]("true_count") + r.getAs[Long]("noise")),
         s"$nation clip law")
-      assert(r.getAs[Double]("epsilon") == 1.0)
+      assert(r.getAs[Double]("epsilon_nominal") == 1.0)
     }
   }
 
