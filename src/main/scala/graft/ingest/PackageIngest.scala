@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import graft.store.LocalStore
+import graft.store.DocumentStore
 import graft.tar.{TarMember, TarOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -191,7 +191,7 @@ object PackageIngest {
     * store's identifiers, then the reference's ordered effects
     * (`perform_ingest`, ingester.py:542-575). Returns the per-package
     * outcome table (uri, exists, will_publish, error). */
-  def ingest(spark: SparkSession, packages: Seq[RawPackage], store: LocalStore,
+  def ingest(spark: SparkSession, packages: Seq[RawPackage], store: DocumentStore,
       requestId: String = "graft-local-request", environment: String = "prod"): DataFrame = {
     import spark.implicits._
     ingestDs(spark, spark.createDataset(packages), store, requestId, environment)
@@ -204,7 +204,7 @@ object PackageIngest {
     * prod, email decisions are recorded but `delivered=false` (the
     * reference logs instead of sending, `ingester.py:290-295,308-310`). */
   def ingestDs(spark: SparkSession, packages: org.apache.spark.sql.Dataset[RawPackage],
-      store: LocalStore, requestId: String = "graft-local-request",
+      store: DocumentStore, requestId: String = "graft-local-request",
       environment: String = "prod"): DataFrame = {
     import spark.implicits._
     // A batch carrying duplicate deliveries of the same (ref, tar_name)

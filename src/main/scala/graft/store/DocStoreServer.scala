@@ -1,0 +1,195 @@
+package graft.store
+
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Path}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** In-process server side of the [[HttpStore]] wire contract — the
+  * document-store analogue of the reference's MarkLogic endpoint, used
+  * by `HttpStoreSpec` to prove the [[DocumentStore]] seam end-to-end
+  * over real HTTP. Delegates every committed operation to an inner
+  * [[LocalStore]], so the server's durable state (and its crash/replay
+  * behavior) is exactly the store the rest of the suite already pins.
+  *
+  * Loopback-only (binds 127.0.0.1) — this is a test double for the wire
+  * protocol, not a product server; a real deployment points [[HttpStore]]
+  * at the actual document-store REST API.
+  *
+  * Staged transactions land as per-POST part files under a temp dir
+  * (concurrent executor POSTs never contend on one file); commit parses
+  * the whole directory with the transmitted schema and applies the named
+  * operation as one batch. An orphaned transaction (client crashed
+  * between stage and commit) is just an unreferenced directory — nothing
+  * is applied until commit, preserving the trait's failure contract.
+  *
+  * READ PROTOCOL — snapshot, then static parts. The schema request
+  * (driver-side, issued while the client has no job running) MATERIALIZES
+  * a point-in-time JSON-lines snapshot of the table (one distributed
+  * `toJSON.write.text` job) and answers with the schema plus a snapshot
+  * token and part count; the per-part data requests then serve those
+  * static files with NO Spark work at all. Two reasons this shape is
+  * load-bearing:
+  *
+  *   1. deadlock-freedom: the client's fetch tasks occupy cluster cores
+  *      while they wait on HTTP — if serving a part needed a server-side
+  *      Spark job on the same cluster (the in-process case), client and
+  *      server would starve each other. Snapshot jobs only ever run
+  *      during the driver-side schema call, when the client holds no
+  *      task slots. (Observed as a real 4-core local deadlock before
+  *      this design.)
+  *   2. consistency: every part of one read comes from the same
+  *      snapshot — a concurrent write can't tear the view (the
+  *      point-in-time read transaction a real connector provides).
+  *
+  * The latest two snapshots per table are retained (a reader that
+  * overlaps one writer still completes); older ones are deleted. */
+final class DocStoreServer(inner: LocalStore, port: Int = 0) {
+
+  private val staging: Path = Files.createTempDirectory("graft-docstore-txn")
+  /** snapshot token → ordered part files */
+  private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Vector[Path]]()
+  /** table → newest-first snapshot tokens (retention = 2) */
+  private val tableSnaps = new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.start()
+
+  /** Base URL clients point [[HttpStore]] at. */
+  val endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def stop(): Unit = server.stop(0)
+
+  private val TxnId = "[A-Za-z0-9-]{1,64}".r
+  private val TableName = "[a-z_]{1,64}".r
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    val b = body.getBytes("UTF-8")
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1L else b.length.toLong)
+    if (b.nonEmpty) {
+      val out = ex.getResponseBody
+      try out.write(b) finally out.close()
+    }
+    ex.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    } finally s.close()
+  }
+
+  /** Materialize a point-in-time snapshot of `t`; returns (token, parts). */
+  private def snapshot(t: String, df: org.apache.spark.sql.DataFrame): (String, Int) = {
+    val token = java.util.UUID.randomUUID().toString
+    val dir = staging.resolve(s"snap-$token")
+    df.toJSON.write.text(dir.toString)
+    val files = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toVector.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+    snapshots.put(token, files)
+    // retain the newest two snapshots of this table; reap the rest
+    val evicted = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
+    tableSnaps.compute(t, (_, old) => {
+      val cur = token :: Option(old).getOrElse(Nil)
+      evicted.set(cur.drop(2))
+      cur.take(2)
+    })
+    evicted.get().foreach { tok =>
+      snapshots.remove(tok)
+      deleteRecursively(staging.resolve(s"snap-$tok"))
+    }
+    (token, files.size)
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+      .split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+    (ex.getRequestMethod, segs) match {
+
+      case ("POST", "txn" :: id :: Nil) if TxnId.matches(id) =>
+        val dir = staging.resolve(id)
+        Files.createDirectories(dir)
+        val part = dir.resolve(s"part-${java.util.UUID.randomUUID()}.jsonl")
+        val in = ex.getRequestBody
+        try Files.write(part, in.readAllBytes()) finally in.close()
+        respond(ex, 200, "staged")
+
+      case ("POST", "txn" :: id :: "commit" :: Nil) if TxnId.matches(id) =>
+        val op = params.getOrElse("op",
+          throw new IllegalArgumentException("commit requires ?op="))
+        val schemaJson = {
+          val in = ex.getRequestBody
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val spark = inner.spark
+        val dir = staging.resolve(id)
+        val batch =
+          if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        op match {
+          case "upsertDocuments"     => inner.upsertDocuments(batch)
+          case "setPublished"        => inner.setPublished(batch)
+          case "appendIdentifiers"   => inner.appendIdentifiers(batch)
+          case "upsertProperties"    => inner.upsertProperties(batch)
+          case "appendAssets"        => inner.appendAssets(batch)
+          case "appendNotifications" => inner.appendNotifications(batch)
+          case "appendFailures"      => inner.appendFailures(batch)
+          case other => throw new IllegalArgumentException(s"unknown op: $other")
+        }
+        deleteRecursively(dir)
+        respond(ex, 200, "committed")
+
+      case ("GET", "tables" :: t :: "schema" :: Nil) if TableName.matches(t) =>
+        inner.read(t) match {
+          case None => respond(ex, 404, s"no such table: $t")
+          case Some(df) =>
+            val (token, parts) = snapshot(t, df)
+            respond(ex, 200, df.schema.json,
+              Map("X-Graft-Snap" -> token, "X-Graft-Parts" -> parts.toString))
+        }
+
+      case ("GET", "snap" :: token :: idx :: Nil) if TxnId.matches(token) =>
+        (Option(snapshots.get(token)), idx.toIntOption) match {
+          case (Some(files), Some(i)) if i >= 0 && i < files.size =>
+            // static file serve — deliberately NO Spark work here (see
+            // the class doc's deadlock note)
+            val bytes = Files.readAllBytes(files(i))
+            ex.sendResponseHeaders(200, if (bytes.isEmpty) -1L else bytes.length.toLong)
+            if (bytes.nonEmpty) {
+              val out = ex.getResponseBody
+              try out.write(bytes) finally out.close()
+            }
+            ex.close()
+          case _ => respond(ex, 404, s"no such snapshot part: $token/$idx")
+        }
+
+      case ("GET", "assetRoot" :: Nil) => respond(ex, 200, inner.assetRoot)
+
+      case _ => respond(ex, 404, "not found")
+    }
+  } catch {
+    case e: Exception =>
+      try respond(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      catch { case _: Exception => () }
+  }
+}

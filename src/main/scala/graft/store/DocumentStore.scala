@@ -99,7 +99,8 @@ object DocumentStore {
     "assets" -> StructType(Seq(
       StructField("uri", StringType),
       StructField("asset_type", StringType),
-      StructField("dest_filename", StringType))),
+      StructField("dest_filename", StringType),
+      StructField("src_member", StringType))),
     "notifications" -> StructType(Seq(
       StructField("uri", StringType),
       StructField("action", StringType),

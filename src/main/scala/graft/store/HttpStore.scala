@@ -1,0 +1,165 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Wire-protocol [[DocumentStore]]: a client speaking the
+  * MarkLogic-connector-shaped REST contract against any server that
+  * implements it ([[DocStoreServer]] is the in-process stub the parity
+  * spec runs; the reference's act phase writes through exactly such an
+  * HTTP API client — `/root/reference/src/ds_caselaw_ingester/
+  * ingester.py:225-284,327-359` via `api_client`).
+  *
+  * Protocol (all bodies JSON — schemas travel as Spark's `schema.json`,
+  * rows as JSON-lines):
+  *
+  *   - `POST /txn/{id}`                — stage a chunk of JSON-lines rows
+  *     for transaction `id`. Called FROM THE EXECUTORS, one or more
+  *     chunks per partition, so bulk-write bytes flow in parallel from
+  *     wherever the rows live — the driver never materializes a batch
+  *     (the MarkLogic connector's bulk-write shape).
+  *   - `POST /txn/{id}/commit?op=<op>` — body carries the batch's schema;
+  *     the server parses the staged rows with it and applies the named
+  *     [[DocumentStore]] operation as ONE batch (merge semantics such as
+  *     the per-batch version bump need the whole batch, so the commit —
+  *     not the stage — is the operation boundary).
+  *   - `GET /tables/{t}/schema`        — the table's schema, 404 until
+  *     the table's first write (the `read` → None contract). The server
+  *     also materializes a point-in-time snapshot of the table and
+  *     answers with its token + part count (`X-Graft-Snap`,
+  *     `X-Graft-Parts` headers) — a consistent read transaction.
+  *   - `GET /snap/{token}/{i}`         — one static JSON-lines part of
+  *     that snapshot. `read` fans the parts across the cluster (each
+  *     executor pulls its own — the connector's partitioned-read shape),
+  *     then parses with the transmitted schema. Serving a part is pure
+  *     file IO server-side, so fetch tasks may saturate every cluster
+  *     core without deadlocking an in-process server (see
+  *     [[DocStoreServer]]'s deadlock note).
+  *   - `GET /assetRoot`                — the shared-filesystem directory
+  *     asset BYTES are copied under. Assets are an object-store concern
+  *     in the reference too (S3, not MarkLogic): client and server both
+  *     resolve the same Hadoop-FS URI, so the byte path never rides HTTP.
+  *
+  * FAILURE CONTRACT: any non-200 response (or connect failure) throws —
+  * the caller's batch fails un-committed and streaming redelivery
+  * replays it, exactly as the trait requires. A crash between stage and
+  * commit leaves an orphaned transaction the server garbage-collects;
+  * nothing is applied until commit.
+  *
+  * Everything in these tables is JSON-lossless (strings, booleans,
+  * integers — no binary, no floating point), so the wire encoding
+  * preserves row identity bit-for-bit; `HttpStoreSpec` pins
+  * LocalStore/HttpStore row-identity through the golden-package ingest.
+  */
+final case class HttpStore(spark: SparkSession, endpoint: String)
+    extends DocumentStore {
+
+  def read(t: String): Option[DataFrame] = {
+    val (code, body, headers) = HttpStore.getWithHeaders(s"$endpoint/tables/$t/schema")
+    if (code == 404) None
+    else if (code != 200) throw new RuntimeException(s"HttpStore schema($t): HTTP $code $body")
+    else {
+      val schema = DataType.fromJson(body).asInstanceOf[StructType]
+      val snap = headers.getOrElse("X-Graft-Snap",
+        throw new RuntimeException(s"HttpStore schema($t): missing X-Graft-Snap"))
+      val parts = headers.getOrElse("X-Graft-Parts", "0").toInt
+      if (parts == 0)
+        Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      else {
+        val ep = endpoint
+        import spark.implicits._
+        // one task per snapshot part: each executor pulls its own slice;
+        // the server side is static file IO (see DocStoreServer's
+        // deadlock note), so fetch tasks can saturate the cluster safely
+        val lines = spark.range(0, parts.toLong, 1, parts).as[Long].mapPartitions { it =>
+          it.flatMap { i =>
+            val (c, b) = HttpStore.get(s"$ep/snap/$snap/$i")
+            if (c != 200) throw new RuntimeException(s"HttpStore read($t) part $i: HTTP $c $b")
+            b.linesIterator.filter(_.nonEmpty)
+          }
+        }
+        Some(spark.read.schema(schema).json(lines))
+      }
+    }
+  }
+
+  /** Stage the batch executor-side in bounded chunks, then commit it as
+    * one named operation. The op's semantics run server-side against the
+    * WHOLE staged batch — stage order across partitions is immaterial
+    * because every [[DocumentStore]] operation is defined on the batch
+    * as a multiset. */
+  private def send(op: String, df: DataFrame): Unit = {
+    val txn = java.util.UUID.randomUUID().toString
+    val ep = endpoint
+    df.toJSON.foreachPartition { (lines: Iterator[String]) =>
+      val buf = new StringBuilder
+      def flush(): Unit = if (buf.nonEmpty) {
+        val (c, b) = HttpStore.post(s"$ep/txn/$txn", buf.toString.getBytes("UTF-8"))
+        if (c != 200) throw new RuntimeException(s"HttpStore stage: HTTP $c $b")
+        buf.clear()
+      }
+      lines.foreach { l =>
+        buf.append(l).append('\n')
+        if (buf.length >= HttpStore.StageChunkChars) flush()
+      }
+      flush()
+    }
+    val (c, b) = HttpStore.post(s"$ep/txn/$txn/commit?op=$op", df.schema.json.getBytes("UTF-8"))
+    if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
+  }
+
+  def upsertDocuments(updates: DataFrame): Unit = send("upsertDocuments", updates)
+  def setPublished(decisions: DataFrame): Unit = send("setPublished", decisions)
+  def appendIdentifiers(rows: DataFrame): Unit = send("appendIdentifiers", rows)
+  def upsertProperties(rows: DataFrame): Unit = send("upsertProperties", rows)
+  def appendAssets(rows: DataFrame): Unit = send("appendAssets", rows)
+  def appendNotifications(rows: DataFrame): Unit = send("appendNotifications", rows)
+  def appendFailures(rows: DataFrame): Unit = send("appendFailures", rows)
+
+  lazy val assetRoot: String = {
+    val (c, b) = HttpStore.get(s"$endpoint/assetRoot")
+    if (c != 200) throw new RuntimeException(s"HttpStore assetRoot: HTTP $c $b")
+    b.trim
+  }
+}
+
+object HttpStore {
+  /** Stage-chunk flush threshold (chars ≈ bytes for this ASCII-heavy
+    * payload): bounds per-task buffering regardless of partition size. */
+  private[store] val StageChunkChars = 4 << 20
+
+  private def request(method: String, url: String,
+      body: Option[Array[Byte]]): (Int, String, Map[String, String]) = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(300000)
+      body.foreach { bytes =>
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(bytes.length)
+        val out = conn.getOutputStream
+        try out.write(bytes) finally out.close()
+      }
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (in == null) ""
+        else try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val headers = Seq("X-Graft-Snap", "X-Graft-Parts")
+        .flatMap(h => Option(conn.getHeaderField(h)).map(h -> _)).toMap
+      (code, text, headers)
+    } finally conn.disconnect()
+  }
+
+  private[store] def get(url: String): (Int, String) = {
+    val (c, b, _) = request("GET", url, None); (c, b)
+  }
+  private[store] def getWithHeaders(url: String): (Int, String, Map[String, String]) =
+    request("GET", url, None)
+  private[store] def post(url: String, body: Array[Byte]): (Int, String) = {
+    val (c, b, _) = request("POST", url, Some(body)); (c, b)
+  }
+}

@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   * and every keyed effect converges. A pre-bucketing (flat) table
   * migrates to the bucketed layout on its first upsert.
   */
-final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64) {
+final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64)
+    extends DocumentStore {
 
   Files.createDirectories(Paths.get(base))
 
@@ -355,8 +356,8 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
   /** W11: append per-message failures (the DLQ table). */
   def appendFailures(rows: DataFrame): Unit = append("failures", rows)
 
-  def documents: DataFrame = read("documents").getOrElse(emptyDocs)
-  def failures: DataFrame = read("failures").getOrElse {
+  override def documents: DataFrame = read("documents").getOrElse(emptyDocs)
+  override def failures: DataFrame = read("failures").getOrElse {
     import spark.implicits._
     Seq.empty[(String, String, Boolean)].toDF("msg_id", "error", "terminal")
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ingest.{Messages, PackageIngest, RawPackage}
 import graft.model.IngestError
-import graft.store.LocalStore
+import graft.store.{DocumentStore, LocalStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -75,7 +75,7 @@ object IngestStream {
     * notification decisions are recorded with delivered=false.
     * `packageUri` maps a decoded message's (s3_bucket, s3_key) to the
     * Hadoop-FS URI its tarball is fetched from. */
-  def processBatch(store: LocalStore, environment: String = "prod",
+  def processBatch(store: DocumentStore, environment: String = "prod",
       packageUri: (String, String) => String = s3aUri,
       requestId: String = "graft-local-request")(
       batch: DataFrame, batchId: Long): Unit = {
@@ -219,7 +219,7 @@ object IngestStream {
     * The source-side observe surfaces per-micro-batch arrival counts in
     * `StreamingQueryProgress.observedMetrics` (the streaming twin of the
     * batch [[graft.metrics.MetricsSink]] path). */
-  def start(events: DataFrame, store: LocalStore, checkpointDir: String,
+  def start(events: DataFrame, store: DocumentStore, checkpointDir: String,
       environment: String = "prod",
       packageUri: (String, String) => String = s3aUri): StreamingQuery =
     events
