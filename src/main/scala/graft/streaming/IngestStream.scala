@@ -69,6 +69,15 @@ object IngestStream {
     * substitute `file:`/`hdfs:` resolvers. */
   def s3aUri(bucket: String, key: String): String = s"s3a://$bucket/$key"
 
+  /** Redrive budget: failed receives of one message before it parks
+    * terminal in the failures table (the reference's SQS redrive policy,
+    * `terraform/variables.tf:44-48` `max_receive_count` wired via
+    * `terraform/main.tf:8-10` `redrive_maximum_receives`; the reference
+    * deploys with 1 — no retries — while the engine defaults to 3 so
+    * transient fetch errors get the redeliveries the taxonomy marks them
+    * eligible for; pass 1 to mirror the reference deployment). */
+  val DefaultMaxReceives = 3
+
   /** One micro-batch of raw event records → store effects. Also usable in
     * pure batch mode (the reference's single Lambda invocation).
     * `environment` is the W9 email gate (ROLLBAR_ENV): outside prod,
@@ -77,7 +86,8 @@ object IngestStream {
     * Hadoop-FS URI its tarball is fetched from. */
   def processBatch(store: DocumentStore, environment: String = "prod",
       packageUri: (String, String) => String = s3aUri,
-      requestId: String = "graft-local-request")(
+      requestId: String = "graft-local-request",
+      maxReceives: Int = DefaultMaxReceives)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -194,8 +204,28 @@ object IngestStream {
         // taxonomy routing stays codegen'd: IngestError.all is a 12-element
         // static list, so `isin` beats a Scala UDF here
         val terminalNames = IngestError.all.filter(_.terminal).map(_.name)
+        // redrive policy (the SQS DLQ budget, terraform/variables.tf:44-48):
+        // the failures table IS the receive ledger — each append is one
+        // failed receive, so prior rows for this msg_id count earlier
+        // attempts (SQS messageId is stable across redeliveries). At
+        // receive maxReceives the message parks TERMINAL (DLQ) instead of
+        // redelivering forever — the poison-message bound. Durable across
+        // restarts because the ledger is store state, not query state; a
+        // crash between this append and the offset commit re-counts the
+        // replayed receive and can park one receive early — the same
+        // approximation SQS itself documents (ApproximateReceiveCount).
+        // Join shape: the ledger scan is pre-filtered by the micro-batch's
+        // failed ids (broadcast — bounded by batch size), and the per-id
+        // counts broadcast back, so neither side ever shuffles the ledger.
+        val priorReceives = store.failures
+          .join(broadcast(failures.select("msg_id").distinct()), Seq("msg_id"))
+          .groupBy(col("msg_id")).agg(count(lit(1)).as("prior_receives"))
         store.appendFailures(failures
-          .withColumn("terminal", col("error").isin(terminalNames: _*))
+          .join(broadcast(priorReceives), Seq("msg_id"), "left")
+          .withColumn("receive_no", coalesce(col("prior_receives"), lit(0L)) + lit(1L))
+          .withColumn("terminal",
+            col("error").isin(terminalNames: _*) ||
+              col("receive_no") >= lit(maxReceives.toLong))
           .select("msg_id", "error", "terminal")
           .observe("graft.ingest.failures",
             count(lit(1)).as("n_failures"),
@@ -221,14 +251,15 @@ object IngestStream {
     * batch [[graft.metrics.MetricsSink]] path). */
   def start(events: DataFrame, store: DocumentStore, checkpointDir: String,
       environment: String = "prod",
-      packageUri: (String, String) => String = s3aUri): StreamingQuery =
+      packageUri: (String, String) => String = s3aUri,
+      maxReceives: Int = DefaultMaxReceives): StreamingQuery =
     events
       .observe("graft.ingest.source", count(lit(1)).as("n_events"))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(store, environment, packageUri)(b, id))
+        processBatch(store, environment, packageUri, maxReceives = maxReceives)(b, id))
       .start()
 
   /** Batch-mode entry over a directory of JSON event files (one record per

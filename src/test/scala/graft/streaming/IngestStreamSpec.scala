@@ -270,6 +270,55 @@ class IngestStreamSpec extends SparkSpec {
     } finally spark.conf.unset(IngestStream.MaxInMemoryFetchKey)
   }
 
+  test("redrive policy: a poison retryable message parks terminal after maxReceives") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = LocalStore(spark, Files.createTempDirectory("graft-redrive-store").toString)
+    val resolver = stage() // nothing staged → every fetch fails retryably
+
+    // three deliveries of the SAME message id (SQS messageId is stable
+    // across redeliveries), one per micro-batch — each against a fresh
+    // query on its own checkpoint, the redelivery shape the crash-recovery
+    // test pins; the receive LEDGER lives in the store, not the checkpoint
+    for (attempt <- 1 to 3) {
+      val source = MemoryStream[(String, String)]
+      source.addData(sqs("msg-poison", v2Inner("REF-GONE")))
+      val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store,
+        Files.createTempDirectory(s"graft-redrive-ckpt-$attempt").toString,
+        packageUri = resolver, maxReceives = 3)
+      q.awaitTermination()
+    }
+
+    val rows = store.failures.collect().sortBy(_.getAs[Boolean]("terminal"))
+    assert(rows.length == 3, "one ledger row per failed receive")
+    assert(rows.forall(_.getAs[String]("msg_id") == "msg-poison"))
+    assert(rows.forall(_.getAs[String]("error").startsWith("ClientError")))
+    // receives 1 and 2 stay redeliverable; receive 3 exhausts the budget
+    assert(rows.map(_.getAs[Boolean]("terminal")).toSeq == Seq(false, false, true))
+
+    // an unrelated first-receive failure in the same store still gets its
+    // full budget — the ledger counts per message, not globally
+    val source = MemoryStream[(String, String)]
+    source.addData(sqs("msg-fresh", v2Inner("REF-ALSO-GONE")))
+    val q = IngestStream.start(source.toDS().toDF("kind", "record_json"), store,
+      Files.createTempDirectory("graft-redrive-ckpt-fresh").toString,
+      packageUri = resolver, maxReceives = 3)
+    q.awaitTermination()
+    val fresh = store.failures.collect().filter(_.getAs[String]("msg_id") == "msg-fresh")
+    assert(fresh.length == 1 && !fresh.head.getAs[Boolean]("terminal"))
+
+    // maxReceives = 1 mirrors the reference deployment: first failed
+    // receive parks immediately (terraform default max_receive_count=1)
+    val store1 = LocalStore(spark, Files.createTempDirectory("graft-redrive1-store").toString)
+    val source1 = MemoryStream[(String, String)]
+    source1.addData(sqs("msg-once", v2Inner("REF-GONE")))
+    val q1 = IngestStream.start(source1.toDS().toDF("kind", "record_json"), store1,
+      Files.createTempDirectory("graft-redrive1-ckpt").toString,
+      packageUri = resolver, maxReceives = 1)
+    q1.awaitTermination()
+    val once = store1.failures.collect()
+    assert(once.length == 1 && once.head.getAs[Boolean]("terminal"))
+  }
+
   test("crash recovery: uncommitted batch is redelivered, effects converge, committed batches are not replayed") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir = Files.createTempDirectory("graft-crash-store").toString
