@@ -222,6 +222,92 @@ object DedupQueries {
        |FROM v WHERE CAST(common AS DOUBLE) / least(na, nb) >= $ContainThreshold
        |ORDER BY contained, container""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** df-cap recall AUDIT card for the inverted-index family: the
+    * [[DfCap]] candidate generator's measured recall against an UNCAPPED
+    * exact generator, per verified metric (q20's Jaccard ≥ 0.5, q129's
+    * containment ≥ [[ContainThreshold]]). The family's "df ≤ 32 may miss
+    * a pair whose every shared shingle is boilerplate" caveat was
+    * documented but never measured — this card is the measurement
+    * (q150's truncation-recall pattern applied to the cap).
+    *
+    * One verify, two classifications: every co-shingled pair is generated
+    * ONCE, annotated with the MINIMUM df over its generating buckets —
+    * the pair survives the capped generator iff min_df ≤ [[DfCap]] — so
+    * the capped count is a filtered subset of the same verified rows, not
+    * a second pipeline (candidate-set equality with
+    * [[invertedIndexCands]] holds by construction: that generator keeps a
+    * pair iff ANY shared shingle has df ≤ cap).
+    *
+    * SCALE CONTRACT — this is an audit card, not a production operator:
+    * the exact arm's fan-out is Σdf² with df UNBOUNDED (worst case N²).
+    * Run it at sample scale (the sf0.01 gate here) to measure the cap's
+    * recall for a corpus; the production dedup path stays capped. */
+  def q173DfcapRecall(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
+    val pairs = ex.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(size(col("ids")).as("df"), explode(bucketPairList).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"), col("df"))
+      .filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb")).agg(min(col("df")).as("min_df"))
+    val j = col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))
+    val c = col("common").cast(DoubleType) / least(col("na"), col("nb"))
+    val capped = col("min_df") <= DfCap
+    val counts = pairs
+      .join(shh.select(col("doc_id").as("ida"), col("shh").as("sha")), "ida")
+      .join(shh.select(col("doc_id").as("idb"), col("shh").as("shb")), "idb")
+      .select(col("min_df"),
+        graft.expr.SortedIntersectCount.of(col("sha"), col("shb")).as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .agg(
+        sum(when(j >= 0.5 && capped, 1L).otherwise(0L)).as("jc"),
+        sum(when(j >= 0.5, 1L).otherwise(0L)).as("je"),
+        sum(when(c >= ContainThreshold && capped, 1L).otherwise(0L)).as("cc"),
+        sum(when(c >= ContainThreshold, 1L).otherwise(0L)).as("ce"))
+    counts
+      .select(explode(array(
+        struct(lit("containment").as("metric"), col("cc").as("pairs_capped"),
+          col("ce").as("pairs_exact")),
+        struct(lit("jaccard").as("metric"), col("jc").as("pairs_capped"),
+          col("je").as("pairs_exact")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.pairs_capped").as("pairs_capped"),
+        col("r.pairs_exact").as("pairs_exact"),
+        (col("r.pairs_capped").cast(DoubleType) /
+          nullif(col("r.pairs_exact"), lit(0L)).cast(DoubleType)).as("recall"))
+      .orderBy(col("metric"))
+  }
+
+  val q173Sql: String =
+    s"""$shinglesSqlCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |dfu AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, min(df) AS min_df
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      JOIN dfu ON dfu.s = a.s
+       |      GROUP BY 1, 2),
+       |v AS (SELECT min_df,
+       |        len(list_intersect(ca.sh, cb.sh)) AS common, len(ca.sh) AS na, len(cb.sh) AS nb
+       |      FROM p JOIN sh ca ON ida = ca.doc_id JOIN sh cb ON idb = cb.doc_id),
+       |m AS (SELECT common, na, nb, min_df,
+       |        CAST(common AS DOUBLE) / (na + nb - common) AS j,
+       |        CAST(common AS DOUBLE) / least(na, nb) AS c
+       |      FROM v),
+       |agg AS (SELECT
+       |    CAST(count(*) FILTER (j >= 0.5 AND min_df <= $DfCap) AS BIGINT) AS jc,
+       |    CAST(count(*) FILTER (j >= 0.5) AS BIGINT) AS je,
+       |    CAST(count(*) FILTER (c >= $ContainThreshold AND min_df <= $DfCap) AS BIGINT) AS cc,
+       |    CAST(count(*) FILTER (c >= $ContainThreshold) AS BIGINT) AS ce
+       |  FROM m)
+       |SELECT 'containment' AS metric, cc AS pairs_capped, ce AS pairs_exact,
+       |  CAST(cc AS DOUBLE) / CAST(nullif(ce, 0) AS DOUBLE) AS recall FROM agg
+       |UNION ALL
+       |SELECT 'jaccard' AS metric, jc AS pairs_capped, je AS pairs_exact,
+       |  CAST(jc AS DOUBLE) / CAST(nullif(je, 0) AS DOUBLE) AS recall FROM agg
+       |ORDER BY metric""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** MinHash + LSH near-dup pairs (threshold 0.8). 96 min-hashes per doc
     * from ONE md5 per shingle + the affine Carter–Wegman family, banded
@@ -1226,6 +1312,7 @@ object DedupQueries {
     "q19_dedup_exact"         -> (q19DedupExact _),
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
     "q129_containment"        -> (q129Containment _),
+    "q173_dfcap_recall"       -> (q173DfcapRecall _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
@@ -1249,6 +1336,7 @@ object DedupQueries {
     "q19_dedup_exact"         -> q19Sql,
     "q20_dedup_ngram_jaccard" -> q20Sql,
     "q129_containment"        -> q129Sql,
+    "q173_dfcap_recall"       -> q173Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
     "q23_dedup_simhash_pairs" -> q23Sql,
