@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Bounded-state SOAK proof: each stateful streaming operator driven
+  * through 100+ micro-batches of continuously fresh data, asserting the
+  * state store's `numRowsTotal` PLATEAUS at the bound its design
+  * predicts instead of trending with stream lifetime. A 2-batch spec
+  * proves semantics; only a long soak proves the state bound CLAIM —
+  * an unbounded leak looks identical over 2 batches.
+  *
+  * Plateau assertion: the max state rows over the FINAL third of the
+  * soak must not exceed the max over the MIDDLE third — growth between
+  * warm phases is a leak signature regardless of the absolute bound —
+  * plus an absolute ceiling from each operator's own formula
+  * (k·keys / active windows × items / rate × horizon). */
+class StreamingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Batches = 110
+
+  /** Drive `step` once per micro-batch, recording state rows after each. */
+  private def soak(q: StreamingQuery)(step: Int => Unit): Seq[Long] =
+    (1 to Batches).map { i =>
+      step(i)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p == null || p.stateOperators.isEmpty) -1L
+      else p.stateOperators.map(_.numRowsTotal).sum
+    }.filter(_ >= 0)
+
+  private def assertPlateau(series: Seq[Long], ceiling: Long, what: String): Unit = {
+    assert(series.length >= Batches * 2 / 3, s"$what: too few progress samples")
+    val third = series.length / 3
+    val mid = series.slice(third, 2 * third)
+    val fin = series.drop(2 * third)
+    assert(fin.max <= mid.max,
+      s"$what: state grows between warm phases (mid max ${mid.max} -> final max ${fin.max})")
+    assert(fin.max <= ceiling,
+      s"$what: state ${fin.max} exceeds the predicted bound $ceiling")
+  }
+
+  test("soak: StreamingDistinct state stays at one row per key, sketch capped at k") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 20).map(i => f"k$i%02d")
+    val k = 16
+    val source = MemoryStream[KeyedValue]
+    val q = StreamingDistinct.estimates(source.toDS(), k = k)
+      .writeStream.format("memory").queryName("soak_kmv").outputMode("update").start()
+
+    val series = soak(q) { batch =>
+      // 5 FRESH values per key per batch: distinct cardinality grows to
+      // 5×Batches per key, 34× past k — state must not follow it
+      source.addData(keys.flatMap(key =>
+        (1 to 5).map(v => KeyedValue(key, batch * 1000L + v * 31L + key.hashCode))): _*)
+    }
+    q.stop()
+
+    // bound: ONE state row per key, forever (the sketch lives inside it)
+    assertPlateau(series, keys.length.toLong, "kmv state rows")
+    // and the per-key sketch payload capped at k longs
+    val last = spark.table("soak_kmv").groupBy("key").max("state_size").collect()
+    assert(last.length == keys.length)
+    assert(last.forall(_.getInt(1) == k),
+      "every key's sketch must sit exactly at the k-long cap after 550 distincts")
+  }
+
+  test("soak: StreamingTrending state stays at active-windows x items as event time advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-soak-trend").toString
+    val items = Seq("alpha", "beta", "gamma")
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val source = MemoryStream[TrendEvent]
+    val q = StreamingTrending.start(source.toDS(), outDir,
+      windowDur = "1 hour", slideDur = "30 minutes", k = 2, watermark = "10 minutes")
+
+    val series = soak(q) { batch =>
+      // event time advances one minute per batch — 110 minutes of stream,
+      // every item every minute; windows continuously open AND close
+      val ts = new Timestamp(base + batch * 60000L)
+      source.addData(items.map(TrendEvent(ts, _)): _*)
+    }
+    q.stop()
+
+    // bound: windows not yet watermark-evicted are those whose END is
+    // within (now - watermark, now + window] → at slide 30m that is at
+    // most ceil((60m + 10m) / 30m) + 1 = 4 open windows, x 3 items; + 1
+    // window of slack for the eviction running one batch behind
+    assertPlateau(series, 5L * items.length, "trending state rows")
+    // the soak actually finalized leaderboards along the way
+    assert(spark.read.parquet(outDir).count() > 0)
+  }
+
+  test("soak: StreamingJoin state stays at rate x horizon under constant arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val users = 1L to 5L
+    val imps = MemoryStream[StreamingJoin.Impression]
+    val convs = MemoryStream[StreamingJoin.Conversion]
+    val q = StreamingJoin.attributed(imps.toDS(), convs.toDS(),
+        window = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("soak_join").outputMode("append").start()
+
+    val series = soak(q) { batch =>
+      val ts = new Timestamp(base + batch * 60000L)
+      // constant rate: 2 impressions + 1 conversion per user per minute
+      imps.addData(users.flatMap(u => Seq(
+        StreamingJoin.Impression(u, batch * 10L, ts),
+        StreamingJoin.Impression(u, batch * 10L + 1, ts))): _*)
+      convs.addData(users.map(u => StreamingJoin.Conversion(u, batch * 10L, ts)): _*)
+    }
+    q.stop()
+
+    // bound: impressions live until the watermark passes imp_ts + 30m
+    // (+10m watermark lag -> 40m horizon x 10 imps/min), conversions
+    // until it passes conv_ts (10m horizon x 5 convs/min); x2 slack for
+    // the eviction batch lagging the arrival batch
+    val ceiling = 2L * (40 * 10 + 10 * 5)
+    assertPlateau(series, ceiling, "join state rows")
+    // matches flowed the whole soak (each conversion matches its own
+    // minute's 2 impressions at least)
+    assert(spark.table("soak_join").count() >= Batches.toLong * users.size * 2 / 2)
+  }
+}
