@@ -1619,8 +1619,12 @@ object RelationalQueries {
   private val BurstMinTrail = 12  // minimum trailing hours for a score
   private val BurstZ        = 3.0
 
-  def q117BurstZscore(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables(spark, dir).events
+  /** The q117 scoring core over an arbitrary events frame, retaining the
+    * integer hour `h` so windowed callers can cut scored rows before the
+    * final projection — shared by the full-history gate query, the
+    * day-bounded production variant (q174), and any partitioned layout. */
+  private def burstScores(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(col("event_type"), expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
       .agg(count(lit(1)).as("cnt"))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("h"))
@@ -1634,12 +1638,50 @@ object RelationalQueries {
       .withColumn("s2", sum(col("cnt") * col("cnt")).over(trail))
       .filter(col("n_trail") >= BurstMinTrail)
       .withColumn("z_dec", when(varP > 0.0, z.cast(DecimalType(18, 6))))
-      .select(col("event_type"),
-        tsFmt(timestamp_seconds(col("h") * 3600)).as("hour"),
-        col("cnt"), col("n_trail"),
-        col("z_dec").cast(DoubleType).as("z"),
-        coalesce(col("z_dec") >= BurstZ, lit(false)).as("is_burst"))
-      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private def burstProject(scored: DataFrame): DataFrame = scored
+    .select(col("event_type"),
+      tsFmt(timestamp_seconds(col("h") * 3600)).as("hour"),
+      col("cnt"), col("n_trail"),
+      col("z_dec").cast(DoubleType).as("z"),
+      coalesce(col("z_dec") >= BurstZ, lit(false)).as("is_burst"))
+    .orderBy(col("event_type"), col("hour"))
+
+  def q117BurstZscore(spark: SparkSession, dir: String): DataFrame =
+    burstProject(burstScores(Tables(spark, dir).events))
+
+  /** Day-bounded q117 — the PRODUCTION shape of the time-series family:
+    * score only hours from `fromDay` (ISO date) onward. The scan keeps
+    * exactly ONE extra day of history ([[BurstTrail]] = 24 trailing
+    * hours), so scored rows are hash-identical to the full-history
+    * query's rows for the same hours.
+    *
+    * On a DAY-PARTITIONED events layout (`day=...` directories — what a
+    * 100 TB events table is stored as) the literal predicate lands on
+    * the partition column and the scan PRUNES to the window's
+    * directories — cost is O(window), not O(history); pinned in
+    * `TimeSeriesPartitionSpec`. On the flat gate layout it degrades to a
+    * pushed-down `ts` row-group filter over one file. */
+  def q117BurstZscoreFrom(spark: SparkSession, dir: String, fromDay: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val from = java.time.LocalDate.parse(fromDay)
+    val scanFrom = java.sql.Date.valueOf(from.minusDays(1))
+    val pruned =
+      if (ev.columns.contains("day")) ev.filter(col("day") >= lit(scanFrom))
+      else ev.filter(to_date(col("ts")) >= lit(scanFrom))
+    burstProject(burstScores(pruned).filter(col("h") >= lit(from.toEpochDay * 24L)))
+  }
+
+  /** Gate form of the windowed variant: the last 14 days of the corpus
+    * (fromDay = max event day − 13), the bound resolved by a one-value
+    * driver read exactly as a production "last 2 weeks" job would, then
+    * passed as a LITERAL so a partitioned layout statically prunes. */
+  def q174BurstWindow(spark: SparkSession, dir: String): DataFrame = {
+    val maxDay = Tables(spark, dir).events
+      .agg(max(to_date(col("ts")))).head().getDate(0)
+    q117BurstZscoreFrom(spark, dir,
+      maxDay.toLocalDate.minusDays(13).toString)
   }
 
   val q117Sql: String =
@@ -1668,6 +1710,36 @@ object RelationalQueries {
        |  CAST(z_dec AS DOUBLE) AS z,
        |  coalesce(z_dec >= $BurstZ, false) AS is_burst
        |FROM sc ORDER BY event_type, hour""".stripMargin
+
+  val q174Sql: String =
+    s"""WITH mx AS (SELECT date_trunc('day', max(ts)) AS mxd FROM events),
+       |hc AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+       |    count(*) AS cnt
+       |  FROM events, mx WHERE ts >= mxd - INTERVAL 14 DAY GROUP BY 1, 2),
+       |w AS (SELECT event_type, h, cnt,
+       |    count(cnt) OVER tr AS n_trail,
+       |    sum(cnt)   OVER tr AS s1,
+       |    sum(cnt * cnt) OVER tr AS s2
+       |  FROM hc
+       |  WINDOW tr AS (PARTITION BY event_type ORDER BY h
+       |                RANGE BETWEEN $BurstTrail PRECEDING AND 1 PRECEDING)),
+       |sc AS (SELECT event_type, h, cnt, n_trail,
+       |    CASE WHEN CAST(s2 AS DOUBLE) / n_trail
+       |              - (CAST(s1 AS DOUBLE) / n_trail) * (CAST(s1 AS DOUBLE) / n_trail) > 0
+       |      THEN CAST((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n_trail)
+       |        / sqrt(CAST(s2 AS DOUBLE) / n_trail
+       |               - (CAST(s1 AS DOUBLE) / n_trail) * (CAST(s1 AS DOUBLE) / n_trail))
+       |        AS DECIMAL(18,6)) END AS z_dec
+       |  FROM w WHERE n_trail >= $BurstMinTrail)
+       |SELECT event_type,
+       |  strftime(epoch_ms(h * 3600000), '$TS') AS hour,
+       |  cnt, CAST(n_trail AS BIGINT) AS n_trail,
+       |  CAST(z_dec AS DOUBLE) AS z,
+       |  coalesce(z_dec >= $BurstZ, false) AS is_burst
+       |FROM sc, mx
+       |WHERE h >= epoch_us(mxd - INTERVAL 13 DAY) // 3600000000
+       |ORDER BY event_type, hour""".stripMargin
 
   // ---------------------------------------------------------------- q120
   /** Incremental view maintenance — the delta-processing contract behind
@@ -2464,6 +2536,7 @@ object RelationalQueries {
     "q121_markov_transitions"   -> (q121MarkovTransitions _),
     "q120_ivm_maintenance"      -> (q120IvmMaintenance _),
     "q117_burst_zscore"         -> (q117BurstZscore _),
+    "q174_burst_window"         -> (q174BurstWindow _),
     "q116_event_pmi"            -> (q116EventPmi _),
     "q115_linear_attribution"   -> (q115LinearAttribution _),
     "q112_weekly_growth"        -> (q112WeeklyGrowth _),
@@ -2515,6 +2588,7 @@ object RelationalQueries {
     "q121_markov_transitions"   -> q121Sql,
     "q120_ivm_maintenance"      -> q120Sql,
     "q117_burst_zscore"         -> q117Sql,
+    "q174_burst_window"         -> q174Sql,
     "q116_event_pmi"            -> q116Sql,
     "q115_linear_attribution"   -> q115Sql,
     "q112_weekly_growth"        -> q112Sql,
