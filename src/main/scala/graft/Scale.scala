@@ -227,6 +227,77 @@ object Scale {
     done.createNewFile()
   }
 
+  // ------------------------------------------------------------ graph 100×
+  /** 100× EDGE-COUNT decade for the iterative graph family (SCALE.md's
+    * round-11 extension): replicate ONLY the trade-graph tables of sf0.1
+    * a further 100× (orders/lineitem/customer/supplier with per-replica
+    * key offsets — 100 disconnected copies, the organic-growth shape the
+    * 10× replica argues), leaving nation/part fixed. Purpose-built for
+    * q93/q118/q130/q156: (a) confirm per-round join cost stays
+    * edge-linear across 10×→100× (exponent ≈ 1), and (b) OBSERVE the
+    * rank-frame broadcast→shuffle fallback fire — node count crosses
+    * `GraphQueries.BroadcastNodes` (1M) between the decades, so the
+    * per-round rank join switches from hinted broadcast to the
+    * partitioned equi-join, visible in the initial plan. */
+  private val GraphReps = 100
+  private val GraphQueriesTimed =
+    Seq("q93_pagerank", "q118_label_propagation", "q130_hits", "q156_modularity")
+
+  private def buildGraphReplica(spark: SparkSession, src: String, out: String): Unit = {
+    val done = new java.io.File(s"$out/_BUILT_g100_v1")
+    if (done.exists()) return
+    val k = explode(sequence(lit(0), lit(GraphReps - 1))).as("k")
+    def repKeys(table: String, keys: Seq[String]): Unit =
+      keys.foldLeft(spark.read.parquet(s"$src/$table.parquet").select(col("*"), k)) {
+        (d, c) => d.withColumn(c, col(c) + col("k") * lit(KeyOff))
+      }.drop("k").write.mode(SaveMode.Overwrite).parquet(s"$out/$table.parquet")
+    repKeys("orders", Seq("o_orderkey", "o_custkey"))
+    repKeys("lineitem", Seq("l_orderkey", "l_suppkey"))
+    repKeys("customer", Seq("c_custkey"))
+    repKeys("supplier", Seq("s_suppkey"))
+    spark.read.parquet(s"$src/nation.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/nation.parquet")
+    spark.read.parquet(s"$src/part.parquet")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/part.parquet")
+    done.createNewFile()
+  }
+
+  /** Runs-are-minutes tier: cold + 2 warm, MIN of the warm pair (noise
+    * only inflates; the full-suite tiers keep their median-of-3). */
+  private def timeLong(spark: SparkSession, name: String, dir: String): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    math.min(once(), once())
+  }
+
+  private def graph100(spark: SparkSession, tenXDir: String, out: String): Unit = {
+    buildReplica(spark, "/root/testdata/sf0.1", tenXDir)
+    buildGraphReplica(spark, "/root/testdata/sf0.1", out)
+    val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1",
+      "10x" -> tenXDir, "100x" -> out)
+    for (q <- GraphQueriesTimed) {
+      val ts = dirs.map { case (label, d) => label -> timeLong(spark, q, d) }
+      val m = ts.toMap
+      val e1 = math.log10(m("10x") / m("sf0.1"))
+      val e2 = math.log10(m("100x") / m("10x"))
+      println(f"$q%-24s " + ts.map { case (l, t) => f"$l=$t%.3fs" }.mkString(" ") +
+        f"  exp(0.1->10x)=$e1%.2f exp(10x->100x)=$e2%.2f")
+    }
+    // the broadcast→shuffle switch, observed: hinted BroadcastHashJoin
+    // count in the initial plan drops when nodes cross the 1M threshold
+    for ((label, d) <- Seq("10x" -> tenXDir, "100x" -> out)) {
+      val plan = SparkEntry.queries("q93_pagerank")(spark, d)
+        .queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+      val smj = "SortMergeJoin".r.findAllIn(plan).length
+      println(s"q93 plan at $label: BroadcastHashJoin=$bhj SortMergeJoin=$smj")
+    }
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -238,6 +309,16 @@ object Scale {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("graph100")) {
+      val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.range(1000).write.mode("overwrite").format("noop").save()
+      graph100(spark,
+        args.drop(1).headOption.getOrElse("/tmp/graft_sf10x"),
+        args.drop(2).headOption.getOrElse("/tmp/graft_graph100"))
+      spark.stop()
+      return
+    }
     val out = args.headOption.getOrElse("/tmp/graft_sf10x")
     // optional 2nd arg (builder-side iteration): comma-separated subset
     // of Queries to time instead of the full measured set
