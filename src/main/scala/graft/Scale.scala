@@ -161,7 +161,13 @@ object Scale {
     // q152 rides the one user-keyed events pass (time-shifted replicas =
     // organic history; the KM frame is duration-bounded); q153 is q146's
     // frame + a type-cardinality fold
-    "q152_km_survival", "q153_forecast_eval")
+    "q152_km_survival", "q153_forecast_eval",
+    // round-11: q174 is the WINDOWED q117 — the time-shifted replicas
+    // put its last-14-days window entirely inside the newest replica, so
+    // its cost should stay ~FLAT across decades (exponent ≈ 0 up to the
+    // max-day probe scan): the measured proof that day-bounding turns
+    // O(history) into O(window)
+    "q174_burst_window")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
