@@ -79,6 +79,68 @@ class HttpStoreSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("streaming ingest through the wire store matches LocalStore table-for-table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // stage one real package under a file: bucket; send one good message
+    // and one poison (unstaged object -> retryable fetch failure), so the
+    // batch exercises store reads (identifiers, documents, the redrive
+    // ledger) AND every write op over HTTP inside foreachBatch
+    val bucket = Files.createTempDirectory("graft-http-bucket")
+    Files.createDirectories(bucket.resolve("b/k"))
+    val archive = graft.tar.TarOps.packStrings(Seq(
+      "REF-W/TRE-REF-W-metadata.json" ->
+        """{"parameters": {"TRE": {"reference": "TRE-REF-W", "payload": {
+          |  "filename": "doc.docx", "xml": "doc.xml",
+          |  "metadata": "TRE-REF-W-metadata.json", "images": [], "log": "parser.log"}},
+          |  "PARSER": {"uri": null, "cite": "[2024] EWHC 9 (KB)", "parser_run_id": "run-W"},
+          |  "TDR": {"Source-Organization": "MoJ", "Contact-Name": "Jo Doe",
+          |    "Contact-Email": "jo@example.com", "Internal-Sender-Identifier": "REF-W",
+          |    "Consignment-Completed-Datetime": "2024-01-01T00:00:00Z"}}}""".stripMargin,
+      "REF-W/doc.xml" -> "<akomaNtoso><judgment>wire body</judgment></akomaNtoso>",
+      "REF-W/doc.docx" -> "docx bytes",
+      "REF-W/parser.log" -> "ok"))
+    Files.write(bucket.resolve("b/k/REF-W.tar.gz"), archive)
+    val bucketStr = bucket.toString // String capture: Path is not serializable
+    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+    def jsonStr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def sqs(msgId: String, ref: String) = ("sqs",
+      s"""{"messageId": "$msgId", "eventSource": "aws:sqs", "body": ${jsonStr(
+        s"""{"Type": "Notification", "Message": ${jsonStr(
+          s"""{"parameters": {"reference": "$ref", "originator": "TDR", "s3Bucket": "b", "s3Key": "k/$ref.tar.gz"}}""")}}""")}}""")
+
+    def runThrough(store: DocumentStore): Unit = {
+      val source = MemoryStream[(String, String)]
+      source.addData(sqs("msg-w1", "REF-W"), sqs("msg-w2", "REF-GONE"))
+      val q = graft.streaming.IngestStream.start(
+        source.toDS().toDF("kind", "record_json"), store,
+        Files.createTempDirectory("graft-http-stream-ckpt").toString,
+        packageUri = resolver)
+      q.awaitTermination()
+    }
+
+    val local = LocalStore(spark, Files.createTempDirectory("graft-http-stream-local").toString)
+    val server = new DocStoreServer(
+      LocalStore(spark, Files.createTempDirectory("graft-http-stream-server").toString))
+    try {
+      val http = HttpStore(spark, server.endpoint)
+      runThrough(local)
+      runThrough(http)
+      for (t <- Seq("documents", "identifiers", "properties", "notifications",
+          "assets", "failures"))
+        assert(tableJson(local, t) == tableJson(http, t),
+          s"$t diverges between LocalStore and HttpStore streaming runs")
+      // the poison message's failed receive landed in the wire ledger,
+      // redeliverable (receive 1 of the default budget)
+      val fails = http.failures.collect()
+      assert(fails.length == 1 && fails.head.getAs[String]("msg_id") == "msg-w2")
+      assert(!fails.head.getAs[Boolean]("terminal"))
+    } finally server.stop()
+  }
+
   test("failure contract: server errors and unreachable servers throw, stage-only is not applied") {
     val serverDir = Files.createTempDirectory("graft-http-fail-server").toString
     val inner = LocalStore(spark, serverDir)
