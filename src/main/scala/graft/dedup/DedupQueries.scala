@@ -222,6 +222,89 @@ object DedupQueries {
        |FROM v WHERE CAST(common AS DOUBLE) / least(na, nb) >= $ContainThreshold
        |ORDER BY contained, container""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Contamination-SPAN localization — the excision worklist downstream
+    * of q60's doc-level flag: for every corpus document sharing at least
+    * one trigram shingle with the benchmark set, WHERE the contamination
+    * sits — total dirty shingle positions, number of contiguous dirty
+    * spans, and the longest span's [start, end] (1-based shingle
+    * positions; ties → earliest start). A pipeline that only has q60
+    * must DROP a contaminated document; with the span map it can excise
+    * the overlapping window and keep the rest (the standard production
+    * decontamination treatment).
+    *
+    * Unlike the distinct-shingle kernel every other dedup query rides,
+    * this needs the ORDERED shingle sequence with duplicates — built
+    * in-row and positionally exploded. Scale shape: the benchmark
+    * trigram dimension is small by construction (eval suites are), so
+    * the positional explode is flagged by a BROADCAST semi-join and
+    * never shuffles; only the FLAGGED positions (dirty-cardinality, not
+    * corpus-cardinality) enter the per-doc gaps-and-islands window and
+    * the two span folds. All-integer — no float anywhere. */
+  def q175ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.text.TextOps.tokens(graft.text.TextOps.normText(col("text")))
+    // ordered trigram sequence, duplicates preserved (1-based positions);
+    // the size guard matters: Spark's sequence(1, 0) steps BACKWARD
+    val seqSh = when(size(col("t")) >= 3,
+      transform(sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val px = Tables(spark, dir).documents
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(seqSh).as(Seq("p0", "s")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("s"))
+    val bench = px.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
+    val flagged = px.filter(col("doc_id") % BenchMod =!= 0)
+      .join(bench, Seq("s"), "left_semi")
+    // gaps-and-islands: consecutive dirty positions share (pos − row#)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = flagged
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("span_len"), min(col("pos")).as("span_start"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_len")).as("n_dirty"), count(lit(1)).as("n_spans"),
+        max(col("span_len")).as("longest_span"))
+    val best = spans
+      .join(perDoc.select(col("doc_id"), col("longest_span")), Seq("doc_id"))
+      .filter(col("span_len") === col("longest_span"))
+      .groupBy(col("doc_id")).agg(min(col("span_start")).as("span_start"))
+    perDoc.join(best, Seq("doc_id"))
+      .select(col("doc_id"), col("n_dirty"), col("n_spans"), col("longest_span"),
+        col("span_start"), (col("span_start") + col("longest_span") - 1).as("span_end"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q175Sql: String = {
+    val toksSqlLocal =
+      s"string_split(lower(trim(regexp_replace(text, '${WsSql}+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, $toksSqlLocal AS t FROM documents),
+       |sq AS (SELECT doc_id,
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)] AS seq
+       |  FROM tk),
+       |px AS (SELECT doc_id, unnest(seq) AS s, generate_subscripts(seq, 1) AS pos FROM sq),
+       |bench AS (SELECT DISTINCT s FROM px WHERE doc_id % $BenchMod = 0),
+       |fl AS (SELECT doc_id, pos FROM px
+       |       WHERE doc_id % $BenchMod != 0 AND s IN (SELECT s FROM bench)),
+       |runs AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM fl),
+       |sp AS (SELECT doc_id, grp, count(*) AS span_len, min(pos) AS span_start
+       |       FROM runs GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, sum(span_len) AS n_dirty, count(*) AS n_spans,
+       |       max(span_len) AS longest_span FROM sp GROUP BY 1),
+       |bs AS (SELECT sp.doc_id, min(sp.span_start) AS span_start
+       |       FROM sp JOIN pd ON sp.doc_id = pd.doc_id AND sp.span_len = pd.longest_span
+       |       GROUP BY 1)
+       |SELECT pd.doc_id, CAST(n_dirty AS BIGINT) AS n_dirty,
+       |  CAST(n_spans AS BIGINT) AS n_spans,
+       |  CAST(longest_span AS BIGINT) AS longest_span,
+       |  CAST(bs.span_start AS BIGINT) AS span_start,
+       |  CAST(bs.span_start + pd.longest_span - 1 AS BIGINT) AS span_end
+       |FROM pd JOIN bs ON pd.doc_id = bs.doc_id ORDER BY pd.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q173
   /** df-cap recall AUDIT card for the inverted-index family: the
     * [[DfCap]] candidate generator's measured recall against an UNCAPPED
@@ -545,8 +628,11 @@ object DedupQueries {
     * (eval suites are), so the semi-join broadcasts under AQE and the
     * corpus side never shuffles its shingles; the per-doc hit count
     * groups on doc_id — the same key the shingle kernel already carries. */
-  private val BenchMod = 97
-  private val ContamPct = 10 // contaminated when hits * 100 >= pct * shingles
+  // `final` = compile-time constants: q175Sql (declared ABOVE this line)
+  // interpolates BenchMod — a plain val would still be 0 (JVM default)
+  // during that initializer, silently baking `% 0` into the oracle SQL
+  private final val BenchMod = 97
+  private final val ContamPct = 10 // contaminated when hits * 100 >= pct * shingles
 
   def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val shh = docShingleHashes(spark, dir)
@@ -1313,6 +1399,7 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
     "q129_containment"        -> (q129Containment _),
     "q173_dfcap_recall"       -> (q173DfcapRecall _),
+    "q175_contamination_spans" -> (q175ContaminationSpans _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
     "q23_dedup_simhash_pairs" -> (q23SimhashPairs _),
@@ -1337,6 +1424,7 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> q20Sql,
     "q129_containment"        -> q129Sql,
     "q173_dfcap_recall"       -> q173Sql,
+    "q175_contamination_spans" -> q175Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
     "q23_dedup_simhash_pairs" -> q23Sql,
