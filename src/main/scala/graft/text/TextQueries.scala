@@ -1001,6 +1001,90 @@ object TextQueries {
        |  CAST(sd AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 / tokens AS epochs_at_1m
        |FROM s, g ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how target-like its hashed-token distribution is. The
+    * target is the deterministic `doc_id % 176Mod == 0` slice (the q60
+    * benchmark convention — a stand-in for the real target domain);
+    * features are tokens hashed into [[DsirBuckets]] buckets; each
+    * bucket carries the Laplace-smoothed log-likelihood ratio
+    * ln(p_target(b)/p_raw(b)), and a document's log-importance is the
+    * count-weighted sum of its buckets' ratios, reported raw (`llr`) and
+    * length-normalized (`score`), with `selected` = more target-like
+    * than raw (llr > 0) — the resampling gate.
+    *
+    * 100 TB shape: the bucket dimension is FIXED (64 rows) — both
+    * distribution folds are map-side-combinable aggregates onto it, the
+    * per-doc pass groups on (doc_id, bucket) riding the doc-keyed scan,
+    * and the ratio dimension broadcasts back. Nothing corpus-sized
+    * shuffles except the (doc, bucket) fold the narrow scan feeds.
+    * Parity: counts/totals are integers; each bucket's ln is ONE IEEE
+    * double op on exact integer products, rounded through
+    * DECIMAL(18,9) (q74's rule); per-doc sums are then exact decimal
+    * count × ratio products — summation-order-free in both engines;
+    * `score` is one final IEEE division. */
+  private final val DsirBuckets = 64
+  private final val DsirTargetMod = 97 // the q60 benchmark-slice convention
+
+  def q176DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(normText(col("text")))).as("w"))
+      .select(col("doc_id"), (TextOps.hex60(col("w")) % DsirBuckets).as("b"))
+    val isTarget = col("doc_id") % DsirTargetMod === 0
+    val tc = tok.filter(isTarget).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rc = tok.filter(!isTarget).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    // complete the fixed bucket grid so smoothing covers empty buckets
+    val grid = spark.range(DsirBuckets).toDF("b")
+    val dims = grid.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tots = dims.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lrDim = dims.crossJoin(broadcast(tots))
+      .select(col("b"), log(
+          ((col("ct") + 1).cast(DoubleType) * (col("nr") + DsirBuckets)) /
+            ((col("cr") + 1).cast(DoubleType) * (col("nt") + DsirBuckets)))
+        .cast(DecimalType(18, 9)).as("lr"))
+    tok.filter(!isTarget)
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n_b"))
+      .join(broadcast(lrDim), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_b").cast(DecimalType(10, 0)) * col("lr")).as("llr_dec"),
+        sum(col("n_b")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("llr_dec").cast(DoubleType).as("llr"),
+        (col("llr_dec").cast(DoubleType) / col("n_tokens")).as("score"),
+        (col("llr_dec") > 0).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q176Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tok AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       |tb AS (SELECT doc_id,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $DsirBuckets AS b FROM tok),
+       |grid AS (SELECT range AS b FROM range(0, $DsirBuckets)),
+       |tc AS (SELECT b, count(*) AS ct FROM tb WHERE doc_id % $DsirTargetMod = 0 GROUP BY 1),
+       |rc AS (SELECT b, count(*) AS cr FROM tb WHERE doc_id % $DsirTargetMod != 0 GROUP BY 1),
+       |d AS (SELECT g.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |      FROM grid g LEFT JOIN tc ON g.b = tc.b LEFT JOIN rc ON g.b = rc.b),
+       |t AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM d),
+       |lr AS (SELECT b, CAST(ln(
+       |    (CAST(ct + 1 AS DOUBLE) * (nr + $DsirBuckets)) /
+       |    (CAST(cr + 1 AS DOUBLE) * (nt + $DsirBuckets))) AS DECIMAL(18,9)) AS lr
+       |  FROM d, t),
+       |pd AS (SELECT doc_id, b, count(*) AS n_b FROM tb
+       |       WHERE doc_id % $DsirTargetMod != 0 GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, sum(CAST(n_b AS DECIMAL(10,0)) * lr) AS llr,
+       |       sum(n_b) AS n_tokens FROM pd JOIN lr USING (b) GROUP BY 1)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(llr AS DOUBLE) AS llr,
+       |  CAST(llr AS DOUBLE) / n_tokens AS score,
+       |  llr > 0 AS selected
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q80
   /** JSONL export formatting — the interchange format every LLM training
     * stack ingests. One narrow pass: each doc serializes to a compact
@@ -1499,6 +1583,7 @@ object TextQueries {
     "q74_bigram_lm"        -> (q74BigramLm _),
     "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
     "q79_mixture_weights"  -> (q79MixtureWeights _),
+    "q176_dsir_weights"    -> (q176DsirWeights _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1529,6 +1614,7 @@ object TextQueries {
     "q74_bigram_lm"        -> q74Sql,
     "q78_tfidf_keywords"   -> q78Sql,
     "q79_mixture_weights"  -> q79Sql,
+    "q176_dsir_weights"    -> q176Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
