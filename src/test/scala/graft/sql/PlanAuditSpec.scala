@@ -713,4 +713,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q166: a fold re-scanned orders instead of the cell checkpoint\n$plan")
     assert(!plan.contains("CartesianProduct"), s"q166: the 1-row grand must broadcast\n$plan")
   }
+
+  test("q175 contamination spans: bench dim broadcasts into the flagging semi-join, no cartesian") {
+    val plan = physical("q175_contamination_spans")
+    // the eval-suite-small benchmark trigram set must flag positions via
+    // a broadcast LeftSemi — the corpus-sized positional explode never
+    // shuffles its shingle strings
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"q175: expected the bench set to broadcast into a semi-join\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q175: pair-blowup join shape\n$plan")
+  }
+
+  test("q176 DSIR: the 64-bucket ratio dim broadcasts back; docs scan prunes to (doc_id, text)") {
+    val plan = physical("q176_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q176: expected the fixed bucket-ratio dimension to broadcast\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q176: cartesian\n$plan")
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(readSchemas.forall(rs => rs.contains("doc_id") || rs.contains("text")),
+      s"q176: docs scan must prune to the token kernel's columns\n$plan")
+  }
 }
