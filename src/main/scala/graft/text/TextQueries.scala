@@ -843,7 +843,9 @@ object TextQueries {
     * engines), decimal-summed exactly, and the single final double
     * division is bit-stable.
     */
-  def q74BigramLm(spark: SparkSession, dir: String): DataFrame = {
+  /** The q74 per-doc score frame, unordered — shared kernel for the gate
+    * query (q74) and the pruning-curve card (q177). */
+  private def bigramNllScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(normText(col("text")))
     // referenced three times (V, model training, scoring) — materialize
     // the gram kernel once (see docShingleHashes rationale in dedup)
@@ -878,10 +880,14 @@ object TextQueries {
       .select(col("doc_id"), col("n_bigrams"),
         (col("nll_dec").cast(DoubleType) / nullif(col("n_bigrams"), lit(0L)))
           .as("avg_nll"))
-      .orderBy(col("doc_id"))
   }
 
-  val q74Sql: String = {
+  def q74BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramNllScored(spark, dir).orderBy(col("doc_id"))
+
+  /** The q74 CTE chain up to the per-doc score fold — shared verbatim by
+    * q74Sql and q177Sql so the card can never diverge from the scorer. */
+  private val bigramNllCtesSql: String = {
     val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (SELECT doc_id,
@@ -902,12 +908,79 @@ object TextQueries {
        |s AS (SELECT doc_id,
        |  CAST(-ln(CAST(c12 + 1 AS DOUBLE) / (CAST(ch AS DOUBLE) + v)) AS DECIMAL(18,6)) * occ AS term
        |  FROM ex JOIN bc USING (bg) JOIN hc USING (hh) CROSS JOIN vv),
-       |sc AS (SELECT doc_id, sum(term) AS nll_dec FROM s GROUP BY 1)
+       |sc AS (SELECT doc_id, sum(term) AS nll_dec FROM s GROUP BY 1)""".stripMargin
+  }
+
+  val q74Sql: String =
+    s"""$bigramNllCtesSql
        |SELECT g.doc_id, CAST(len(bh) AS BIGINT) AS n_bigrams,
        |  CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS avg_nll
        |FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
        |ORDER BY g.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+  /** Perplexity pruning curve (the CCNet head/middle/tail treatment):
+    * docs bucketed into NLL deciles under q74's own bigram LM (decile 1 =
+    * most fluent), reporting per decile the doc/token mass, mean NLL, the
+    * cumulative token fraction a "keep deciles 1..k" prune retains, and
+    * the head/middle/tail band — the curve a quality-pruning decision is
+    * actually made from (how much data does each quality bar cost?).
+    *
+    * Shares q74's scoring kernel verbatim (Spark frame AND oracle CTEs),
+    * so the curve can never diverge from the scorer. Zero-bigram docs
+    * are excluded (they have no LM score; q74 reports them as null).
+    *
+    * Scale note: the decile assignment is ONE global window over the
+    * per-DOC score frame — exact by design, because the gate needs exact
+    * deciles, and doc-cardinality (not token-cardinality) keeps it
+    * viable at audit scale. A 100 TB production run replaces ntile with
+    * the q105 sketch-quantile cut points broadcast into a join — same
+    * output contract, no global sort; the exact card is what validates
+    * that sketch against. Everything after the assignment is
+    * 10-row-bounded. Parity: per-doc avg_nll rounds through
+    * DECIMAL(18,6) before bucketing and summing (exact, order-free);
+    * mean/fraction are one IEEE division each off integer/decimal
+    * aggregates. */
+  def q177PplPruneCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pd = bigramNllScored(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("avg_nll").cast(DecimalType(18, 6)).as("nll6"))
+    val dt = pd.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("nll6"), col("doc_id"))).cast("long"))
+    val db = dt.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_tokens"),
+        sum(col("nll6")).as("nll_sum"))
+    val tot = db.agg(sum(col("n_tokens")).as("tt"))
+    db.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(Window.orderBy(col("decile"))))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        (col("nll_sum").cast(DoubleType) / col("n_docs")).as("mean_nll"),
+        (col("cum_tokens").cast(DoubleType) / col("tt")).as("cum_token_frac"),
+        when(col("decile") <= 3, lit("head"))
+          .when(col("decile") <= 7, lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+      .orderBy(col("decile"))
   }
+
+  val q177Sql: String =
+    s"""$bigramNllCtesSql,
+       |pd AS (SELECT g.doc_id, CAST(len(bh) AS BIGINT) AS n_bigrams,
+       |    CAST(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS DECIMAL(18,6)) AS nll6
+       |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+       |  WHERE len(bh) > 0),
+       |dt AS (SELECT doc_id, n_bigrams, nll6,
+       |    CAST(ntile(10) OVER (ORDER BY nll6, doc_id) AS BIGINT) AS decile FROM pd),
+       |db AS (SELECT decile, count(*) AS n_docs, sum(n_bigrams) AS n_tokens,
+       |    sum(nll6) AS nll_sum FROM dt GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS tt FROM db)
+       |SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(nll_sum AS DOUBLE) / n_docs AS mean_nll,
+       |  CAST(sum(n_tokens) OVER (ORDER BY decile) AS DOUBLE) / tt AS cum_token_frac,
+       |  CASE WHEN decile <= 3 THEN 'head' WHEN decile <= 7 THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM db, tot ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------------------- q78
   /** TF-IDF keyword extraction: the top-3 terms per document by
@@ -1584,6 +1657,7 @@ object TextQueries {
     "q78_tfidf_keywords"   -> (q78TfidfKeywords _),
     "q79_mixture_weights"  -> (q79MixtureWeights _),
     "q176_dsir_weights"    -> (q176DsirWeights _),
+    "q177_ppl_prune_curve" -> (q177PplPruneCurve _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1615,6 +1689,7 @@ object TextQueries {
     "q78_tfidf_keywords"   -> q78Sql,
     "q79_mixture_weights"  -> q79Sql,
     "q176_dsir_weights"    -> q176Sql,
+    "q177_ppl_prune_curve" -> q177Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
