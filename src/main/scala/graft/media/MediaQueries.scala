@@ -25,6 +25,22 @@ final case class MediaFeatures(
     sampled_frames: Int,
     content_fp: String)
 
+/** PCM WAV payload row for the real audio-decode path (q178). */
+final case class WavRow(doc_id: Long, wav: Array[Byte])
+
+/** Features decoded from a WAV payload by the REAL JDK codec: container
+  * format fields plus integer-exact signal statistics over the PCM
+  * frames. */
+final case class WavFeatures(
+    doc_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    bits: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    peak_abs: Long,
+    sum_sq: Long)
+
 /** Multimodal-column processing (image/audio/video as opaque binary +
   * typed metadata).
   *
@@ -39,12 +55,20 @@ final case class MediaFeatures(
   * `javax.imageio` (header-only — an `ImageReader` reads metadata, never
   * rasterizes, so the featurize pass stays I/O-bound at scale), driven in
   * `MediaKernelSpec` over the reference's golden-package images
-  * (`ingester.py:407-418` copies them; the engine decodes them). Audio/
-  * video decode stays a stub behind the deterministic 16-byte synthetic
-  * header (magic, width, height, frame count) — this container has no
-  * audio codecs. Every surrounding piece — binary encode, schema,
-  * partition batching, feature columns — is real and oracle-checked
-  * (q37).
+  * (`ingester.py:407-418` copies them; the engine decodes them).
+  *
+  * The AUDIO codec is real too (round 11): PCM WAV decodes through the
+  * JDK's `javax.sound.sampled.AudioSystem` (RIFF/WAVE container parse +
+  * PCM frame stream — the same java.desktop module javax.imageio lives
+  * in), exercised end-to-end by q178: deterministic PCM synthesis →
+  * real WAV encode → real codec decode → integer-exact features, with
+  * the oracle recomputing the features by pure arithmetic — only a
+  * byte-faithful container round-trip through the codec can match.
+  * Compressed audio (mp3/ogg) and VIDEO decode stay stubbed behind the
+  * deterministic 16-byte synthetic header (magic, width, height, frame
+  * count) — this container ships no codecs for those. Every surrounding
+  * piece — binary encode, schema, partition batching, feature columns —
+  * is real and oracle-checked (q37).
   */
 object MediaQueries {
 
@@ -119,6 +143,121 @@ object MediaQueries {
       }
     }
   }
+
+  object WavKernel {
+    /** Real audio decode: container format + PCM frames via
+      * `javax.sound.sampled.AudioSystem`. Signal statistics are computed
+      * from the decoded frame stream using the FORMAT'S OWN byte layout
+      * (frame size, endianness), not assumptions about the input. */
+    def decode(docId: Long, wav: Array[Byte]): WavFeatures = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val f = in.getFormat
+        require(f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16,
+          s"q178 kernel handles 16-bit signed PCM, got $f")
+        val pcm = in.readAllBytes()
+        val sb = ByteBuffer.wrap(pcm)
+          .order(if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                 else java.nio.ByteOrder.LITTLE_ENDIAN)
+          .asShortBuffer()
+        var peak = 0L
+        var sumSq = 0L
+        while (sb.hasRemaining) {
+          val v = sb.get().toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+        }
+        val nFrames = (pcm.length / f.getFrameSize).toLong
+        val sr = f.getSampleRate.toInt
+        WavFeatures(docId, sr, f.getChannels, f.getSampleSizeInBits,
+          nFrames, nFrames * 1000L / sr, peak, sumSq)
+      } finally in.close()
+    }
+
+    /** Batched per-partition decode — the same mapInPandas-shaped kernel
+      * contract as [[MediaKernel.featurize]]. */
+    def featurize(rows: Iterator[WavRow]): Iterator[WavFeatures] =
+      rows.map(r => decode(r.doc_id, r.wav))
+  }
+
+  /** Deterministic PCM synthesis + REAL RIFF/WAVE encode for a document:
+    * channels/rate/length derive from doc_id, each 16-bit sample from an
+    * integer hash of (frame, channel, doc_id) — exactly recomputable in
+    * SQL, so the oracle can verify the codec round trip by arithmetic.
+    * (The multiplier is Knuth's 2654435761; products stay under 2⁶³ for
+    * doc_id < ~3×10⁹ — far past any gate SF.) */
+  private[media] def encodeWav(docId: Long): Array[Byte] = {
+    val ch = 1 + (docId % 2).toInt
+    val sr = 8000 + 4000 * (docId % 3).toInt
+    val nFrames = 400 + (docId % 800).toInt
+    val data = ByteBuffer.allocate(nFrames * ch * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < ch) {
+        val v = (((i.toLong * 31 + c * 17 + docId * 13) * 2654435761L) % 65536L).toInt - 32768
+        data.putShort(v.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    val body = data.array()
+    val w = ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    w.put("RIFF".getBytes(UTF_8)).putInt(36 + body.length).put("WAVE".getBytes(UTF_8))
+    w.put("fmt ".getBytes(UTF_8)).putInt(16).putShort(1).putShort(ch.toShort)
+    w.putInt(sr).putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+    w.put("data".getBytes(UTF_8)).putInt(body.length).put(body)
+    w.array()
+  }
+
+  // ---------------------------------------------------------------- q178
+  /** REAL audio codec round trip: synthesize PCM → encode a real
+    * RIFF/WAVE container → decode through the JDK's actual WAV codec
+    * (`AudioSystem`) → integer-exact features (format fields, frame
+    * count, duration, peak amplitude, signal energy). The oracle
+    * recomputes every feature by pure arithmetic from doc_id — a match
+    * proves the container encode, the codec's parse, and the PCM frame
+    * walk are all byte-faithful (the q37 device, with a real codec in
+    * the loop instead of the synthetic header).
+    *
+    * 100 TB shape: identical to q37 — binary payloads stay in the scan
+    * stage, the decode kernel is a narrow partition-batched pass (I/O
+    * bound, no shuffle), and only the fixed-width feature columns leave
+    * the executor. */
+  def q178AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map(id => WavRow(id, encodeWav(id)))
+      .mapPartitions(WavKernel.featurize _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q178Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(1 + doc_id % 2 AS INT) AS channels,
+      |    CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+      |    400 + doc_id % 800 AS n_frames
+      |  FROM documents),
+      |f1 AS (SELECT doc_id, channels, sample_rate, n_frames,
+      |    unnest(range(0, n_frames)) AS i FROM p),
+      |f2 AS (SELECT doc_id, channels, sample_rate, n_frames, i,
+      |    unnest(range(0, channels)) AS c FROM f1),
+      |sm AS (SELECT doc_id, channels, sample_rate, n_frames,
+      |    ((i * 31 + c * 17 + doc_id * 13) * 2654435761) % 65536 - 32768 AS s
+      |  FROM f2)
+      |SELECT doc_id, sample_rate, channels, CAST(16 AS INT) AS bits,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+      |  CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(s * s) AS BIGINT) AS sum_sq
+      |FROM sm GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY doc_id""".stripMargin
 
   /** Build the synthetic media payload for a document: 16-byte header +
     * UTF-8 text body. Width/height/frames are deterministic functions of
@@ -227,9 +366,11 @@ object MediaQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
-    "q43_media_frames"   -> (q43MediaFrames _))
+    "q43_media_frames"   -> (q43MediaFrames _),
+    "q178_audio_features" -> (q178AudioFeatures _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
-    "q43_media_frames"   -> q43Sql)
+    "q43_media_frames"   -> q43Sql,
+    "q178_audio_features" -> q178Sql)
 }
