@@ -28,6 +28,23 @@ final case class MediaFeatures(
 /** PCM WAV payload row for the real audio-decode path (q178). */
 final case class WavRow(doc_id: Long, wav: Array[Byte])
 
+/** AVI payload row for the real video-demux path (q179). */
+final case class VideoRow(doc_id: Long, avi: Array[Byte])
+
+/** Features produced by the real video pipeline: container fields from the
+  * demuxed AVI headers, pixel statistics from the REAL PNG codec's decode
+  * of the sampled frames. */
+final case class VideoFeatures(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    fps: Int,
+    n_frames: Long,
+    duration_ms: Long,
+    sampled_frames: Int,
+    pix_sum: Long,
+    pix_peak: Long)
+
 /** Features decoded from a WAV payload by the REAL JDK codec: container
   * format fields plus integer-exact signal statistics over the PCM
   * frames. */
@@ -64,11 +81,16 @@ final case class WavFeatures(
   * real WAV encode → real codec decode → integer-exact features, with
   * the oracle recomputing the features by pure arithmetic — only a
   * byte-faithful container round-trip through the codec can match.
-  * Compressed audio (mp3/ogg) and VIDEO decode stay stubbed behind the
-  * deterministic 16-byte synthetic header (magic, width, height, frame
-  * count) — this container ships no codecs for those. Every surrounding
-  * piece — binary encode, schema, partition batching, feature columns —
-  * is real and oracle-checked (q37).
+  * The VIDEO pipeline is real as of q179 (round 11): gray frames encode
+  * through the real PNG codec, mux into a real RIFF/AVI container
+  * (Motion-PNG, fccHandler 'MPNG'), demux back with full structural
+  * validation, and the sampled frames rasterize through `javax.imageio`
+  * again — pixel-exact features, arithmetic oracle (PNG is lossless).
+  * Only compressed codecs (mp3/ogg audio, H.264-class inter-frame video)
+  * remain behind the deterministic 16-byte synthetic header stub — this
+  * container ships no codecs for those. Every surrounding piece — binary
+  * encode, schema, partition batching, feature columns — is real and
+  * oracle-checked (q37).
   */
 object MediaQueries {
 
@@ -182,6 +204,281 @@ object MediaQueries {
     def featurize(rows: Iterator[WavRow]): Iterator[WavFeatures] =
       rows.map(r => decode(r.doc_id, r.wav))
   }
+
+  object AviKernel {
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+
+    private def fourcc(s: String): Int = {
+      val b = s.getBytes(UTF_8)
+      (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+    }
+    private val RIFF = fourcc("RIFF"); private val AVI  = fourcc("AVI ")
+    private val LIST = fourcc("LIST"); private val Hdrl = fourcc("hdrl")
+    private val Avih = fourcc("avih"); private val Strl = fourcc("strl")
+    private val Strh = fourcc("strh"); private val Strf = fourcc("strf")
+    private val Vids = fourcc("vids"); private val Mpng = fourcc("MPNG")
+    private val Movi = fourcc("movi"); private val Dc00 = fourcc("00dc")
+    private val Idx1 = fourcc("idx1")
+    private val KeyframeFlag = 0x10 // AVIIF_KEYFRAME
+
+    /** Demuxed container: header fields + the raw codec payload (one PNG
+      * file per '00dc' chunk, Motion-PNG). The demuxer cross-checks every
+      * redundant field the format carries — avih totals vs strh length vs
+      * movi chunk count vs idx1 entries, idx1 offsets/sizes vs the actual
+      * chunk positions, word alignment — so a structurally inconsistent
+      * container is rejected here, before any codec work. */
+    final case class Demuxed(
+        width: Int, height: Int, fps: Int, nFrames: Int, frames: Vector[Array[Byte]])
+
+    /** Mux gray-PNG frames into a REAL RIFF/AVI container (fccHandler
+      * 'MPNG', the registered Motion-PNG FourCC): hdrl (avih + strl with
+      * strh/strf), movi with one word-aligned '00dc' chunk per frame, and
+      * a full idx1 keyframe index. Standard players recognize this layout;
+      * [[demux]] re-derives every field from the bytes alone. */
+    def mux(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val n = frames.size
+      def chunkLen(b: Array[Byte]) = 8 + b.length + (b.length & 1)
+      val moviData = 4 + frames.map(chunkLen).sum
+      val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val idx1Data = 16 * n
+      val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+      val bb = ByteBuffer.allocate(8 + riffData).order(LITTLE_ENDIAN)
+      bb.putInt(RIFF).putInt(riffData).putInt(AVI)
+      // hdrl
+      bb.putInt(LIST).putInt(hdrlData).putInt(Hdrl)
+      bb.putInt(Avih).putInt(56)
+      bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(KeyframeFlag) // µs/frame, maxBps, pad, AVIF_HASINDEX
+      bb.putInt(n).putInt(0).putInt(1).putInt(0)                       // totalFrames, initial, streams, sugBuf
+      bb.putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.putInt(LIST).putInt(4 + 64 + 48).putInt(Strl)
+      bb.putInt(Strh).putInt(56)
+      bb.putInt(Vids).putInt(Mpng).putInt(0).putInt(0).putInt(0)       // type, handler, flags, prio/lang, initial
+      bb.putInt(1).putInt(fps).putInt(0).putInt(n)                     // scale, rate, start, length
+      bb.putInt(0).putInt(0).putInt(0)                                 // sugBuf, quality, sampleSize
+      bb.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort) // rcFrame
+      bb.putInt(Strf).putInt(40)
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(8) // BITMAPINFOHEADER, planes, bpp
+      bb.putInt(Mpng).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)  // biCompression='MPNG'
+      // movi — record each chunk's offset (from the 'movi' fourcc) for idx1
+      bb.putInt(LIST).putInt(moviData).putInt(Movi)
+      val moviStart = bb.position() - 4
+      val offsets = frames.map { f =>
+        val off = bb.position() - moviStart
+        bb.putInt(Dc00).putInt(f.length).put(f)
+        if ((f.length & 1) == 1) bb.put(0.toByte)
+        off
+      }
+      // idx1 — one keyframe entry per chunk
+      bb.putInt(Idx1).putInt(idx1Data)
+      frames.zip(offsets).foreach { case (f, off) =>
+        bb.putInt(Dc00).putInt(KeyframeFlag).putInt(off).putInt(f.length)
+      }
+      bb.array()
+    }
+
+    /** Walk the RIFF tree and return header fields + frame payloads,
+      * enforcing every structural invariant (see [[Demuxed]]). This is the
+      * demux half a video pipeline owns; the codec half stays the JDK's. */
+    def demux(avi: Array[Byte]): Demuxed = {
+      val bb = ByteBuffer.wrap(avi).order(LITTLE_ENDIAN)
+      require(bb.getInt() == RIFF, "not a RIFF container")
+      val riffLen = bb.getInt()
+      require(riffLen == avi.length - 8, s"RIFF size $riffLen != payload ${avi.length - 8}")
+      require(bb.getInt() == AVI, "RIFF form is not 'AVI '")
+      var width = -1; var height = -1; var fps = -1
+      var avihFrames = -1; var strhFrames = -1
+      var frames = Vector.empty[Array[Byte]]
+      var chunkPos = Vector.empty[(Int, Int)] // (offset from movi fourcc, size)
+      var idx = Vector.empty[(Int, Int)]
+      while (bb.remaining() >= 8) {
+        val id = bb.getInt(); val len = bb.getInt()
+        val next = bb.position() + len + (len & 1)
+        id match {
+          case LIST =>
+            val listType = bb.getInt()
+            if (listType == Hdrl) {
+              // avih
+              require(bb.getInt() == Avih && bb.getInt() == 56, "hdrl must open with avih[56]")
+              val usPerFrame = bb.getInt(); bb.getInt(); bb.getInt(); bb.getInt()
+              avihFrames = bb.getInt(); bb.getInt()
+              require(bb.getInt() == 1, "expected exactly one stream"); bb.getInt()
+              width = bb.getInt(); height = bb.getInt()
+              bb.position(bb.position() + 16)
+              // strl > strh + strf
+              require(bb.getInt() == LIST, "avih must be followed by LIST strl")
+              bb.getInt()
+              require(bb.getInt() == Strl, "second hdrl list must be strl")
+              require(bb.getInt() == Strh && bb.getInt() == 56, "strl must open with strh[56]")
+              require(bb.getInt() == Vids, "stream type must be 'vids'")
+              require(bb.getInt() == Mpng, "codec handler must be 'MPNG'")
+              bb.position(bb.position() + 12)
+              val scale = bb.getInt(); val rate = bb.getInt(); bb.getInt()
+              strhFrames = bb.getInt()
+              require(scale == 1, "strh scale must be 1")
+              fps = rate
+              require(usPerFrame == 1000000 / fps, "avih µs/frame disagrees with strh rate")
+              bb.position(bb.position() + 20)
+              require(bb.getInt() == Strf, "strh must be followed by strf")
+              bb.getInt(); bb.getInt()
+              require(bb.getInt() == width && bb.getInt() == height,
+                "strf bitmap dims disagree with avih")
+              bb.getShort(); bb.getShort()
+              require(bb.getInt() == Mpng, "strf biCompression must be 'MPNG'")
+            } else if (listType == Movi) {
+              val moviStart = bb.position() - 4
+              while (bb.position() < next) {
+                val off = bb.position() - moviStart
+                val cid = bb.getInt(); val clen = bb.getInt()
+                require(cid == Dc00, "movi chunk is not a '00dc' frame")
+                val payload = new Array[Byte](clen)
+                bb.get(payload)
+                if ((clen & 1) == 1) bb.get() // word-alignment pad
+                frames :+= payload
+                chunkPos :+= (off, clen)
+              }
+            }
+          case Idx1 =>
+            require(len % 16 == 0, "idx1 length not a multiple of 16")
+            (0 until len / 16).foreach { _ =>
+              require(bb.getInt() == Dc00, "idx1 entry id is not '00dc'")
+              require(bb.getInt() == KeyframeFlag, "idx1 entry not flagged keyframe")
+              idx :+= (bb.getInt(), bb.getInt())
+            }
+          case _ => // unknown top-level chunk: legal in RIFF, skip
+        }
+        bb.position(next)
+      }
+      require(width > 0 && fps > 0, "no hdrl headers found")
+      require(avihFrames == strhFrames && strhFrames == frames.size,
+        s"frame counts disagree: avih=$avihFrames strh=$strhFrames movi=${frames.size}")
+      require(idx == chunkPos,
+        "idx1 offsets/sizes disagree with actual movi chunk positions")
+      Demuxed(width, height, fps, frames.size, frames)
+    }
+
+    /** Evenly-strided sample of `sampled` frame indices out of `n`
+      * (j*n/sampled for j < sampled) — the frame-sampling schedule both
+      * the kernel and the oracle use. */
+    def sampleIndices(n: Int): Seq[Int] = {
+      val sampled = math.min(8, n)
+      (0 until sampled).map(j => j * n / sampled)
+    }
+
+    /** Demux + REAL codec decode: sampled frames go through the JDK's PNG
+      * reader (`javax.imageio`, rasterized this time — pixels are the
+      * payload here), and the gray samples fold into integer-exact
+      * statistics. Decoded dimensions must agree with the container
+      * headers — a codec/container mismatch is an error, not a feature. */
+    def featurize(rows: Iterator[VideoRow]): Iterator[VideoFeatures] =
+      rows.map { r =>
+        val d = demux(r.avi)
+        var pixSum = 0L
+        var pixPeak = 0L
+        sampleIndices(d.nFrames).foreach { i =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.frames(i)))
+          require(img != null, s"frame $i is not a decodable image")
+          require(img.getWidth == d.width && img.getHeight == d.height,
+            s"decoded frame $i is ${img.getWidth}x${img.getHeight}, container says ${d.width}x${d.height}")
+          val raster = img.getRaster
+          var y = 0
+          while (y < d.height) {
+            var x = 0
+            while (x < d.width) {
+              val v = raster.getSample(x, y, 0).toLong
+              pixSum += v
+              if (v > pixPeak) pixPeak = v
+              x += 1
+            }
+            y += 1
+          }
+        }
+        VideoFeatures(r.doc_id, d.width, d.height, d.fps, d.nFrames.toLong,
+          d.nFrames * 1000L / d.fps, sampleIndices(d.nFrames).size, pixSum, pixPeak)
+      }
+  }
+
+  /** Deterministic gray-frame synthesis + REAL PNG encode + REAL AVI mux
+    * for a document: dims/fps/length derive from doc_id, each 8-bit pixel
+    * from an integer hash of (x, y, frame, doc_id) — exactly recomputable
+    * in SQL. PNG is lossless, so the oracle can verify the whole
+    * container→codec→raster path by arithmetic. (Same hash family as
+    * [[encodeWav]]; products stay under 2⁶³ for doc_id < ~10⁸.) */
+  private[media] def encodeAvi(docId: Long): Array[Byte] = {
+    val w = 16 + (docId % 3).toInt * 8
+    val h = 16 + (docId % 2).toInt * 8
+    val fps = 5 + (docId % 4).toInt
+    val nFrames = 4 + (docId % 9).toInt
+    val frames = (0 until nFrames).map { i =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((x.toLong * 7 + y * 11 + i * 13 + docId * 31) * 2654435761L) % 256L).toInt
+          raster.setSample(x, y, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer installed")
+      out.toByteArray
+    }
+    AviKernel.mux(w, h, fps, frames)
+  }
+
+  // ---------------------------------------------------------------- q179
+  /** REAL video pipeline: synthesize gray frames → encode each through the
+    * JDK's actual PNG codec → mux a real RIFF/AVI container (Motion-PNG)
+    * → demux it back (full structural validation: header cross-checks,
+    * idx1-vs-movi agreement, word alignment) → decode the sampled frames
+    * through the PNG codec again → pixel-exact features. The oracle
+    * recomputes everything by pure arithmetic from doc_id — a match
+    * proves the mux, the demux, the codec round trip, and the frame
+    * sampling schedule are all byte-faithful. Upgrades the video arm of
+    * the multimodal family from synthetic-header stub to a real
+    * container + real codec (only compressed inter-frame codecs like
+    * H.264 remain out of reach — this container ships none).
+    *
+    * 100 TB shape: q37/q178's — payloads never shuffle, demux+decode is a
+    * narrow partition-batched kernel, only fixed-width features leave the
+    * executor; frame sampling bounds codec work per document regardless
+    * of video length. */
+  def q179VideoFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .map(id => VideoRow(id, encodeAvi(id)))
+      .mapPartitions(AviKernel.featurize _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val q179Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CAST(16 + (doc_id % 3) * 8 AS INT) AS width,
+      |    CAST(16 + (doc_id % 2) * 8 AS INT) AS height,
+      |    CAST(5 + doc_id % 4 AS INT) AS fps,
+      |    CAST(4 + doc_id % 9 AS INT) AS n_frames
+      |  FROM documents),
+      |s AS (SELECT *, CAST(least(8, n_frames) AS INT) AS sampled_frames FROM p),
+      |fr AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames,
+      |    unnest(range(0, sampled_frames)) AS j FROM s),
+      |fi AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames,
+      |    j * n_frames // sampled_frames AS i FROM fr),
+      |fx AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames, i,
+      |    unnest(range(0, width)) AS x FROM fi),
+      |px AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames,
+      |    ((x * 7 + y * 11 + i * 13 + doc_id * 31) * 2654435761) % 256 AS v
+      |  FROM fx, unnest(range(0, height)) AS t(y))
+      |SELECT doc_id, width, height, fps,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
+      |  sampled_frames,
+      |  CAST(sum(v) AS BIGINT) AS pix_sum,
+      |  CAST(max(v) AS BIGINT) AS pix_peak
+      |FROM px GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY doc_id""".stripMargin
 
   /** Deterministic PCM synthesis + REAL RIFF/WAVE encode for a document:
     * channels/rate/length derive from doc_id, each 16-bit sample from an
@@ -367,10 +664,12 @@ object MediaQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_features" -> (q37MediaFeatures _),
     "q43_media_frames"   -> (q43MediaFrames _),
-    "q178_audio_features" -> (q178AudioFeatures _))
+    "q178_audio_features" -> (q178AudioFeatures _),
+    "q179_video_features" -> (q179VideoFeatures _))
 
   val oracleSql: Map[String, String] = Map(
     "q37_media_features" -> q37Sql,
     "q43_media_frames"   -> q43Sql,
-    "q178_audio_features" -> q178Sql)
+    "q178_audio_features" -> q178Sql,
+    "q179_video_features" -> q179Sql)
 }
