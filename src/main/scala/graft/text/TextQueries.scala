@@ -4,7 +4,7 @@ import graft.sql.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, language identification, and document fingerprinting.
@@ -982,6 +982,142 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures"): one multiplicative-weights round over per-domain
+    * clipped excess loss. The proxy model is q74's corpus bigram LM; the
+    * reference is an add-one-smoothed unigram model over the same token
+    * stream; per position the excess is max(0, nll_bigram − nll_unigram)
+    * (clipped at zero, as DoReMi does), token-averaged per source. The new
+    * domain weight is the exp-reweighted baseline share,
+    *
+    *   w_d ∝ share_d · exp(excess_d),   share_d = tokens_d / Σ tokens
+    *
+    * (η = 1, one round) — domains where the context-aware model still
+    * loses the most over a context-free baseline get upweighted: the
+    * "hardest residual signal" treatment for choosing a pretraining
+    * mixture.
+    *
+    * 100 TB shape: q74's exactly, plus one more vocab-keyed model join
+    * (unigram counts) — per-doc duplicate (history, bigram, next) triples
+    * collapse before any join, model joins key on 8-byte hashes
+    * (AQE-broadcastable Zipf head), and everything after the per-source
+    * fold is domain-cardinality (20 rows here; thousands at most in a
+    * production mixture — always a broadcast dimension). The n_docs count
+    * folds from the doc-cardinality base frame, never the exploded one.
+    *
+    * Parity: each −ln P rounds through DECIMAL(18,6) (the q66/q74 rule);
+    * clipping and both folds are exact decimal/integer; exp rounds
+    * through DECIMAL(18,9); the weight numerator share·exp rounds through
+    * DECIMAL(18,12) so its 20-row sum is exact and every decimal→double
+    * cast stays under 2⁵³. */
+  def q180DoremiWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        graft.expr.WordGrams.hashedOf(toks, 1, 1).as("uh"),
+        graft.expr.WordGrams.hashedOf(toks, 2, 1).as("bh"))
+      .localCheckpoint(true)
+    val ex = base
+      .filter(size(col("bh")) > 0)
+      .select(col("doc_id"), col("source"), col("uh"), posexplode(col("bh")))
+      .select(col("doc_id"), col("source"),
+        element_at(col("uh"), col("pos") + 1).as("hh"),
+        col("col").as("bg"),
+        element_at(col("uh"), col("pos") + 2).as("u2"))
+      .groupBy(col("doc_id"), col("source"), col("hh"), col("bg"), col("u2"))
+      .agg(count(lit(1)).as("occ"))
+    val bc = ex.groupBy(col("bg")).agg(sum(col("occ")).as("c12"))
+    val hc = ex.groupBy(col("hh")).agg(sum(col("occ")).as("ch"))
+    val ua = base.select(explode(col("uh")).as("u"))
+    val uc = ua.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val tv = ua.agg(count(lit(1)).as("t"), countDistinct(col("u")).as("v"))
+    val termB = (-log((col("c12") + lit(1)).cast(DoubleType) /
+      (col("ch").cast(DoubleType) + col("v")))).cast(DecimalType(18, 6))
+    val termU = (-log((col("cu") + lit(1)).cast(DoubleType) /
+      (col("t").cast(DoubleType) + col("v")))).cast(DecimalType(18, 6))
+    val dom = ex
+      .join(bc, "bg").join(hc, "hh").join(uc, col("u2") === uc("u"))
+      .crossJoin(broadcast(tv))
+      .select(col("source"), col("occ"),
+        // occ multiplies as DECIMAL(12,0): a bigint factor degrades the
+        // oracle engine's product to double (order-dependent float sum)
+        (greatest(termB - termU, lit(0)) * col("occ").cast(DecimalType(12, 0)))
+          .as("excess"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_tokens"), sum(col("excess")).as("excess_sum"))
+    val nd = base.filter(size(col("bh")) > 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = dom.agg(sum(col("n_tokens")).as("tt"))
+    val wr = dom.join(nd, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("baseline_share", col("n_tokens").cast(DoubleType) / col("tt"))
+      // divide exactly-scaled integers (both < 2^53) — decimal→double cast
+      // of a wide sum is not guaranteed correctly rounded in every engine
+      .withColumn("excess_loss",
+        (col("excess_sum").cast(DecimalType(18, 6)) * lit(1000000L))
+          .cast(LongType).cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * lit(1000000.0)))
+      .withColumn("numer",
+        (col("baseline_share") *
+          exp(col("excess_loss")).cast(DecimalType(18, 9)).cast(DoubleType))
+          .cast(DecimalType(18, 12)))
+      // materialize the domain-cardinality frame (20 rows) so the
+      // normalization sum does not recompute the corpus-sized model subtree
+      .localCheckpoint(true)
+    val dn = wr.agg(sum(col("numer")).as("dnm"))
+    wr.crossJoin(broadcast(dn))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("baseline_share"), col("excess_loss"),
+        (col("numer").cast(DoubleType) / col("dnm").cast(DoubleType)).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val q180Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, source, $toks AS t FROM documents),
+       |g AS (SELECT doc_id, source,
+       |  CASE WHEN len(t) >= 2
+       |    THEN [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |    ELSE []::BIGINT[] END AS uh1,
+       |  CASE WHEN len(t) >= 2
+       |    THEN [('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |    ELSE []::BIGINT[] END AS bh,
+       |  CASE WHEN len(t) >= 2
+       |    THEN [('0x' || substr(md5(t[i+1]), 1, 15))::BIGINT for i in range(1, len(t))]
+       |    ELSE []::BIGINT[] END AS u2s,
+       |  [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t)+1)] AS uall
+       |  FROM tk),
+       |ex0 AS (SELECT doc_id, source, unnest(uh1) AS hh, unnest(bh) AS bg, unnest(u2s) AS u2 FROM g),
+       |ex AS (SELECT doc_id, source, hh, bg, u2, count(*) AS occ FROM ex0 GROUP BY 1, 2, 3, 4, 5),
+       |bc AS (SELECT bg, CAST(sum(occ) AS BIGINT) AS c12 FROM ex GROUP BY 1),
+       |hc AS (SELECT hh, CAST(sum(occ) AS BIGINT) AS ch FROM ex GROUP BY 1),
+       |ua AS (SELECT unnest(uall) AS u FROM g),
+       |uc AS (SELECT u, count(*) AS cu FROM ua GROUP BY 1),
+       |tv AS (SELECT count(*) AS t, count(DISTINCT u) AS v FROM ua),
+       |terms AS (SELECT source, occ,
+       |    CAST(-ln(CAST(c12 + 1 AS DOUBLE) / (CAST(ch AS DOUBLE) + v)) AS DECIMAL(18,6)) AS tb,
+       |    CAST(-ln(CAST(cu + 1 AS DOUBLE) / (CAST(t AS DOUBLE) + v)) AS DECIMAL(18,6)) AS tu
+       |  FROM ex JOIN bc USING (bg) JOIN hc USING (hh) JOIN uc ON ex.u2 = uc.u CROSS JOIN tv),
+       |dom AS (SELECT source, CAST(sum(occ) AS BIGINT) AS n_tokens,
+       |    sum(greatest(tb - tu, 0) * CAST(occ AS DECIMAL(12,0))) AS excess_sum
+       |  FROM terms GROUP BY 1),
+       |nd AS (SELECT source, count(*) AS n_docs FROM g WHERE len(bh) > 0 GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS tt FROM dom),
+       |wr AS (SELECT source, n_docs, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / tt AS baseline_share,
+       |    CAST(CAST(excess_sum AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+       |      / (CAST(n_tokens AS DOUBLE) * 1000000) AS excess_loss
+       |  FROM dom JOIN nd USING (source) CROSS JOIN tot),
+       |wn AS (SELECT *, CAST(baseline_share *
+       |    CAST(CAST(exp(excess_loss) AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(18,12)) AS numer
+       |  FROM wr),
+       |dn AS (SELECT sum(numer) AS dnm FROM wn)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, baseline_share,
+       |  excess_loss, CAST(numer AS DOUBLE) / CAST(dnm AS DOUBLE) AS weight
+       |FROM wn, dn ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q78
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf · ln(N/df) — the standard corpus-relative salience signal (topic
@@ -1658,6 +1794,7 @@ object TextQueries {
     "q79_mixture_weights"  -> (q79MixtureWeights _),
     "q176_dsir_weights"    -> (q176DsirWeights _),
     "q177_ppl_prune_curve" -> (q177PplPruneCurve _),
+    "q180_doremi_weights"  -> (q180DoremiWeights _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1690,6 +1827,7 @@ object TextQueries {
     "q79_mixture_weights"  -> q79Sql,
     "q176_dsir_weights"    -> q176Sql,
     "q177_ppl_prune_curve" -> q177Sql,
+    "q180_doremi_weights"  -> q180Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,

@@ -734,4 +734,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchemas.forall(rs => rs.contains("doc_id") || rs.contains("text")),
       s"q176: docs scan must prune to the token kernel's columns\n$plan")
   }
+
+  test("q179 video kernel: doc_id-only scan, narrow map, the sort is the only exchange") {
+    val plan = physical("q179_video_features")
+    // payload synthesis + demux + codec all live in the map stage — a
+    // hash exchange here would mean the binary column started shuffling
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"q179: docs scan must prune to doc_id\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q179: media payloads must not shuffle\n$plan")
+    assert(countOccurrences(plan, "Exchange ") == 1,
+      s"q179: expected only the presentation-sort exchange\n$plan")
+  }
+
+  test("q180 DoReMi: the published weight arithmetic reads the materialized 20-row domain frame") {
+    val plan = physical("q180_doremi_weights")
+    // the corpus-sized model subtree is truncated behind the domain-frame
+    // localCheckpoint — the published plan must not rescan parquet or
+    // re-run the model joins for the normalization constant
+    assert(!plan.contains("Scan parquet"),
+      s"q180: published plan recomputes the corpus subtree\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q180: domain-cardinality arithmetic should not hash-shuffle\n$plan")
+  }
 }
