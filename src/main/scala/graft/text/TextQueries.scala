@@ -1118,6 +1118,96 @@ object TextQueries {
        |FROM wn, dn ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q181
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): spend a token budget across
+    * sources when repeating data has diminishing value. Each source s has
+    * n_tokens_s and a diversity score ttr_s (type-token ratio); the e-th
+    * epoch of s is worth ttr_s · 2^−(e−1) per token (value halves per
+    * repeat, capped at 4 epochs). The plan is the greedy fill: rank all
+    * (source, epoch) candidates by marginal per-token utility, take whole
+    * epochs until the budget B = 2 · Σ n_tokens is hit, split the
+    * straddling epoch fractionally — the fractional-knapsack optimum for
+    * this concave utility, i.e. the mixture a budget-bound pretraining
+    * run should actually schedule.
+    *
+    * 100 TB shape: corpus-sized work is ONE token explode folded to
+    * (source, token) with map-side combine, then to the source dimension;
+    * the candidate frame is sources × 4 rows — always broadcast-scale, so
+    * the global ranking window is a driver-trivial sort, not a corpus
+    * sort. (Exact per-source distinct counts come from the (source,
+    * token) fold; a production run at higher source cardinality swaps in
+    * the q144 HLL sketch, which this exact card validates against.)
+    *
+    * Parity: ttr and every division here divide integers < 2⁵³ (IEEE
+    * bit-stable); epoch decay multiplies by exact powers of two; the
+    * per-source fold adds one integer count to at most ONE nonzero
+    * fractional term, so no float-summation-order ambiguity exists. */
+  private val MaxEpochs = 4
+
+  def q181EpochAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(spark, dir).documents
+      .select(col("source"), explode(tokens(normText(col("text")))).as("w"))
+    val tw = ex.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val st = tw.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("distinct_tokens"))
+    val bud = st.agg((sum(col("n_tokens")) * 2).as("b"))
+    val wOrd = Window.orderBy(col("u").desc, col("source"), col("epoch"))
+    val cand = st.crossJoin(broadcast(bud))
+      .withColumn("ttr", col("distinct_tokens").cast(DoubleType) / col("n_tokens"))
+      .select(col("*"), explode(array((1 to MaxEpochs).map(lit): _*)).as("epoch"))
+      .withColumn("u", col("ttr") / pow(lit(2.0), col("epoch") - 1))
+      .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+      .withColumn("cum_before", col("cum") - col("n_tokens"))
+      .withColumn("frac",
+        when(col("cum") <= col("b"), lit(1.0))
+          .when(col("cum_before") >= col("b"), lit(0.0))
+          .otherwise((col("b") - col("cum_before")).cast(DoubleType) / col("n_tokens")))
+    cand
+      .groupBy(col("source"), col("n_tokens"), col("distinct_tokens"), col("ttr"), col("b"))
+      .agg(
+        sum(when(col("frac") === 1.0, 1L).otherwise(0L)).as("full_epochs"),
+        sum(when(col("frac") > 0.0 && col("frac") < 1.0, col("frac")).otherwise(lit(0.0)))
+          .as("frac_part"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"), col("ttr"),
+        (col("full_epochs") + col("frac_part")).as("epochs_alloc"),
+        ((col("n_tokens") * col("full_epochs")).cast(DoubleType) +
+          col("n_tokens").cast(DoubleType) * col("frac_part")).as("alloc_tokens"),
+        (((col("n_tokens") * col("full_epochs")).cast(DoubleType) +
+          col("n_tokens").cast(DoubleType) * col("frac_part")) /
+          col("b").cast(DoubleType)).as("budget_share"))
+      .orderBy(col("source"))
+  }
+
+  val q181Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH ex AS (SELECT source, unnest($toks) AS w FROM documents),
+       |tw AS (SELECT source, w, count(*) AS c FROM ex GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS distinct_tokens FROM tw GROUP BY 1),
+       |bud AS (SELECT 2 * sum(n_tokens) AS b FROM st),
+       |cand AS (SELECT source, n_tokens, distinct_tokens, b,
+       |    CAST(distinct_tokens AS DOUBLE) / n_tokens AS ttr, e AS epoch
+       |  FROM st CROSS JOIN bud, unnest([1, 2, 3, 4]) AS t(e)),
+       |r AS (SELECT *, ttr / power(2, epoch - 1) AS u FROM cand),
+       |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY u DESC, source, epoch) AS cum FROM r),
+       |f AS (SELECT *,
+       |    CASE WHEN cum <= b THEN CAST(1.0 AS DOUBLE)
+       |         WHEN cum - n_tokens >= b THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(b - (cum - n_tokens) AS DOUBLE) / n_tokens END AS frac FROM c),
+       |a AS (SELECT source, n_tokens, distinct_tokens, ttr, b,
+       |    CAST(sum(CASE WHEN frac = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS full_epochs,
+       |    sum(CASE WHEN frac > 0 AND frac < 1 THEN frac ELSE CAST(0 AS DOUBLE) END) AS frac_part
+       |  FROM f GROUP BY 1, 2, 3, 4, 5)
+       |SELECT source, n_tokens, CAST(distinct_tokens AS BIGINT) AS distinct_tokens, ttr,
+       |  full_epochs + frac_part AS epochs_alloc,
+       |  CAST(n_tokens * full_epochs AS DOUBLE) + CAST(n_tokens AS DOUBLE) * frac_part
+       |    AS alloc_tokens,
+       |  (CAST(n_tokens * full_epochs AS DOUBLE) + CAST(n_tokens AS DOUBLE) * frac_part)
+       |    / CAST(b AS DOUBLE) AS budget_share
+       |FROM a ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q78
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf · ln(N/df) — the standard corpus-relative salience signal (topic
@@ -1795,6 +1885,7 @@ object TextQueries {
     "q176_dsir_weights"    -> (q176DsirWeights _),
     "q177_ppl_prune_curve" -> (q177PplPruneCurve _),
     "q180_doremi_weights"  -> (q180DoremiWeights _),
+    "q181_epoch_allocation" -> (q181EpochAllocation _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1828,6 +1919,7 @@ object TextQueries {
     "q176_dsir_weights"    -> q176Sql,
     "q177_ppl_prune_curve" -> q177Sql,
     "q180_doremi_weights"  -> q180Sql,
+    "q181_epoch_allocation" -> q181Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
