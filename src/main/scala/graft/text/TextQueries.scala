@@ -1208,6 +1208,71 @@ object TextQueries {
        |FROM a ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q182
+  /** n-gram novelty spectrum: for gram orders n ∈ {1, 2, 4, 8}, how much
+    * of the corpus is globally novel at that order — total/distinct gram
+    * positions, singleton counts, and the derived rates (distinct ratio,
+    * novel fraction = positions whose gram occurs exactly once corpus-
+    * wide, duplicated-mass fraction). The repetition fingerprint used to
+    * judge corpus quality before training: natural text keeps high
+    * novelty at n = 8 while boilerplate/template corpora collapse, and
+    * the spectrum is the standard before/after evidence for dedup
+    * treatments (complements q19/q61: corpus-global and order-resolved
+    * where those are doc-local or single-order).
+    *
+    * 100 TB shape: ONE documents scan — all four gram streams come from
+    * one [[graft.expr.WordGrams]] kernel pass each, tagged and
+    * concatenated in-row, so the corpus explodes once; the (n, gram) fold
+    * is map-side combinable onto 8-byte keys (the Zipf head collapses
+    * before the shuffle) and the final fold is 4 rows. Parity: counts are
+    * integers; each rate is one int/int IEEE division under 2⁵³. */
+  private val NoveltyOrders = Seq(1, 2, 4, 8)
+
+  def q182NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val tagged = NoveltyOrders.map { n =>
+      transform(graft.expr.WordGrams.hashedOf(toks, n, 1),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    Tables(spark, dir).documents
+      .select(explode(concat(tagged: _*)).as("z"))
+      .select(col("z.n").as("n"), col("z.g").as("g"))
+      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singletons"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"), col("singletons"),
+        (col("distinct_ngrams").cast(DoubleType) / col("total_ngrams")).as("distinct_ratio"),
+        (col("singletons").cast(DoubleType) / col("total_ngrams")).as("novel_frac"),
+        ((col("total_ngrams") - col("singletons")).cast(DoubleType) / col("total_ngrams"))
+          .as("dup_mass_frac"))
+      .orderBy(col("n"))
+  }
+
+  val q182Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    def grams(n: Int) =
+      s"[('0x' || substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 15))::BIGINT" +
+        s" for i in range(1, len(t) - ${n - 1} + 1)]"
+    val arms = NoveltyOrders
+      .map(n => s"SELECT $n AS n, unnest(${grams(n)}) AS g FROM tk")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gx AS ($arms),
+       |gc AS (SELECT n, g, count(*) AS c FROM gx GROUP BY 1, 2),
+       |agg AS (SELECT n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+       |    count(*) AS distinct_ngrams,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons
+       |  FROM gc GROUP BY 1)
+       |SELECT n, total_ngrams, CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+       |  singletons,
+       |  CAST(distinct_ngrams AS DOUBLE) / total_ngrams AS distinct_ratio,
+       |  CAST(singletons AS DOUBLE) / total_ngrams AS novel_frac,
+       |  CAST(total_ngrams - singletons AS DOUBLE) / total_ngrams AS dup_mass_frac
+       |FROM agg ORDER BY n""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q78
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf · ln(N/df) — the standard corpus-relative salience signal (topic
@@ -1886,6 +1951,7 @@ object TextQueries {
     "q177_ppl_prune_curve" -> (q177PplPruneCurve _),
     "q180_doremi_weights"  -> (q180DoremiWeights _),
     "q181_epoch_allocation" -> (q181EpochAllocation _),
+    "q182_ngram_novelty"   -> (q182NgramNovelty _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1920,6 +1986,7 @@ object TextQueries {
     "q177_ppl_prune_curve" -> q177Sql,
     "q180_doremi_weights"  -> q180Sql,
     "q181_epoch_allocation" -> q181Sql,
+    "q182_ngram_novelty"   -> q182Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
