@@ -447,6 +447,123 @@ object DedupQueries {
        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
        |ORDER BY ida, idb""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** LSH S-curve calibration (q173's audit pattern applied to q21's
+    * BANDING): per true-Jaccard bin [j/10, (j+1)/10), how many exact
+    * shared-shingle pairs exist, how many the 32×3 banding actually
+    * catches, and the theoretical catch probability
+    * 1 − (1 − m³)³² at the bin midpoint — the measured S-curve the
+    * (bands, rows) design decision rests on. q21's "recall ≈ 1 at
+    * J ≥ 0.8" claim stops being a formula and becomes a per-bin
+    * (n_pairs, n_detected, empirical vs theoretical) table; the sub-
+    * threshold bins show the false-candidate mass the verify step pays
+    * for.
+    *
+    * AUDIT-scale contract (q173's): the exact arm joins every shared-
+    * shingle pair — Σdf² fan-out, fine at gate/bench SF where shingle
+    * df is benign; a 100 TB run computes the curve on a sampled stratum
+    * while production dedup stays banded. The LSH arm is q21's own
+    * bucket join, verbatim ([[lshBuckets]]), so the card measures the
+    * production signature pipeline, not a reimplementation.
+    *
+    * Parity: Jaccard and rates are int/int IEEE divisions; the
+    * theoretical curve is five explicit squarings (no pow — library pow
+    * is not correctly rounded everywhere), so both engines run the
+    * identical float op sequence; the oracle rebuilds the minhash family
+    * from the same plan-time coefficients, embedded as literals. */
+  def q183LshScurve(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val cnt = shh.select(col("doc_id"), size(col("shh")).as("n"))
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("s"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("common"))
+      .join(cnt.toDF("ida", "na"), "ida")
+      .join(cnt.toDF("idb", "nb"), "idb")
+      .select(col("ida"), col("idb"),
+        (col("common").cast(DoubleType) / (col("na") + col("nb") - col("common"))).as("j"))
+    val buckets = lshBuckets(shh)
+    val det = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val binned = pairs.join(det, Seq("ida", "idb"), "left")
+      .select(least(floor(col("j") * 10).cast(IntegerType), lit(9)).as("bin"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("hit")).as("n_detected"))
+    // full 10-bin spine: the theoretical curve renders everywhere, the
+    // empirical columns report 0 pairs where the corpus has none
+    spark.range(0, 10).select(col("id").cast(IntegerType).as("bin"))
+      .join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_detected"), lit(0L)).as("n_detected"))
+      .withColumn("m", col("bin").cast(DoubleType) / 10.0 + 0.05)
+      .withColumn("y", lit(1.0) - col("m") * col("m") * col("m"))
+      .withColumn("y2", col("y") * col("y"))
+      .withColumn("y4", col("y2") * col("y2"))
+      .withColumn("y8", col("y4") * col("y4"))
+      .withColumn("y16", col("y8") * col("y8"))
+      .select(
+        (col("bin").cast(DoubleType) / 10.0).as("j_lo"),
+        col("n_pairs"), col("n_detected"),
+        when(col("n_pairs") > 0,
+          col("n_detected").cast(DoubleType) / col("n_pairs")).as("empirical_rate"),
+        (lit(1.0) - col("y16") * col("y16")).as("theoretical_rate"))
+      .orderBy(col("j_lo"))
+  }
+
+  val q183Sql: String = {
+    val coefRows = (0 until NumHashes).map { i =>
+      s"($i, ${i / BandRows}, ${minhashCoeff("a", i)}, ${minhashCoeff("b", i)})"
+    }.mkString(", ")
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id,
+       |    unnest([('0x' || substr(md5(s), 1, 15))::BIGINT for s in sh]) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pj AS (SELECT ida, idb, CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS j
+       |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id),
+       |bx AS (SELECT doc_id, (s >> 28) % $MinHashPrime AS bh FROM ex),
+       |co AS (SELECT * FROM (VALUES $coefRows) AS t(i, band, a, b)),
+       |mh AS (SELECT e.doc_id, c.i, c.band, min((e.bh * c.a + c.b) % $MinHashPrime) AS mh
+       |       FROM bx e CROSS JOIN co c GROUP BY 1, 2, 3),
+       |sg AS (SELECT doc_id, band,
+       |       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+       |       FROM mh GROUP BY 1, 2),
+       |det AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+       |        FROM sg x JOIN sg y
+       |        ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |bn0 AS (SELECT least(CAST(floor(j * 10) AS INT), 9) AS bin,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(CASE WHEN det.ida IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_detected
+       |       FROM pj LEFT JOIN det ON pj.ida = det.ida AND pj.idb = det.idb GROUP BY 1),
+       |bn AS (SELECT CAST(sp.bin AS INT) AS bin,
+       |       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       coalesce(n_detected, 0) AS n_detected
+       |       FROM (SELECT unnest(range(0, 10)) AS bin) sp
+       |       LEFT JOIN bn0 ON sp.bin = bn0.bin),
+       |t1 AS (SELECT *, CAST(bin AS DOUBLE) / 10.0 + 0.05 AS m FROM bn),
+       |t2 AS (SELECT *, CAST(1 AS DOUBLE) - m * m * m AS y FROM t1),
+       |t3 AS (SELECT *, y * y AS y2 FROM t2),
+       |t4 AS (SELECT *, y2 * y2 AS y4 FROM t3),
+       |t5 AS (SELECT *, y4 * y4 AS y8 FROM t4),
+       |t6 AS (SELECT *, y8 * y8 AS y16 FROM t5)
+       |SELECT CAST(bin AS DOUBLE) / 10.0 AS j_lo,
+       |  n_pairs, n_detected,
+       |  CASE WHEN n_pairs > 0 THEN CAST(n_detected AS DOUBLE) / n_pairs END
+       |    AS empirical_rate,
+       |  CAST(1 AS DOUBLE) - y16 * y16 AS theoretical_rate
+       |FROM t6 ORDER BY j_lo""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q22
   /** SimHash: 60-bit signature = per-bit majority vote over the md5 hashes
     * of the token multiset. One narrow pass + one groupBy per doc. */
@@ -1399,6 +1516,7 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> (q20NgramJaccard _),
     "q129_containment"        -> (q129Containment _),
     "q173_dfcap_recall"       -> (q173DfcapRecall _),
+    "q183_lsh_scurve"         -> (q183LshScurve _),
     "q175_contamination_spans" -> (q175ContaminationSpans _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
@@ -1424,6 +1542,7 @@ object DedupQueries {
     "q20_dedup_ngram_jaccard" -> q20Sql,
     "q129_containment"        -> q129Sql,
     "q173_dfcap_recall"       -> q173Sql,
+    "q183_lsh_scurve"         -> q183Sql,
     "q175_contamination_spans" -> q175Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
