@@ -364,6 +364,30 @@ object MediaQueries {
       (0 until sampled).map(j => j * n / sampled)
     }
 
+    /** One PNG ImageReader per thread: `ImageIO.read` pays an SPI scan +
+      * reader construction PER CALL, which dominates at 16×16 frame
+      * sizes (measured: the convenience path made q179 the slowest bench
+      * query; the cached reader leaves only actual codec work). Readers
+      * are not thread-safe — ThreadLocal, not shared. */
+    private val pngReader =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+    /** Decode one PNG via the cached per-thread reader (the REAL JDK
+      * codec — only the per-call SPI dispatch is skipped). */
+    def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
+      val r = pngReader.get()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      try {
+        r.setInput(iis, true, true)
+        r.read(0)
+      } finally {
+        r.setInput(null)
+        iis.close()
+      }
+    }
+
     /** Demux + REAL codec decode: sampled frames go through the JDK's PNG
       * reader (`javax.imageio`, rasterized this time — pixels are the
       * payload here), and the gray samples fold into integer-exact
@@ -375,7 +399,7 @@ object MediaQueries {
         var pixSum = 0L
         var pixPeak = 0L
         sampleIndices(d.nFrames).foreach { i =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.frames(i)))
+          val img = readPng(d.frames(i))
           require(img != null, s"frame $i is not a decodable image")
           require(img.getWidth == d.width && img.getHeight == d.height,
             s"decoded frame $i is ${img.getWidth}x${img.getHeight}, container says ${d.width}x${d.height}")
@@ -403,6 +427,12 @@ object MediaQueries {
     * in SQL. PNG is lossless, so the oracle can verify the whole
     * container→codec→raster path by arithmetic. (Same hash family as
     * [[encodeWav]]; products stay under 2⁶³ for doc_id < ~10⁸.) */
+  /** One PNG ImageWriter per thread — the encode-side sibling of
+    * [[AviKernel.readPng]]'s cached reader (same per-call SPI cost). */
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
   private[media] def encodeAvi(docId: Long): Array[Byte] = {
     val w = 16 + (docId % 3).toInt * 8
     val h = 16 + (docId % 2).toInt * 8
@@ -422,7 +452,15 @@ object MediaQueries {
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer installed")
+      val wr = pngWriter.get()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        wr.setOutput(ios)
+        wr.write(img)
+      } finally {
+        wr.setOutput(null)
+        ios.close()
+      }
       out.toByteArray
     }
     AviKernel.mux(w, h, fps, frames)
