@@ -167,7 +167,20 @@ object Scale {
     // its cost should stay ~FLAT across decades (exponent ≈ 0 up to the
     // max-day probe scan): the measured proof that day-bounding turns
     // O(history) into O(window)
-    "q174_burst_window")
+    "q174_burst_window",
+    // round-11 cards. q175: positional explode + broadcast semi-join +
+    // per-doc windows — aggregation-shaped, no pair fan-out (flags are
+    // linear in positions); q176's folds collapse onto the FIXED 64-
+    // bucket dimension; q177 rides q74's kernel + a doc-cardinality
+    // ntile; q178/q179 are value-blind narrow decode kernels (replica
+    // docs are real new payloads); q180 is q74's schedule + one more
+    // vocab-keyed join, folded to the fixed source dimension; q181 is
+    // one (source, token) fold + a candidate frame that never grows.
+    // EXCLUDED: q173 (its exact arm is the uncapped pair generator —
+    // the q20 rule: replication fakes 10-deep near-dup clusters).
+    "q175_contamination_spans", "q176_dsir_weights", "q177_ppl_prune_curve",
+    "q178_audio_features", "q179_video_features", "q180_doremi_weights",
+    "q181_epoch_allocation")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
