@@ -110,9 +110,10 @@ object MediaQueries {
       * metadata only (no pixel rasterization). None when no installed
       * reader recognizes the bytes. */
     def decodeImage(media: Array[Byte]): Option[(Int, Int)] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // direct in-memory stream: the createImageInputStream default spools
+      // through a temp FILE per call (useCache=true) — see AviKernel.readPng
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(media))
-      if (iis == null) return None // no stream SPI accepts the input
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
@@ -374,10 +375,14 @@ object MediaQueries {
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
 
     /** Decode one PNG via the cached per-thread reader (the REAL JDK
-      * codec — only the per-call SPI dispatch is skipped). */
+      * codec — only the per-call SPI dispatch is skipped). The input
+      * stream is constructed directly as the in-memory kind:
+      * `ImageIO.createImageInputStream` defaults to `useCache=true`,
+      * which spools every frame through a temp FILE on disk — measured
+      * as the dominant per-decode cost at 16×16 frame sizes. */
     def readPng(png: Array[Byte]): java.awt.image.BufferedImage = {
       val r = pngReader.get()
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(png))
       try {
         r.setInput(iis, true, true)
@@ -427,11 +432,47 @@ object MediaQueries {
     * in SQL. PNG is lossless, so the oracle can verify the whole
     * container→codec→raster path by arithmetic. (Same hash family as
     * [[encodeWav]]; products stay under 2⁶³ for doc_id < ~10⁸.) */
-  /** One PNG ImageWriter per thread — the encode-side sibling of
-    * [[AviKernel.readPng]]'s cached reader (same per-call SPI cost). */
-  private val pngWriter =
-    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
-      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  /** Minimal spec-conformant PNG encoder (8-bit grayscale, filter 0,
+    * one zlib IDAT) for FIXTURE synthesis only. `ImageIO`'s writer costs
+    * ~0.6 ms per 16×16 frame (SPI dispatch + metadata machinery) and the
+    * synth side isn't the product — at 100 TB the payloads already exist
+    * in storage; here they're bench scaffolding. The DECODE path (the
+    * product) still runs the real JDK codec, and because this emits
+    * fully valid PNGs, that codec round-trips them losslessly —
+    * `AviKernelSpec` pins decoded pixels == synthesis formula. */
+  private def encodePngGray(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    val raw = new Array[Byte]((w + 1) * h) // filter byte 0 per scanline
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pix, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw); defl.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!defl.finished()) zLen += defl.deflate(zBuf, zLen, zBuf.length - zLen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zLen + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      out.write(Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte))
+      val tb = typ.getBytes(UTF_8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data)
+      val c = crc.getValue
+      out.write(Array((c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, filter 0, no interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", java.util.Arrays.copyOf(zBuf, zLen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
 
   private[media] def encodeAvi(docId: Long): Array[Byte] = {
     val w = 16 + (docId % 3).toInt * 8
@@ -439,29 +480,18 @@ object MediaQueries {
     val fps = 5 + (docId % 4).toInt
     val nFrames = 4 + (docId % 9).toInt
     val frames = (0 until nFrames).map { i =>
-      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
+      val pix = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          val v = (((x.toLong * 7 + y * 11 + i * 13 + docId * 31) * 2654435761L) % 256L).toInt
-          raster.setSample(x, y, 0, v)
+          pix(y * w + x) =
+            (((x.toLong * 7 + y * 11 + i * 13 + docId * 31) * 2654435761L) % 256L).toByte
           x += 1
         }
         y += 1
       }
-      val out = new java.io.ByteArrayOutputStream()
-      val wr = pngWriter.get()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-      try {
-        wr.setOutput(ios)
-        wr.write(img)
-      } finally {
-        wr.setOutput(null)
-        ios.close()
-      }
-      out.toByteArray
+      encodePngGray(w, h, pix)
     }
     AviKernel.mux(w, h, fps, frames)
   }
