@@ -180,7 +180,12 @@ object Scale {
     // the q20 rule: replication fakes 10-deep near-dup clusters).
     "q175_contamination_spans", "q176_dsir_weights", "q177_ppl_prune_curve",
     "q178_audio_features", "q179_video_features", "q180_doremi_weights",
-    "q181_epoch_allocation")
+    "q181_epoch_allocation",
+    // q182: one tagged gram explode + map-side-combinable (n, gram) fold —
+    // aggregation-shaped. q184: q74's schedule (pair folds on the Zipf-
+    // bounded distinct-bigram frame). EXCLUDED: q183 (its exact arm is the
+    // uncapped pair generator — same rule as q173).
+    "q182_ngram_novelty", "q184_kneser_ney")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

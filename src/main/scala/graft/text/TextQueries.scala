@@ -982,6 +982,97 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    * 1999 eq. 4.27): per-doc average NLL under
+    * p(w₂|w₁) = (c(w₁w₂) − D)/c(w₁) + (D·N₁₊(w₁,•)/c(w₁))·N₁₊(•,w₂)/B
+    * with absolute discount D = 0.75 — the algorithmic upgrade over q74's
+    * add-one smoothing: the backoff mass goes to words by how many
+    * DISTINCT contexts they follow (continuation counts), not raw
+    * frequency, which is what makes KN the standard n-gram baseline.
+    * Scoring the training corpus itself means every scored bigram has
+    * c ≥ 1, so the discounted term never clips at zero.
+    *
+    * 100 TB shape: q74's schedule — ONE token-kernel pass, per-doc
+    * (h₁, h₂) pairs collapse to `occ` counts BEFORE any corpus join, and
+    * every model frame (bigram types, history stats, continuation
+    * counts) lives on the Zipf-bounded DISTINCT-bigram frame, which is
+    * `localCheckpoint`ed once so its three consumers (history fold,
+    * continuation fold, scoring join) don't re-run the corpus subtree.
+    * Only 8-byte hash pairs ever shuffle.
+    *
+    * Parity: D = 0.75 is exact in binary; p is ONE fixed IEEE op
+    * sequence ((c12−0.75)/ch + ((0.75·n1ph)/ch)·(n1pw/B), left-assoc in
+    * both engines); −ln rounds through DECIMAL(18,6) (q74's rule) and
+    * per-doc sums are exact decimal. */
+  private val KnDiscount = 0.75
+
+  def q184KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    // referenced twice (pair explode + per-doc bigram count): one kernel
+    // pass, checkpointed (q74's rationale)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), graft.expr.WordGrams.hashedOf(toks, 1, 1).as("uh"))
+      .localCheckpoint(true)
+    val ex = base
+      .filter(size(col("uh")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("uh"), lit(1), size(col("uh")) - 1),
+          slice(col("uh"), lit(2), size(col("uh")) - 1),
+          (a, b) => struct(a.as("h1"), b.as("h2")))).as("z"))
+      .select(col("doc_id"), col("z.h1").as("h1"), col("z.h2").as("h2"))
+      .groupBy(col("doc_id"), col("h1"), col("h2")).agg(count(lit(1)).as("occ"))
+    // the distinct-bigram (model) frame: Zipf-bounded, three consumers
+    val bgc = ex.groupBy(col("h1"), col("h2")).agg(sum(col("occ")).as("c12"))
+      .localCheckpoint(true)
+    val hc = bgc.groupBy(col("h1"))
+      .agg(sum(col("c12")).as("ch"), count(lit(1)).as("n1ph"))
+    val cc = bgc.groupBy(col("h2")).agg(count(lit(1)).as("n1pw"))
+    val bb = bgc.agg(count(lit(1)).as("b"))
+    val p = (col("c12").cast(DoubleType) - lit(KnDiscount)) / col("ch") +
+      (lit(KnDiscount) * col("n1ph") / col("ch")) *
+        (col("n1pw").cast(DoubleType) / col("b"))
+    val scored = ex
+      .join(bgc, Seq("h1", "h2")).join(hc, "h1").join(cc, "h2")
+      .crossJoin(broadcast(bb))
+      .select(col("doc_id"),
+        ((-log(p)).cast(DecimalType(18, 6)) * col("occ")).as("term"))
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("nll_dec"))
+    base
+      .select(col("doc_id"),
+        greatest(size(col("uh")) - 1, lit(0)).cast("long").as("n_bigrams"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_dec").cast(DoubleType) / nullif(col("n_bigrams"), lit(0L)))
+          .as("avg_nll_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q184Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t)+1)] AS uh
+       |  FROM tk),
+       |px AS (SELECT doc_id, unnest(uh[1:len(uh)-1]) AS h1, unnest(uh[2:len(uh)]) AS h2
+       |       FROM g WHERE len(uh) >= 2),
+       |ex AS (SELECT doc_id, h1, h2, count(*) AS occ FROM px GROUP BY 1, 2, 3),
+       |bgc AS (SELECT h1, h2, CAST(sum(occ) AS BIGINT) AS c12 FROM ex GROUP BY 1, 2),
+       |hc AS (SELECT h1, CAST(sum(c12) AS BIGINT) AS ch, count(*) AS n1ph FROM bgc GROUP BY 1),
+       |cc AS (SELECT h2, count(*) AS n1pw FROM bgc GROUP BY 1),
+       |bb AS (SELECT count(*) AS b FROM bgc),
+       |s AS (SELECT doc_id,
+       |  CAST(-ln((CAST(c12 AS DOUBLE) - 0.75) / ch
+       |    + (0.75 * n1ph / ch) * (CAST(n1pw AS DOUBLE) / b)) AS DECIMAL(18,6)) * occ AS term
+       |  FROM ex JOIN bgc USING (h1, h2) JOIN hc USING (h1) JOIN cc USING (h2) CROSS JOIN bb),
+       |sc AS (SELECT doc_id, sum(term) AS nll_dec FROM s GROUP BY 1)
+       |SELECT g.doc_id, CAST(greatest(len(uh) - 1, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(nll_dec AS DOUBLE) / nullif(greatest(len(uh) - 1, 0), 0) AS avg_nll_kn
+       |FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q180
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
     * Data Mixtures"): one multiplicative-weights round over per-domain
@@ -1952,6 +2043,7 @@ object TextQueries {
     "q180_doremi_weights"  -> (q180DoremiWeights _),
     "q181_epoch_allocation" -> (q181EpochAllocation _),
     "q182_ngram_novelty"   -> (q182NgramNovelty _),
+    "q184_kneser_ney"      -> (q184KneserNey _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -1987,6 +2079,7 @@ object TextQueries {
     "q180_doremi_weights"  -> q180Sql,
     "q181_epoch_allocation" -> q181Sql,
     "q182_ngram_novelty"   -> q182Sql,
+    "q184_kneser_ney"      -> q184Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
