@@ -223,11 +223,12 @@ object SimilarityQueries {
   private val IvfProbes = 8
   private val IvfSample = 512
 
-  def q45SimIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic coarse quantizer shared by q45 and q185: seed with the
+    * first [[IvfLists]] sample vectors, then two Lloyd iterations over a
+    * bounded driver-side sample. Extracted so the recall-curve card
+    * (q185) audits EXACTLY the centroids production IVF (q45) uses. */
+  private def ivfCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Double])] = {
     val e = Tables(spark, dir).embeddings
-
-    // deterministic coarse quantizer: seed with the first K vectors, then
-    // two Lloyd iterations over a bounded sample (driver-side, tiny)
     val sample = e.filter(col("vec_id") < IvfSample)
       .orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -251,19 +252,27 @@ object SimilarityQueries {
         }
       }.toArray
     }
-    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+  }
 
-    def nearestLists(v: Column, n: Int): Column = {
-      // ||v−c||² ordered per row: v·v is constant across centroids so
-      // d = c·c − 2·v·c ranks identically; c·c is a plan-time constant
-      val dists = array(cents.map { case (i, c) =>
-        val cc = c.map(x => x * x).sum
-        struct(
-          (lit(cc) - lit(2.0) * dot(v, typedLit(c))).as("d"),
-          lit(i).as("i"))
-      }: _*)
-      slice(transform(array_sort(dists), s => s.getField("i")), 1, n)
-    }
+  /** The n closest centroid list-ids for a vector column, in distance
+    * order: v·v is constant across centroids so d = c·c − 2·v·c ranks
+    * identically; c·c is a plan-time constant. */
+  private def nearestIvfLists(
+      cents: Seq[(Int, Seq[Double])], v: Column, n: Int): Column = {
+    val dists = array(cents.map { case (i, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * dot(v, typedLit(c))).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    slice(transform(array_sort(dists), s => s.getField("i")), 1, n)
+  }
+
+  def q45SimIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = ivfCentroids(spark, dir)
+    def nearestLists(v: Column, n: Int): Column = nearestIvfLists(cents, v, n)
 
     val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
       .withColumn("cn", norm(col("cv")))
@@ -297,7 +306,10 @@ object SimilarityQueries {
     * list id — so centroids, list assignment, probe sets, and therefore
     * the candidate set are bit-identical and `hash_match` gates the whole
     * path. `SimilarityRecallSpec` still gates recall quality. */
-  val q45Sql: String = {
+  /** Shared q45/q185 oracle prefix: quantizer + corpus assignment + the
+    * FULL probe ranking (probe_rank = 1…[[IvfLists]]); consumers filter
+    * probe_rank down to their probe budget. */
+  private val ivfCtesSql: String = {
     // one Lloyd iteration: assign sample → nearest of `prev`, re-center
     def lloyd(assign: String, prev: String, next: String): String =
       s"""$assign AS (
@@ -340,17 +352,117 @@ object SimilarityQueries {
        |ranked AS (
        |  SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn FROM cd),
        |corpus AS (SELECT vec_id AS cid, k AS list_id FROM ranked WHERE rn = 1),
-       |qprobe AS (SELECT vec_id AS qid, k AS list_id FROM ranked WHERE rn <= $IvfProbes AND vec_id < $NumQueries),
+       |qprobe AS (SELECT vec_id AS qid, k AS list_id, rn AS probe_rank
+       |           FROM ranked WHERE vec_id < $NumQueries),
        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < $NumQueries),
-       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings)""".stripMargin
+  }
+
+  val q45Sql: String =
+    s"""$ivfCtesSql,
        |s AS (
        |  SELECT qp.qid, co.cid, $simSqlExpr AS sim
        |  FROM corpus co JOIN qprobe qp USING (list_id) JOIN q ON qp.qid = q.qid JOIN c ON co.cid = c.cid
-       |  WHERE co.cid <> qp.qid),
+       |  WHERE co.cid <> qp.qid AND qp.probe_rank <= $IvfProbes),
        |r AS (SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank FROM s)
        |SELECT qid, rank, cid, round(sim, 4) AS sim FROM r WHERE rank <= $TopK
        |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q185
+  /** IVF recall-vs-nprobe curve (q183's audit pattern applied to q45):
+    * for probe budgets 1/2/4/8, recall@[[TopK]] of the production IVF
+    * against the exact cosine top-k, plus the fraction of the corpus each
+    * budget actually scores — the quality/compute tradeoff curve an ANN
+    * deployment picks nprobe from. Uses q45's OWN quantizer and probe
+    * ranking ([[ivfCentroids]] / [[nearestIvfLists]] / the shared
+    * `qprobe` CTE), so the card measures the production index, not a
+    * reimplementation; at nprobe = [[IvfProbes]] the measured recall is
+    * exactly q45-vs-q24 agreement (`IvfRecallCurveSpec` pins that
+    * identity).
+    *
+    * 100 TB shape: the corpus never shuffles — centroids and the 20-row
+    * query-probe frame broadcast into one candidate join (probe_rank ≤
+    * max budget), and each budget's ranking is a window over the
+    * ALREADY-bounded candidate frame tagged 4 ways; the exact arm is the
+    * same broadcast-queries brute-force scan q24 ships (the audit cost —
+    * a production run computes the curve on a query sample). Parity:
+    * hits and candidate counts are integers; recall and scan fraction
+    * are one int/int IEEE division each. */
+  private val IvfProbeGrid = Seq(1, 2, 4, 8)
+
+  def q185IvfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cents = ivfCentroids(spark, dir)
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("list_id", element_at(nearestIvfLists(cents, col("cv"), 1), 1))
+    val queryBase = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val qprobe = queryBase.select(col("qid"), col("qv"), col("qn"),
+        posexplode(nearestIvfLists(cents, col("qv"), IvfLists)))
+      .withColumnRenamed("col", "list_id")
+      .withColumn("probe_rank", col("pos") + 1)
+    val sim = dot(col("qv"), col("cv")) / (col("qn") * col("cn"))
+
+    val exTop = corpus.crossJoin(broadcast(queryBase))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("cid"))
+    val cand = corpus.join(broadcast(qprobe), Seq("list_id"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("probe_rank"), sim.as("sim"))
+    val np = spark.range(1).select(
+      explode(array(IvfProbeGrid.map(lit): _*)).as("nprobe"))
+    val iv = cand.crossJoin(broadcast(np))
+      .filter(col("probe_rank") <= col("nprobe"))
+    val tops = iv.withColumn("rank", row_number().over(
+        Window.partitionBy(col("nprobe"), col("qid"))
+          .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rank") <= TopK)
+      .select(col("nprobe"), col("qid"), col("cid"))
+    val hits = tops.join(exTop, Seq("qid", "cid"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("hits"))
+    val scans = iv.groupBy(col("nprobe")).agg(count(lit(1)).as("nscan"))
+    val tot = e.agg(count(lit(1)).as("n"))
+    np.join(hits, Seq("nprobe"), "left").join(scans, Seq("nprobe"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("nprobe"),
+        coalesce(col("nscan"), lit(0L)).as("n_candidates"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) / (NumQueries * TopK))
+          .as("recall_at_k"),
+        (coalesce(col("nscan"), lit(0L)).cast(DoubleType) /
+          (lit(NumQueries) * (col("n") - 1))).as("scan_frac"))
+      .orderBy(col("nprobe"))
   }
+
+  val q185Sql: String =
+    s"""$ivfCtesSql,
+       |ex0 AS (SELECT q.qid, c.cid, $simSqlExpr AS sim FROM q, c WHERE c.cid <> q.qid),
+       |ext AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |    FROM ex0) WHERE rank <= $TopK),
+       |cand AS (
+       |  SELECT qp.qid, co.cid, qp.probe_rank, $simSqlExpr AS sim
+       |  FROM corpus co JOIN qprobe qp USING (list_id) JOIN q ON qp.qid = q.qid JOIN c ON co.cid = c.cid
+       |  WHERE co.cid <> qp.qid),
+       |np AS (SELECT unnest([${IvfProbeGrid.mkString(", ")}]) AS nprobe),
+       |iv AS (SELECT np.nprobe, cand.* FROM np JOIN cand ON cand.probe_rank <= np.nprobe),
+       |tops AS (SELECT nprobe, qid, cid FROM (
+       |    SELECT nprobe, qid, cid,
+       |      row_number() OVER (PARTITION BY nprobe, qid ORDER BY sim DESC, cid) AS rank
+       |    FROM iv) WHERE rank <= $TopK),
+       |hits AS (SELECT nprobe, count(*) AS hits FROM tops JOIN ext USING (qid, cid) GROUP BY 1),
+       |scans AS (SELECT nprobe, count(*) AS nscan FROM iv GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM embeddings)
+       |SELECT np.nprobe, CAST(coalesce(nscan, 0) AS BIGINT) AS n_candidates,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / (${NumQueries * TopK}) AS recall_at_k,
+       |  CAST(coalesce(nscan, 0) AS DOUBLE) / ($NumQueries * (n - 1)) AS scan_frac
+       |FROM np LEFT JOIN hits USING (nprobe) LEFT JOIN scans USING (nprobe) CROSS JOIN tot
+       |ORDER BY np.nprobe""".stripMargin
 
   // ---------------------------------------------------------------- q54
   /** Embedding int8 quantization — the storage-compression step a vector
@@ -819,6 +931,7 @@ object SimilarityQueries {
     "q25_sim_ann_lsh"        -> (q25AnnLsh _),
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q45_sim_ivf"            -> (q45SimIvf _),
+    "q185_ivf_recall_curve"  -> (q185IvfRecallCurve _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
     "q68_embedding_centroids" -> (q68EmbeddingCentroids _),
     "q70_centroid_assign"    -> (q70CentroidAssign _))
@@ -835,6 +948,7 @@ object SimilarityQueries {
     "q24_sim_cosine_topk"    -> q24Sql,
     "q25_sim_ann_lsh"        -> q25Sql,
     "q45_sim_ivf"            -> q45Sql,
+    "q185_ivf_recall_curve"  -> q185Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,
     "q68_embedding_centroids" -> q68Sql,
