@@ -797,6 +797,49 @@ object DedupQueries {
        |LEFT JOIN hits h ON d.doc_id = h.doc_id
        |WHERE d.doc_id % $BenchMod != 0 ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** NEAR-dup eval-set decontamination: training docs whose shingle-set
+    * Jaccard against ANY eval doc (q60's `doc_id % 97 = 0` convention)
+    * reaches 0.8 — the contamination q60's exact-overlap test undercounts
+    * when an eval item was lightly edited before leaking into the crawl.
+    * Completes the decontamination family: q60 exact semi-join, q94 Bloom
+    * prefilter, q175 span localization, q186 near-dup.
+    *
+    * 100 TB shape: candidate generation is q21's BANDED bucket join
+    * restricted train×eval — a training doc is only ever paired with eval
+    * docs sharing a (band, sig) bucket, so the fan-out is band-bucket
+    * bounded, never |train|×|eval|; the eval side of the bucket frame is
+    * corpus-fraction-of-1/97 sized (in production: broadcast-scale). The
+    * verify step is the shared [[verifyJaccard]] two-pointer intersect.
+    * Oracle: brute-force train×eval Jaccard (exact; banding recall at
+    * J ≥ 0.8 is 1 − 6e-10 — q183 MEASURES that claim per decile). */
+  def q186NearDupDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val shh = docShingleHashes(spark, dir)
+    val buckets = lshBuckets(shh)
+    val cands = buckets.filter(col("doc_id") % BenchMod =!= 0).as("a")
+      .join(buckets.filter(col("doc_id") % BenchMod === 0).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    verifyJaccard(cands, shh, 0.8)
+      .select(col("ida").as("train_id"), col("idb").as("eval_id"), col("jaccard"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val q186Sql: String =
+    s"""$shinglesSqlCte,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s
+       |      WHERE a.doc_id % $BenchMod != 0 AND b.doc_id % $BenchMod = 0
+       |      GROUP BY 1, 2)
+       |SELECT train_id, eval_id,
+       |  CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+       |FROM p JOIN cnt ca ON train_id = ca.doc_id JOIN cnt cb ON eval_id = cb.doc_id
+       |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8
+       |ORDER BY train_id, eval_id""".stripMargin
+
   // ---------------------------------------------------------------- q61
   /** Within-document repetition ratio — the boilerplate/templating signal
     * corpus-quality rules gate on (alongside q16's score): the fraction
@@ -1517,6 +1560,7 @@ object DedupQueries {
     "q129_containment"        -> (q129Containment _),
     "q173_dfcap_recall"       -> (q173DfcapRecall _),
     "q183_lsh_scurve"         -> (q183LshScurve _),
+    "q186_neardup_decontam"   -> (q186NearDupDecontam _),
     "q175_contamination_spans" -> (q175ContaminationSpans _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
@@ -1543,6 +1587,7 @@ object DedupQueries {
     "q129_containment"        -> q129Sql,
     "q173_dfcap_recall"       -> q173Sql,
     "q183_lsh_scurve"         -> q183Sql,
+    "q186_neardup_decontam"   -> q186Sql,
     "q175_contamination_spans" -> q175Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
