@@ -1036,6 +1036,103 @@ object DedupQueries {
        |FROM ch d LEFT JOIN per ON d.doc_id = per.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q187
+  /** Content-defined chunking dedup (the FastCDC/LBFS family, token
+    * granularity): a chunk boundary falls AFTER token i whenever that
+    * token's hash ≡ 0 (mod [[CdcMod]]), so boundaries are a function of
+    * CONTENT, not position — after an insertion the chunk grid
+    * resynchronizes at the next boundary, where q69's fixed grid shifts
+    * every downstream chunk and loses the entire match
+    * (`CdcResyncSpec` demonstrates exactly that, q69-vs-q187, on a
+    * one-token prefix insertion). Expected chunk length = [[CdcMod]]
+    * tokens. Per doc: chunk count, chunks appearing in ≥ 2 distinct docs
+    * (q69's rule), and both the chunk-count and token-mass duplicate
+    * fractions (CDC chunks are variable-length, so the mass fraction is
+    * the honest one).
+    *
+    * 100 TB shape: chunking runs entirely IN-ROW on the token-hash
+    * array (one WordGrams kernel pass, boundary scan + per-chunk md5 as
+    * HOFs in the scan stage) — the only thing that ever shuffles is
+    * (16-char chunk digest, doc_id, len); the df fold and join-back are
+    * q69's digest-keyed schedule on the checkpointed chunk frame. */
+  private val CdcMod = 8
+
+  def q187CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normText(col("text")))
+    val uh = graft.expr.WordGrams.hashedOf(toks, 1, 1)
+    val n = size(col("uh"))
+    val bpos = filter(sequence(lit(1), n), i => element_at(col("uh"), i) % CdcMod === 0)
+    val starts = concat(array(lit(0)), col("bpos"))
+    val ends = concat(col("bpos"), array(n))
+    val chunks = filter(
+      zip_with(starts, ends, (a, b) => struct(
+        substring(md5(array_join(
+          transform(slice(col("uh"), a + 1, b - a), h => h.cast("string")), ",")), 1, 16)
+          .as("h"),
+        (b - a).cast(LongType).as("len"))),
+      c => c.getField("len") > 0)
+    // digests only — the token kernel runs once (q69's rationale)
+    val ch = Tables(spark, dir).documents
+      .select(col("doc_id"), uh.as("uh"))
+      .filter(size(col("uh")) > 0)
+      .withColumn("bpos", bpos)
+      .select(col("doc_id"), chunks.as("cs"))
+      .localCheckpoint(true)
+    val ex = ch.select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("len"))
+    val dc = ex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val per = ex.join(dc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("nd") >= 2, 1)).as("n_dup_chunks"),
+        sum(col("len")).as("tok_total"),
+        sum(when(col("nd") >= 2, col("len")).otherwise(0L)).as("tok_dup"))
+    ch.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        (coalesce(col("n_dup_chunks"), lit(0L)).cast(DoubleType) /
+          nullif(coalesce(col("n_chunks"), lit(0L)), lit(0L))).as("dup_fraction"),
+        (coalesce(col("tok_dup"), lit(0L)).cast(DoubleType) /
+          nullif(coalesce(col("tok_total"), lit(0L)), lit(0L))).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q187Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |uhx AS (SELECT doc_id,
+       |  [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t)+1)] AS uh
+       |  FROM tk WHERE len(t) > 0),
+       |bp AS (SELECT doc_id, uh,
+       |  [i for i in range(1, len(uh)+1) if uh[i] % $CdcMod = 0] AS bpos
+       |  FROM uhx),
+       |sg AS (SELECT doc_id, uh,
+       |  list_prepend(0, bpos) AS starts, list_append(bpos, len(uh)) AS ends
+       |  FROM bp),
+       |ch AS (SELECT doc_id,
+       |  [struct_pack(h := substr(md5(array_to_string(
+       |       list_transform(uh[starts[k]+1:ends[k]], x -> CAST(x AS VARCHAR)), ',')), 1, 16),
+       |     l := CAST(ends[k] - starts[k] AS BIGINT))
+       |   for k in range(1, len(starts)+1) if ends[k] > starts[k]] AS cs
+       |  FROM sg),
+       |ex0 AS (SELECT doc_id, unnest(cs) AS c FROM ch),
+       |ex AS (SELECT doc_id, c.h AS h, c.l AS len FROM ex0),
+       |dc AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ex GROUP BY h),
+       |per AS (SELECT e.doc_id, count(*) AS n_chunks,
+       |          count(CASE WHEN dc.nd >= 2 THEN 1 END) AS n_dup_chunks,
+       |          CAST(sum(e.len) AS BIGINT) AS tok_total,
+       |          CAST(sum(CASE WHEN dc.nd >= 2 THEN e.len ELSE 0 END) AS BIGINT) AS tok_dup
+       |        FROM ex e JOIN dc USING (h) GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       |  CAST(coalesce(per.n_dup_chunks, 0) AS DOUBLE)
+       |    / nullif(coalesce(per.n_chunks, 0), 0) AS dup_fraction,
+       |  CAST(coalesce(per.tok_dup, 0) AS DOUBLE)
+       |    / nullif(coalesce(per.tok_total, 0), 0) AS dup_token_frac
+       |FROM ch d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q72
   /** Winnow-fingerprint overlap pairs — MOSS-style containment detection
     * (Schleimer et al., SIGMOD'03): document pairs sharing at least
@@ -1561,6 +1658,7 @@ object DedupQueries {
     "q173_dfcap_recall"       -> (q173DfcapRecall _),
     "q183_lsh_scurve"         -> (q183LshScurve _),
     "q186_neardup_decontam"   -> (q186NearDupDecontam _),
+    "q187_cdc_dedup"          -> (q187CdcDedup _),
     "q175_contamination_spans" -> (q175ContaminationSpans _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
@@ -1588,6 +1686,7 @@ object DedupQueries {
     "q173_dfcap_recall"       -> q173Sql,
     "q183_lsh_scurve"         -> q183Sql,
     "q186_neardup_decontam"   -> q186Sql,
+    "q187_cdc_dedup"          -> q187Sql,
     "q175_contamination_spans" -> q175Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
