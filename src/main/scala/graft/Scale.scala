@@ -185,7 +185,12 @@ object Scale {
     // aggregation-shaped. q184: q74's schedule (pair folds on the Zipf-
     // bounded distinct-bigram frame). EXCLUDED: q183 (its exact arm is the
     // uncapped pair generator — same rule as q173).
-    "q182_ngram_novelty", "q184_kneser_ney")
+    "q182_ngram_novelty", "q184_kneser_ney",
+    // q187: q69's digest-keyed schedule (in-row chunking, 16-char-digest
+    // shuffles only) — group-depth deepens like q69. EXCLUDED: q185 (its
+    // exact arm is the brute-force query scan — audit-scale by contract),
+    // q186 (near-dup pair card — the q20 replication rule).
+    "q187_cdc_dedup")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

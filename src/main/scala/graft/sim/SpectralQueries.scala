@@ -224,11 +224,116 @@ object SpectralQueries {
        |FROM er CROSS JOIN g ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q188
+  /** Embedding effective rank & isotropy — the whole-spectrum summary
+    * q137's single component can't give, WITHOUT an eigendecomposition:
+    * participation ratio PR = (tr C)² / tr(C²) (= (Σλ)²/Σλ², the
+    * effective number of principal directions — Roy & Vetterli 2007's
+    * "effective rank" in its PR form), plus per-dim variance extremes.
+    * PR ≈ d means isotropic (all directions used); PR ≈ 1 means the
+    * corpus collapsed onto one direction — the anisotropy pathology
+    * ("all my vectors point the same way") that breaks cosine retrieval.
+    * tr(C²) = ΣᵢⱼCᵢⱼ² needs only the covariance ENTRIES, never its
+    * eigenvectors.
+    *
+    * 100 TB shape: second moments come from one self-join of the
+    * fixed-point (vec_id, dim, q) frame on vec_id — the product frame
+    * map-side combines onto d(d+1)/2 = 2080 keys before any shuffle, so
+    * the exchange is dimension²-bounded no matter the corpus size; every
+    * cross-row sum is exact decimal (q68's fixed-point contract at 2¹⁵ —
+    * chosen so q·q products stay integer-exact in DECIMAL), making the
+    * whole card partition-invariant. Parity: covariance entries round
+    * through DECIMAL(18,9) (the q74 rule), trace/Frobenius fold as exact
+    * decimal sums, and the three output ratios are fixed-shape double
+    * ops. The card reports the spectrum OF THE 2⁻¹⁵-QUANTIZED corpus —
+    * deterministic by construction; quantization perturbs variances by
+    * O(2⁻¹⁵) relative, far below decision thresholds. */
+  private val Fp15 = 32768.0 // 2^15: q·q stays integer-exact in decimal
+  private val Dec18 = DecimalType(18, 0)
+
+  def q188EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // referenced three times (pair join both sides + per-dim sums):
+    // materialize the 8-byte-quantized frame once
+    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x").cast(DoubleType) * lit(Fp15)).cast(Dec18).as("q"))
+      .localCheckpoint(true)
+    val nn = e.agg(count(lit(1)).as("n"))
+    val sd = ex.groupBy(col("dim")).agg(sum(col("q")).as("s"))
+    val dd = sd.agg((max(col("dim")) + 1).as("d"))
+    val pp = ex.as("a")
+      .join(ex.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.dim") <= col("b.dim"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("spp"))
+    val cv = pp
+      .join(broadcast(sd.select(col("dim").as("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(sd.select(col("dim").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        ((col("spp").cast(DoubleType) / col("n") -
+          (col("si").cast(DoubleType) / col("n")) *
+            (col("sj").cast(DoubleType) / col("n"))) / lit(FpScale))
+          .cast(DecimalType(18, 9)).as("c"))
+    val folded = cv.agg(
+      sum(when(col("i") === col("j"), col("c"))).as("tr_d"),
+      sum(col("c") * col("c")).as("f_all"),
+      sum(when(col("i") =!= col("j"), col("c") * col("c"))).as("f_off"),
+      max(when(col("i") === col("j"), col("c"))).as("vmax_d"),
+      min(when(col("i") === col("j"), col("c"))).as("vmin_d"))
+    val trace = col("tr_d").cast(DecimalType(18, 9)).cast(DoubleType)
+    val frob2 = (col("f_all") + col("f_off")).cast(DecimalType(18, 9)).cast(DoubleType)
+    folded.crossJoin(broadcast(nn)).crossJoin(broadcast(dd))
+      .select(col("n"), col("d"),
+        trace.as("total_var"),
+        (trace * trace / frob2).as("effective_rank"),
+        (col("vmax_d").cast(DoubleType) / trace).as("top_var_share"),
+        (col("vmax_d").cast(DoubleType) /
+          nullif(col("vmin_d").cast(DoubleType), lit(0.0)))
+          .as("anisotropy_ratio")) // NULL for degenerate zero-variance dims
+  }
+
+  val q188Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id,
+       |    unnest([{'d': i, 'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * $Fp15) AS DECIMAL(18,0))}
+       |            for i in range(0, len(embedding))]) AS u
+       |  FROM embeddings),
+       |e2 AS (SELECT vec_id, u.d AS dim, u.q AS q FROM ex),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |sd AS (SELECT dim, sum(q) AS s FROM e2 GROUP BY 1),
+       |dd AS (SELECT max(dim) + 1 AS d FROM sd),
+       |pp AS (SELECT a.dim AS i, b.dim AS j, sum(a.q * b.q) AS spp
+       |       FROM e2 a JOIN e2 b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+       |       GROUP BY 1, 2),
+       |cv AS (SELECT i, j,
+       |    CAST((CAST(spp AS DOUBLE) / n
+       |      - (CAST(sa.s AS DOUBLE) / n) * (CAST(sb.s AS DOUBLE) / n)) / $FpScale
+       |      AS DECIMAL(18,9)) AS c
+       |  FROM pp JOIN sd sa ON i = sa.dim JOIN sd sb ON j = sb.dim CROSS JOIN nn),
+       |fd AS (SELECT
+       |    sum(CASE WHEN i = j THEN c END) AS tr_d,
+       |    sum(c * c) AS f_all,
+       |    sum(CASE WHEN i <> j THEN c * c END) AS f_off,
+       |    max(CASE WHEN i = j THEN c END) AS vmax_d,
+       |    min(CASE WHEN i = j THEN c END) AS vmin_d
+       |  FROM cv)
+       |SELECT n, d,
+       |  CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) AS total_var,
+       |  CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) * CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE)
+       |    / CAST(CAST(f_all + f_off AS DECIMAL(18,9)) AS DOUBLE) AS effective_rank,
+       |  CAST(vmax_d AS DOUBLE) / CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) AS top_var_share,
+       |  CAST(vmax_d AS DOUBLE) / nullif(CAST(vmin_d AS DOUBLE), 0) AS anisotropy_ratio
+       |FROM fd CROSS JOIN nn CROSS JOIN dd""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_pca_power" -> (q137PcaPower _),
-    "q164_jl_projection" -> (q164JlProjection _))
+    "q164_jl_projection" -> (q164JlProjection _),
+    "q188_effective_rank" -> (q188EffectiveRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q137_pca_power" -> q137Sql,
-    "q164_jl_projection" -> q164Sql)
+    "q164_jl_projection" -> q164Sql,
+    "q188_effective_rank" -> q188Sql)
 }
