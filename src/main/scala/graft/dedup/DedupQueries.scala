@@ -56,7 +56,7 @@ object DedupQueries {
     * this the shingle kernel runs 3× per query (measured ~40% of q20).
     * The checkpoint blocks are freed by the ContextCleaner once the query
     * result is dropped. */
-  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       // sorted ONCE per document so every candidate pair's intersection is
       // an allocation-free two-pointer merge (SortedIntersectCount below)
@@ -404,7 +404,7 @@ object DedupQueries {
 
   /** (doc_id, band, sig) LSH bucket rows from hashed shingle sets — the
     * q21 signature pipeline, shared with q76's incremental variant. */
-  private def lshBuckets(shh: DataFrame): DataFrame = {
+  private[graft] def lshBuckets(shh: DataFrame): DataFrame = {
     // base hash = top 32 bits of the shared 60-bit md5 hash (the first 8
     // hex chars of the same digest) — zero extra md5 work
     val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))

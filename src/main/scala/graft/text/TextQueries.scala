@@ -982,6 +982,79 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Mixed-language document detection — the fastText-pipeline gate that
+    * drops documents whose halves disagree on language (concatenation
+    * artifacts, boilerplate wrappers, template injection): the token
+    * array splits at the midpoint and each half is language-ID'd with
+    * q17's OWN marker-voting kernel (same markers, same priority
+    * tie-break — a half with zero marker evidence votes the priority
+    * default exactly like q17 does on evidence-free docs). `mixed` =
+    * halves disagree AND both halves carry at least one marker hit (no
+    * flag on evidence-free noise).
+    *
+    * 100 TB shape: q17's — one narrow per-doc pass, the half scoring is
+    * in-row HOF arithmetic on the token array, nothing shuffles but the
+    * presentation sort. */
+  def q189MixedLang(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val langs = markers.map(_._1) :+ "zh"
+    def pred(prefix: String): Column =
+      langs.dropRight(1).foldRight(lit(langs.last)) { (l, rest) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"${prefix}_$l") >= col(s"${prefix}_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+      }
+    def zhScore(ts: Column): Column =
+      regexp_count(array_join(ts, " "), lit("[\\u4e00-\\u9fff]"))
+    val half = (size(col("t")) / 2).cast("int")
+    val scored = d.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        slice(col("t"), lit(1), half).as("ta"),
+        slice(col("t"), half + 1, size(col("t")) - half).as("tb"))
+      .select((col("doc_id") +:
+        (markers.map { case (l, ws) => countIn(col("ta"), ws).as(s"a_$l") } :+
+          zhScore(col("ta")).as("a_zh")) ++:
+        (markers.map { case (l, ws) => countIn(col("tb"), ws).as(s"b_$l") } :+
+          zhScore(col("tb")).as("b_zh"))): _*)
+    val evA = langs.map(l => col(s"a_$l")).reduce(_ + _) > 0
+    val evB = langs.map(l => col(s"b_$l")).reduce(_ + _) > 0
+    scored.select(col("doc_id"),
+        pred("a").as("pred_first"), pred("b").as("pred_second"),
+        (evA && evB).as("both_scored"))
+      .withColumn("mixed",
+        col("both_scored") && col("pred_first") =!= col("pred_second"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q189Sql: String = {
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    val langs = markers.map(_._1) :+ "zh"
+    def pred(prefix: String): String =
+      langs.dropRight(1).foldRight(s"'${langs.last}'") { (l, rest) =>
+        val ge = langs.filter(_ != l).map(o => s"${prefix}_$l >= ${prefix}_$o").mkString(" AND ")
+        s"CASE WHEN $ge THEN '$l' ELSE $rest END"
+      }
+    def scores(prefix: String, arr: String): Seq[String] =
+      markers.map { case (l, ws) => s"${sqlCountIn(arr, ws)} AS ${prefix}_$l" } :+
+        s"len(regexp_extract_all(array_to_string($arr, ' '), '[\\x{4e00}-\\x{9fff}]')) AS ${prefix}_zh"
+    val ev = (p: String) => langs.map(l => s"${p}_$l").mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |hv AS (SELECT doc_id,
+       |    t[1:len(t)//2] AS ta, t[len(t)//2+1:len(t)] AS tb FROM tk),
+       |sc AS (SELECT doc_id,
+       |    ${(scores("a", "ta") ++ scores("b", "tb")).mkString(",\n|    ")}
+       |  FROM hv),
+       |pr AS (SELECT doc_id,
+       |    ${pred("a")} AS pred_first, ${pred("b")} AS pred_second,
+       |    (${ev("a")}) > 0 AND (${ev("b")}) > 0 AS both_scored
+       |  FROM sc)
+       |SELECT doc_id, pred_first, pred_second, both_scored,
+       |  both_scored AND pred_first <> pred_second AS mixed
+       |FROM pr ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q184
   /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
     * 1999 eq. 4.27): per-doc average NLL under
@@ -2044,6 +2117,7 @@ object TextQueries {
     "q181_epoch_allocation" -> (q181EpochAllocation _),
     "q182_ngram_novelty"   -> (q182NgramNovelty _),
     "q184_kneser_ney"      -> (q184KneserNey _),
+    "q189_mixed_lang"      -> (q189MixedLang _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -2080,6 +2154,7 @@ object TextQueries {
     "q181_epoch_allocation" -> q181Sql,
     "q182_ngram_novelty"   -> q182Sql,
     "q184_kneser_ney"      -> q184Sql,
+    "q189_mixed_lang"      -> q189Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
