@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // let DSv2 scans that report KeyGroupedPartitioning (the graftpkg
+      // connector clusters one-archive-per-partition on pkg_name) satisfy
+      // clustered distributions directly — per-package aggregations then
+      // run with zero exchange between scan and agg
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // some generator drops ship events.parquet with TIMESTAMP(NANOS), which
       // Spark's reader rejects; read those as raw long nanos and convert at
       // the scan (Tables.events). Other drops ship naive timestamp[us] — for

@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -164,7 +165,8 @@ object PackageScan {
 
 class PackageScan(path: String, required: StructType, pushed: Array[Filter],
     conf: SerializableConfiguration, committedOnly: Boolean)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -247,11 +249,33 @@ class PackageScan(path: String, required: StructType, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] =
     admitted.map { case (uri, _) => PackagePartition(uri): InputPartition }
 
+  /** The read-side dual of the writer's `RequiresDistributionAndOrdering`:
+    * data is physically clustered one-archive-per-partition, so when the
+    * projection keeps `pkg_name` the scan DECLARES
+    * `KeyGroupedPartitioning(identity(pkg_name))` (each
+    * [[PackagePartition]] carries its key via [[HasPartitionKey]]).
+    * With `spark.sql.sources.v2.bucketing.enabled` (on in
+    * [[graft.GraftSession]]), Catalyst's `EnsureRequirements` accepts
+    * this as satisfying the per-package ClusteredDistribution — per-pkg
+    * aggregations run with ZERO exchange between scan and agg
+    * (`PackageTableSpec` pins the shuffle-free plan). When `pkg_name` is
+    * pruned away the keys can't resolve against the output, so the scan
+    * honestly reports unknown. */
+  override def outputPartitioning(): Partitioning =
+    if (required.fieldNames.contains("pkg_name"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("pkg_name")), admitted.length)
+    else new UnknownPartitioning(admitted.length)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PackageReaderFactory(required.fieldNames, conf)
 }
 
-case class PackagePartition(uri: String) extends InputPartition
+case class PackagePartition(uri: String) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(PackageScan.pkgOf(new Path(uri).getName))))
+}
 
 class PackageReaderFactory(fields: Array[String], conf: SerializableConfiguration)
     extends PartitionReaderFactory {

@@ -229,4 +229,26 @@ class PackageTableSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("rename") || err.getMessage.contains("does not exist"))
   }
+
+  test("reported KeyGroupedPartitioning: per-package aggregation plans ZERO shuffle") {
+    val dir = stageArchives(5)
+    val agg = spark.read.format("graftpkg").load(dir)
+      .groupBy(col("pkg_name"))
+      .agg(org.apache.spark.sql.functions.count(col("member")).as("n_members"),
+        org.apache.spark.sql.functions.sum(col("member_size")).as("bytes"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scan-declared clustering must eliminate the aggregation shuffle\n$plan")
+    val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0 until 5).map(i => s"PKG-$i").toSet)
+    assert(rows.values.forall(_ == 1L))
+
+    // pruning pkg_name away -> keys can't resolve, scan reports unknown,
+    // and the grouped-on-member aggregation still shuffles (honesty check)
+    val other = spark.read.format("graftpkg").load(dir)
+      .groupBy(col("member")).count()
+    assert(other.queryExecution.executedPlan.toString.contains("Exchange"),
+      "non-clustered grouping must still plan its exchange")
+    assert(other.count() == 5)
+  }
 }
