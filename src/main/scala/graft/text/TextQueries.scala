@@ -982,6 +982,60 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** Per-source quantile-normalized perplexity gating — CCNet's actual
+    * design point: raw LM scores are not comparable ACROSS sources (a
+    * fluent forum post and a fluent paper sit at different absolute
+    * NLLs), so the keep decision uses the WITHIN-SOURCE percent rank,
+    * not a global threshold. Per doc: q74's NLL, its within-source and
+    * global percent ranks, both keep decisions at the 60% bar, and
+    * `disagree` — the documents where global gating would make a
+    * different call, i.e. the per-source-normalization evidence (a
+    * globally-gated corpus silently over-prunes its hardest source).
+    * Completes the pruning family: q177 global curve, q190 per-source
+    * gate — both on q74's kernel verbatim, so none can diverge.
+    *
+    * 100 TB shape: q74's schedule plus one doc-cardinality join for
+    * `source` and two rank windows over the per-DOC frame — the
+    * per-source window partitions naturally; the global window is q177's
+    * audit-scale device (production swaps in q105 sketch cut points
+    * broadcast into a join, and this exact card validates that sketch).
+    * Parity: percent_rank is (rank−1)/(n−1) on integer ranks with a
+    * (nll6, doc_id) total order — deterministic in both engines. */
+  def q190SourceQuantileGate(spark: SparkSession, dir: String): DataFrame = {
+    val pd = bigramNllScored(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("avg_nll").cast(DecimalType(18, 6)).as("nll6"))
+    val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("nll6"), col("doc_id"))
+    val wAll = Window.orderBy(col("nll6"), col("doc_id"))
+    pd.join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("nll6").cast(DoubleType).as("avg_nll"),
+        percent_rank().over(wSrc).as("src_rank"),
+        percent_rank().over(wAll).as("global_rank"))
+      .withColumn("keep_src", col("src_rank") <= 0.6)
+      .withColumn("keep_global", col("global_rank") <= 0.6)
+      .withColumn("disagree", col("keep_src") =!= col("keep_global"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q190Sql: String =
+    s"""$bigramNllCtesSql,
+       |pd AS (SELECT g.doc_id,
+       |    CAST(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS DECIMAL(18,6)) AS nll6
+       |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+       |  WHERE len(bh) > 0),
+       |pr AS (SELECT pd.doc_id, d.source, CAST(nll6 AS DOUBLE) AS avg_nll,
+       |    percent_rank() OVER (PARTITION BY d.source ORDER BY nll6, pd.doc_id) AS src_rank,
+       |    percent_rank() OVER (ORDER BY nll6, pd.doc_id) AS global_rank
+       |  FROM pd JOIN documents d ON pd.doc_id = d.doc_id)
+       |SELECT doc_id, source, avg_nll, src_rank, global_rank,
+       |  src_rank <= 0.6 AS keep_src,
+       |  global_rank <= 0.6 AS keep_global,
+       |  (src_rank <= 0.6) <> (global_rank <= 0.6) AS disagree
+       |FROM pr ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q189
   /** Mixed-language document detection — the fastText-pipeline gate that
     * drops documents whose halves disagree on language (concatenation
@@ -2118,6 +2172,7 @@ object TextQueries {
     "q182_ngram_novelty"   -> (q182NgramNovelty _),
     "q184_kneser_ney"      -> (q184KneserNey _),
     "q189_mixed_lang"      -> (q189MixedLang _),
+    "q190_source_quantile_gate" -> (q190SourceQuantileGate _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -2155,6 +2210,7 @@ object TextQueries {
     "q182_ngram_novelty"   -> q182Sql,
     "q184_kneser_ney"      -> q184Sql,
     "q189_mixed_lang"      -> q189Sql,
+    "q190_source_quantile_gate" -> q190Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
