@@ -190,7 +190,11 @@ object Scale {
     // shuffles only) — group-depth deepens like q69. EXCLUDED: q185 (its
     // exact arm is the brute-force query scan — audit-scale by contract),
     // q186 (near-dup pair card — the q20 replication rule).
-    "q187_cdc_dedup")
+    "q187_cdc_dedup",
+    // q188: the pair frame map-side combines onto d(d+1)/2 keys — linear
+    // scan, dimension-bounded shuffle. q189: narrow per-doc pass. q190:
+    // q74's schedule + doc-cardinality rank windows (q177's rule).
+    "q188_effective_rank", "q189_mixed_lang", "q190_source_quantile_gate")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
