@@ -757,4 +757,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"q180: domain-cardinality arithmetic should not hash-shuffle\n$plan")
   }
+
+  test("q182 novelty spectrum: ONE docs scan feeds all four gram orders") {
+    val plan = physical("q182_ngram_novelty")
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"q182: the four orders must share one corpus scan\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q182: no pair plan expected\n$plan")
+  }
+
+  test("q184 Kneser-Ney: model joins are equi-joins off the checkpointed bigram frame") {
+    val plan = physical("q184_kneser_ney")
+    // corpus subtree runs from the token-kernel checkpoint; the
+    // distinct-bigram frame is checkpointed, so no parquet rescans
+    assert(!plan.contains("Scan parquet"),
+      s"q184: model frames must read the checkpointed kernel\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // exactly the 1-row B-total broadcast (q74's rule) — a second nested
+    // loop would mean a model join degenerated
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q184: a model join degenerated to a nested loop\n$plan")
+  }
+
+  test("q185 IVF curve: corpus scans never shuffle into the candidate join (broadcast only)") {
+    val plan = physical("q185_ivf_recall_curve")
+    // every join against the corpus side must be a broadcast of the
+    // bounded query/probe/np frames; a hashpartitioning on cid/list_id
+    // would mean the corpus started shuffling
+    assert(!plan.contains("Exchange hashpartitioning(list_id"),
+      s"q185: the corpus must not shuffle on list_id\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q185: nothing here should nest beyond the hinted broadcasts\n$plan")
+  }
+
+  test("q187 CDC dedup: chunking stays in-row — only digests shuffle") {
+    val plan = physical("q187_cdc_dedup")
+    // chunk construction is HOFs in the scan stage; the exchanges are the
+    // digest-keyed folds + join + presentation sort, never raw text
+    assert(!plan.contains("Scan parquet"),
+      s"q187: folds must read the checkpointed chunk frame\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"q187: digest joins must stay equi\n$plan")
+  }
+
+  test("q188 effective rank: the pair fold map-side combines before the (i, j) exchange") {
+    val plan = physical("q188_effective_rank")
+    // the (dim, dim) exchange with a partial pair-product aggregate below
+    // it = the d²-bounded map-side combine the scale contract promises
+    // (the i/j aliases bind at the agg OUTPUT, so keys print as dim)
+    assert(plan.contains("Exchange hashpartitioning(dim"),
+      s"q188: expected the (dim, dim) exchange\n$plan")
+    assert(plan.contains("partial_sum((q"),
+      s"q188: expected the map-side pair-product combine\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q188: the self-join must stay an equi-join on vec_id\n$plan")
+  }
+
+  test("q189 mixed-lang: one narrow pass, the sort is the only exchange") {
+    val plan = physical("q189_mixed_lang")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q189: half-voting is in-row arithmetic, nothing should hash-shuffle\n$plan")
+    assert(countOccurrences(plan, "Exchange ") == 1,
+      s"q189: expected only the presentation-sort exchange\n$plan")
+  }
 }
