@@ -264,13 +264,88 @@ object SearchQueries {
        |ORDER BY term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q191
+  /** Index-BACKED conjunctive retrieval: q162 sized the varint ledger —
+    * this card BUILDS it as real bytes and answers a query through it.
+    * Every term's posting list packs into two varint blobs
+    * ([[graft.expr.Varint]] — doc-id GAPS and in-order term frequencies,
+    * Lucene's VInt shape), then the fixed 3-term AND-query is answered
+    * entirely FROM the blobs: decode → prefix-sum the gaps back to
+    * doc_ids → intersect (count = all terms) → rank by Σtf. The oracle
+    * recomputes the answer from RAW documents, so a hash match proves
+    * encode → decode → reconstruct ≡ ground truth end to end — the
+    * index round trip is load-bearing, not decorative.
+    *
+    * 100 TB shape: the index build is q162's one corpus explode +
+    * (term, doc) fold; blobs pack IN-ROW (codegen'd expressions, no
+    * shuffle grows); the query side touches ONLY the query terms' rows —
+    * posting decode + prefix sum explode df-bounded rows per term. The
+    * in-plan prefix sum is a per-term window over those df-bounded rows
+    * (3 partitions here; a production decoder would emit doc_ids
+    * directly in the generator). */
+  private val QueryTerms = Seq("join", "filter", "window")
+
+  def q191IndexRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val postings = d
+      .select(col("doc_id"), explode(graft.text.TextOps.tokens(
+        graft.text.TextOps.normText(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    // the index frame: per term, sorted (doc_id, tf) packed as two blobs
+    val ids = transform(col("ps"), p => p.getField("doc_id"))
+    val gaps = zip_with(ids,
+      concat(array(lit(0L)), slice(ids, lit(1), size(col("ps")) - 1)),
+      (a, b) => a - b)
+    val idx = postings
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .select(col("term"),
+        graft.expr.Varint.encode(gaps).as("id_blob"),
+        graft.expr.Varint.encode(
+          transform(col("ps"), p => p.getField("tf"))).as("tf_blob"))
+    // the query side reads ONLY the blobs
+    val decoded = idx.filter(col("term").isin(QueryTerms: _*))
+      .select(col("term"),
+        posexplode(arrays_zip(
+          graft.expr.Varint.decode(col("id_blob")).as("gap"),
+          graft.expr.Varint.decode(col("tf_blob")).as("tf"))))
+      .select(col("term"), col("pos"),
+        col("col.gap").as("gap"), col("col.tf").as("tf"))
+      .withColumn("doc_id", sum(col("gap")).over(
+        Window.partitionBy(col("term")).orderBy(col("pos"))))
+    decoded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
+      .filter(col("n_terms") === QueryTerms.size)
+      .select(col("doc_id"), col("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .orderBy(col("rank"))
+  }
+
+  /** Ground truth from RAW documents — matching it proves the blob round
+    * trip, not a parallel implementation of the same decode. */
+  val q191Sql: String = {
+    val toks =
+      s"string_split(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g'))), ' ')"
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($toks) AS term FROM documents)
+       |  WHERE term IN ($terms) GROUP BY 1, 2),
+       |m AS (SELECT doc_id, count(*) AS nt, sum(tf) AS score FROM tf GROUP BY 1)
+       |SELECT doc_id, CAST(score AS BIGINT) AS score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |FROM m WHERE nt = ${QueryTerms.size} ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q66_bm25_search" -> (q66Bm25 _),
       "q143_rrf_fusion" -> (q143RrfFusion _),
-      "q162_inverted_index" -> (q162InvertedIndex _))
+      "q162_inverted_index" -> (q162InvertedIndex _),
+      "q191_index_retrieval" -> (q191IndexRetrieval _))
 
   val oracleSql: Map[String, String] =
     Map("q66_bm25_search" -> q66Sql,
       "q143_rrf_fusion" -> q143Sql,
-      "q162_inverted_index" -> q162Sql)
+      "q162_inverted_index" -> q162Sql,
+      "q191_index_retrieval" -> q191Sql)
 }
