@@ -194,7 +194,10 @@ object Scale {
     // q188: the pair frame map-side combines onto d(d+1)/2 keys — linear
     // scan, dimension-bounded shuffle. q189: narrow per-doc pass. q190:
     // q74's schedule + doc-cardinality rank windows (q177's rule).
-    "q188_effective_rank", "q189_mixed_lang", "q190_source_quantile_gate")
+    "q188_effective_rank", "q189_mixed_lang", "q190_source_quantile_gate",
+    // q191: q162's explode + (term, doc) fold with in-row blob packing —
+    // same group-depth shape as the ledger card
+    "q191_index_retrieval")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

@@ -100,6 +100,43 @@ object DedupQueries {
        | min(doc_id) AS rep_doc_id, count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
+  // ---------------------------------------------------------------- q192
+  /** Cross-source exact-duplicate FLOW matrix — which sources copy from
+    * which: for every unordered source pair, how many q19 content-hash
+    * groups span both sources, and the cross-duplicate pair mass
+    * Σ_groups (count_a × count_b). The provenance complement to q81's
+    * per-source dup RATE and q92's fuzzy n-gram profile overlap: exact
+    * content flow, attributed to the source pair, which is what a
+    * mirror-detection / license-laundering audit actually reads.
+    *
+    * 100 TB shape: one digest fold to (content_hash, source, c) — the
+    * 16-byte-digest shuffle q19 already pays, text never moves — then
+    * the pair join fans out per digest by its SOURCE-count (≤ 5 here,
+    * bounded by the source dimension, never by group depth: a 10⁶-doc
+    * duplicate group contributes source-pair rows, not doc-pair rows). */
+  def q192SourceDupFlow(spark: SparkSession, dir: String): DataFrame = {
+    val ds = Tables(spark, dir).documents
+      .select(col("source"), md5(normText(col("text"))).as("h"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+    ds.as("a")
+      .join(ds.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_groups"),
+        sum(col("a.c") * col("b.c")).as("n_cross_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q192Sql: String =
+    s"""WITH ds AS (
+       |  SELECT source, md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS h,
+       |    count(*) AS c
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS n_shared_groups,
+       |  CAST(sum(a.c * b.c) AS BIGINT) AS n_cross_pairs
+       |FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   // ---------------------------------------------------------------- q20
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
     * df-capped inverted index: shingles shared by more than [[DfCap]]
@@ -1659,6 +1696,7 @@ object DedupQueries {
     "q183_lsh_scurve"         -> (q183LshScurve _),
     "q186_neardup_decontam"   -> (q186NearDupDecontam _),
     "q187_cdc_dedup"          -> (q187CdcDedup _),
+    "q192_source_dup_flow"    -> (q192SourceDupFlow _),
     "q175_contamination_spans" -> (q175ContaminationSpans _),
     "q21_dedup_minhash_lsh"   -> (q21MinHashLsh _),
     "q22_dedup_simhash"       -> (q22Simhash _),
@@ -1687,6 +1725,7 @@ object DedupQueries {
     "q183_lsh_scurve"         -> q183Sql,
     "q186_neardup_decontam"   -> q186Sql,
     "q187_cdc_dedup"          -> q187Sql,
+    "q192_source_dup_flow"    -> q192Sql,
     "q175_contamination_spans" -> q175Sql,
     "q21_dedup_minhash_lsh"   -> q21Sql,
     "q22_dedup_simhash"       -> q22Sql,
