@@ -982,6 +982,80 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Context-budget fragmentation curve — the decision table for picking
+    * a training context length: q59's concat-then-chunk packing evaluated
+    * at budgets 128/256/512/1024 tokens in ONE pass. Offset packing
+    * wastes zero padding but SPLITS documents at window boundaries
+    * (fragment count per doc = crossings + 1), and fragmentation is the
+    * real cost knob — a split document trains on truncated context. Per
+    * budget: window count, documents split, split fraction, and mean
+    * fragments per document.
+    *
+    * 100 TB shape: ONE lang-partitioned cumulative-sum pass (q59's
+    * window, the partition key is the parallelism) feeds all four
+    * budgets via a 4-row broadcast cross join; everything after is a
+    * 4-key fold. Parity: crossings are pure integer floor arithmetic;
+    * the two rates are one int/int IEEE division each. */
+  private val PackBudgets = Seq(128L, 256L, 512L, 1024L)
+
+  def q193PackingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = d.select(col("doc_id"), col("lang"), nTokens(col("text")).as("n"))
+      .withColumn("end_off", sum(col("n")).over(w))
+      .withColumn("start_off", col("end_off") - col("n"))
+    val budgets = spark.range(1).select(
+      explode(array(PackBudgets.map(lit): _*)).as("budget"))
+    val crossings = floor((col("end_off") - 1) / col("budget")) -
+      floor(col("start_off") / col("budget"))
+    val perDoc = offsets.crossJoin(broadcast(budgets))
+      .select(col("budget"), col("lang"), col("n"), col("end_off"),
+        crossings.cast(LongType).as("crossings"))
+    val perLang = perDoc.groupBy(col("budget"), col("lang"))
+      .agg(max(col("end_off")).as("lang_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("n_split"),
+        sum(col("crossings")).as("total_crossings"))
+    perLang.groupBy(col("budget"))
+      .agg(sum(ceil(col("lang_tokens").cast(DoubleType) / col("budget")).cast(LongType))
+          .as("n_windows"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_split")).as("n_docs_split"),
+        sum(col("total_crossings")).as("crossings"))
+      .select(col("budget"), col("n_windows"), col("n_docs"), col("n_docs_split"),
+        (col("n_docs_split").cast(DoubleType) / col("n_docs")).as("split_frac"),
+        ((col("n_docs") + col("crossings")).cast(DoubleType) / col("n_docs"))
+          .as("mean_fragments"))
+      .orderBy(col("budget"))
+  }
+
+  val q193Sql: String = {
+    val budgets = PackBudgets.mkString(", ")
+    s"""WITH o AS (SELECT doc_id, lang, ${nTokensSql("text")} AS n,
+       |    sum(${nTokensSql("text")}) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS end_off
+       |  FROM documents),
+       |b AS (SELECT unnest([$budgets]) AS budget),
+       |pd AS (SELECT budget, lang, n, end_off,
+       |    CAST(floor(CAST(end_off - 1 AS DOUBLE) / budget)
+       |      - floor(CAST(end_off - n AS DOUBLE) / budget) AS BIGINT) AS crossings
+       |  FROM o CROSS JOIN b),
+       |pl AS (SELECT budget, lang, max(end_off) AS lang_tokens, count(*) AS n_docs,
+       |    sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS n_split,
+       |    sum(crossings) AS total_crossings
+       |  FROM pd GROUP BY 1, 2)
+       |SELECT CAST(budget AS BIGINT) AS budget,
+       |  CAST(sum(CAST(ceil(CAST(lang_tokens AS DOUBLE) / budget) AS BIGINT)) AS BIGINT)
+       |    AS n_windows,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_split) AS BIGINT) AS n_docs_split,
+       |  CAST(sum(n_split) AS DOUBLE) / sum(n_docs) AS split_frac,
+       |  CAST(sum(n_docs) + sum(total_crossings) AS DOUBLE) / sum(n_docs) AS mean_fragments
+       |FROM pl GROUP BY 1 ORDER BY budget""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q190
   /** Per-source quantile-normalized perplexity gating — CCNet's actual
     * design point: raw LM scores are not comparable ACROSS sources (a
@@ -2173,6 +2247,7 @@ object TextQueries {
     "q184_kneser_ney"      -> (q184KneserNey _),
     "q189_mixed_lang"      -> (q189MixedLang _),
     "q190_source_quantile_gate" -> (q190SourceQuantileGate _),
+    "q193_packing_curve"   -> (q193PackingCurve _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -2211,6 +2286,7 @@ object TextQueries {
     "q184_kneser_ney"      -> q184Sql,
     "q189_mixed_lang"      -> q189Sql,
     "q190_source_quantile_gate" -> q190Sql,
+    "q193_packing_curve"   -> q193Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
