@@ -197,7 +197,10 @@ object Scale {
     "q188_effective_rank", "q189_mixed_lang", "q190_source_quantile_gate",
     // q191: q162's explode + (term, doc) fold with in-row blob packing —
     // same group-depth shape as the ledger card
-    "q191_index_retrieval")
+    "q191_index_retrieval",
+    // q192: q19's digest fold + source-bounded pair fan-out per digest.
+    // q193: q59's lang-partitioned cumsum × a 4-row broadcast.
+    "q192_source_dup_flow", "q193_packing_curve")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
