@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution => VDistribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
@@ -99,17 +100,21 @@ class PackageTable(path: String) extends Table with SupportsRead with SupportsWr
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PackageScanBuilder(path, conf, options.getBoolean("committedOnly", false))
+    new PackageScanBuilder(path, conf, options.getBoolean("committedOnly", false),
+      options.getBoolean("aggregatePushdown", true))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new PackageWrite(path, info.schema(), conf)
     }
 }
 
-class PackageScanBuilder(path: String, conf: SerializableConfiguration, committedOnly: Boolean)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+class PackageScanBuilder(path: String, conf: SerializableConfiguration,
+    committedOnly: Boolean, aggPushdown: Boolean = true)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = PackageTable.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(Seq[String], Seq[PackageAgg])] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   /** Archive-level filters prune which tarballs are OPENED; returning the
@@ -121,11 +126,227 @@ class PackageScanBuilder(path: String, conf: SerializableConfiguration, committe
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PackageScan(path, required, pushed, conf, committedOnly)
+
+  /** Aggregate pushdown (PARTIAL semantics — Spark still merges the
+    * per-archive rows, so duplicate pkg_names across archives stay
+    * correct): COUNT(*)/COUNT/MIN/MAX/SUM over `member_size`, grouped by
+    * archive-level columns only. The tar-header walk computes these
+    * while listing, so ONE row per archive crosses the DSv2 boundary
+    * instead of one per member — on an object store that is the
+    * difference between moving headers and moving a row per file. */
+  /** COMPLETE pushdown is declared only when the admitted archives carry
+    * DISTINCT group keys — one partition per key means the per-archive
+    * rows ARE the final answer and Spark drops both agg stages (with the
+    * clustering report, zero exchange too). Nested layouts where two
+    * archives share a pkg_name fall back to partial pushdown, which is
+    * always correct. Costs one extra listing at planning time (the same
+    * listing statistics reporting already pays). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some((groups, _)) if groups.nonEmpty =>
+        val names = PackageScan.listAdmitted(path, pushed, conf, committedOnly)
+          .map { case (uri, _) => new Path(uri).getName }
+        def key(n: String) = groups.map {
+          case "pkg_name" => PackageScan.pkgOf(n)
+          case "tar_name" => n
+        }
+        names.map(key).distinct.length == names.length
+      case _ => false
+    }
+
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[PackageAgg])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    if (!aggPushdown) return None
+    val groups = agg.groupByExpressions.toSeq.map(name)
+    if (groups.exists(g => g.isEmpty || !PackageScan.ArchiveCols(g.get))) return None
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PackageAgg.CountStar)
+      case c: Count if !c.isDistinct && name(c.column).contains("member_size") =>
+        Some(PackageAgg.CountSize)
+      case m: Min if name(m.column).contains("member_size") => Some(PackageAgg.MinSize)
+      case m: Max if name(m.column).contains("member_size") => Some(PackageAgg.MaxSize)
+      case s: Sum if !s.isDistinct && name(s.column).contains("member_size") =>
+        Some(PackageAgg.SumSize)
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) None
+    else Some((groups.map(_.get), funcs.map(_.get)))
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = translate(agg)
+    pushedAgg.isDefined
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((groups, funcs)) =>
+      new PackageAggScan(path, groups, funcs, pushed, conf, committedOnly)
+    case None => new PackageScan(path, required, pushed, conf, committedOnly)
+  }
+}
+
+/** The aggregate shapes the header walk can compute. */
+sealed abstract class PackageAgg(val label: String) extends Serializable
+object PackageAgg {
+  case object CountStar extends PackageAgg("count(*)")
+  case object CountSize extends PackageAgg("count(member_size)")
+  case object MinSize extends PackageAgg("min(member_size)")
+  case object MaxSize extends PackageAgg("max(member_size)")
+  case object SumSize extends PackageAgg("sum(member_size)")
+}
+
+/** Pushed-aggregate scan: identical archive admission/partitioning to
+  * [[PackageScan]], but each partition emits ONE pre-aggregated row from
+  * the tar-header walk (payloads are never touched — sizes come from the
+  * headers `getNextEntry` already parses). */
+class PackageAggScan(path: String, groups: Seq[String], funcs: Seq[PackageAgg],
+    pushed: Array[Filter], conf: SerializableConfiguration, committedOnly: Boolean)
+    extends PackageScan(path, StructType(Seq()), pushed, conf, committedOnly) {
+
+  override def readSchema(): StructType = StructType(
+    groups.map(g => StructField(g, StringType, nullable = false)) ++
+      funcs.map {
+        case PackageAgg.MinSize | PackageAgg.MaxSize =>
+          StructField("agg", LongType, nullable = true)
+        case _ => StructField("agg", LongType, nullable = false)
+      }.zipWithIndex.map { case (f, i) => f.copy(name = s"agg_$i") })
+
+  override def description(): String =
+    super.description() + s", PushedAggregates: [${funcs.map(_.label).mkString(", ")}]" +
+      s", GroupBy: [${groups.mkString(", ")}]"
+
+  /** Grouping on pkg_name keeps the one-row-per-archive output clustered
+    * exactly like the base scan — declare it, or the aggregate pushdown
+    * would re-introduce the exchange KeyGroupedPartitioning eliminated. */
+  override def outputPartitioning(): Partitioning =
+    if (groups.contains("pkg_name"))
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("pkg_name")), planInputPartitions().length)
+    else super.outputPartitioning()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PackageAggReaderFactory(groups, funcs, conf)
+}
+
+class PackageAggReaderFactory(groups: Seq[String], funcs: Seq[PackageAgg],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PackageAggReader(
+      partition.asInstanceOf[PackagePartition].uri, groups, funcs, conf)
+}
+
+/** Walks the archive's tar HEADERS once and emits the single
+  * pre-aggregated row; `getNextEntry` skips entry payloads, so the bytes
+  * read are headers + (for gzip) the inflate cost — no member payload is
+  * ever materialized. */
+class PackageAggReader(uri: String, groups: Seq[String], funcs: Seq[PackageAgg],
+    conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val p = new Path(uri)
+    val tarName = p.getName
+    val pkgName = PackageScan.pkgOf(tarName)
+    val fsIn = p.getFileSystem(conf.value).open(p)
+    var count = 0L; var sum = 0L
+    var min = Long.MaxValue; var max = Long.MinValue
+    try {
+      val buffered = new java.io.BufferedInputStream(fsIn)
+      buffered.mark(2)
+      val m0 = buffered.read(); val m1 = buffered.read()
+      buffered.reset()
+      val in: java.io.InputStream =
+        if (m0 == 0x1f && m1 == 0x8b) new java.util.zip.GZIPInputStream(buffered)
+        else buffered
+      val tar = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(in)
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (entry.isFile) {
+          val sz = entry.getSize
+          count += 1; sum += sz
+          if (sz < min) min = sz
+          if (sz > max) max = sz
+        }
+        entry = tar.getNextEntry
+      }
+    } finally fsIn.close()
+    val groupVals: Seq[Any] = groups.map {
+      case "pkg_name" => UTF8String.fromString(pkgName)
+      case "tar_name" => UTF8String.fromString(tarName)
+    }
+    val aggVals: Seq[Any] = funcs.map {
+      case PackageAgg.CountStar | PackageAgg.CountSize => count
+      case PackageAgg.SumSize => sum
+      case PackageAgg.MinSize => if (count == 0) null else min
+      case PackageAgg.MaxSize => if (count == 0) null else max
+    }
+    row = new GenericInternalRow((groupVals ++ aggVals).toArray)
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 object PackageScan {
-  private val ArchiveCols = Set("pkg_name", "tar_name")
+  /** The admitted (uri, fileLength) set for a (path, filters, gating)
+    * triple — shared by the Scan (stats + partition planning) and the
+    * ScanBuilder's complete-aggregate-pushdown safety check. */
+  def listAdmitted(path: String, pushed: Array[Filter],
+      conf: SerializableConfiguration, committedOnly: Boolean): Array[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    // committed-only gating: no manifest → NOTHING is committed. A driver
+    // crash between per-file renames and the manifest write therefore
+    // exposes none of the batch to gated readers (the manifest is last).
+    val committed: Option[Set[String]] =
+      if (!committedOnly) None
+      else {
+        val m = new Path(p, PackageTable.Manifest)
+        if (!fs.exists(m)) Some(Set.empty)
+        else Some(PackageManifest.read(fs, m).toSet)
+      }
+    def admit(name: String): Boolean =
+      name.endsWith(".tar.gz") &&
+        committed.forall(_.contains(name)) &&
+        pushed.forall(PackageScan.matches(_, PackageScan.pkgOf(name), name))
+
+    // point-lookup fast path: exact tar_name keys probe root/<name>
+    // directly — O(keys) RPCs instead of a recursive listing (the
+    // reference's keyed fetch shape). Falls back to the listing when any
+    // key is absent flat (nested layouts).
+    val probed = PackageScan.exactTarNames(pushed).map { keys =>
+      keys.filter(admit).flatMap { k =>
+        val kp = new Path(p, k)
+        try Some(kp.toString -> fs.getFileStatus(kp).getLen)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+    }
+    probed match {
+      case Some(found) if PackageScan.exactTarNames(pushed)
+          .exists(_.count(admit) == found.length) =>
+        found.toArray
+      case _ =>
+        val it = fs.listFiles(p, true)
+        val out = Array.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && admit(f.getPath.getName))
+            out += f.getPath.toString -> f.getLen
+        }
+        out.result()
+    }
+  }
+
+  val ArchiveCols = Set("pkg_name", "tar_name")
 
   /** Pushable = decidable from the archive FILE NAME alone (pkg_name is
     * the name up to the first dot; tar_name is the name). */
@@ -182,50 +403,8 @@ class PackageScan(path: String, required: StructType, pushed: Array[Filter],
     * (execution time) read it, so reporting statistics costs no second
     * recursive listing — on an object store the listing RPCs are the
     * expensive part of planning. */
-  private lazy val admitted: Array[(String, Long)] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf.value)
-    // committed-only gating: no manifest → NOTHING is committed. A driver
-    // crash between per-file renames and the manifest write therefore
-    // exposes none of the batch to gated readers (the manifest is last).
-    val committed: Option[Set[String]] =
-      if (!committedOnly) None
-      else {
-        val m = new Path(p, PackageTable.Manifest)
-        if (!fs.exists(m)) Some(Set.empty)
-        else Some(PackageManifest.read(fs, m).toSet)
-      }
-    def admit(name: String): Boolean =
-      name.endsWith(".tar.gz") &&
-        committed.forall(_.contains(name)) &&
-        pushed.forall(PackageScan.matches(_, PackageScan.pkgOf(name), name))
-
-    // point-lookup fast path: exact tar_name keys probe root/<name>
-    // directly — O(keys) RPCs instead of a recursive listing (the
-    // reference's keyed fetch shape). Falls back to the listing when any
-    // key is absent flat (nested layouts).
-    val probed = PackageScan.exactTarNames(pushed).map { keys =>
-      keys.filter(admit).flatMap { k =>
-        val kp = new Path(p, k)
-        try Some(kp.toString -> fs.getFileStatus(kp).getLen)
-        catch { case _: java.io.FileNotFoundException => None }
-      }
-    }
-    probed match {
-      case Some(found) if PackageScan.exactTarNames(pushed)
-          .exists(_.count(admit) == found.length) =>
-        found.toArray
-      case _ =>
-        val it = fs.listFiles(p, true)
-        val out = Array.newBuilder[(String, Long)]
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile && admit(f.getPath.getName))
-            out += f.getPath.toString -> f.getLen
-        }
-        out.result()
-    }
-  }
+  private lazy val admitted: Array[(String, Long)] =
+    PackageScan.listAdmitted(path, pushed, conf, committedOnly)
 
   /** DSv2 statistics so Catalyst sizes joins against this table instead
     * of assuming the worst: `sizeInBytes` = Σ admitted archive lengths

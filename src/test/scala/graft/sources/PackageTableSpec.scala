@@ -230,6 +230,37 @@ class PackageTableSpec extends SparkSpec {
     assert(err.getMessage.contains("rename") || err.getMessage.contains("does not exist"))
   }
 
+  test("aggregate pushdown: per-archive stats cross the boundary as ONE row, values exact") {
+    val dir = stageArchives(4)
+    val agg = spark.read.format("graftpkg").load(dir)
+      .groupBy(col("pkg_name"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("member_size")).as("bytes"),
+        org.apache.spark.sql.functions.min(col("member_size")).as("mn"),
+        org.apache.spark.sql.functions.max(col("member_size")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [count(*), sum(member_size), min(member_size), max(member_size)]"),
+      s"aggregation must reach the scan\n$plan")
+    // distinct pkg keys -> COMPLETE pushdown: Spark drops both agg stages
+    // and (with the clustering report) the exchange — the scan's
+    // one-row-per-archive output IS the answer
+    assert(!plan.contains("Exchange"), s"complete pushdown must not shuffle\n$plan")
+    assert(!plan.contains("HashAggregate"), s"complete pushdown must drop the agg\n$plan")
+    // ground truth from a read with pushdown disabled via the user option
+    val truth = spark.read.format("graftpkg")
+      .option("aggregatePushdown", false).load(dir)
+      .groupBy(col("pkg_name"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("member_size")).as("bytes"),
+        org.apache.spark.sql.functions.min(col("member_size")).as("mn"),
+        org.apache.spark.sql.functions.max(col("member_size")).as("mx"))
+    assert(!truth.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "the option must disable pushdown for the truth side")
+    assert(agg.collect().map(_.toString).sorted.toSeq ==
+      truth.collect().map(_.toString).sorted.toSeq)
+    assert(agg.collect().length == 4)
+  }
+
   test("reported KeyGroupedPartitioning: per-package aggregation plans ZERO shuffle") {
     val dir = stageArchives(5)
     val agg = spark.read.format("graftpkg").load(dir)
