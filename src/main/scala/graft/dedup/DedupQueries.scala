@@ -785,8 +785,8 @@ object DedupQueries {
   // `final` = compile-time constants: q175Sql (declared ABOVE this line)
   // interpolates BenchMod — a plain val would still be 0 (JVM default)
   // during that initializer, silently baking `% 0` into the oracle SQL
-  private final val BenchMod = 97
-  private final val ContamPct = 10 // contaminated when hits * 100 >= pct * shingles
+  private[graft] final val BenchMod = 97
+  private[graft] final val ContamPct = 10 // contaminated when hits * 100 >= pct * shingles
 
   def q60Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val shh = docShingleHashes(spark, dir)

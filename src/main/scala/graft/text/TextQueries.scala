@@ -982,6 +982,99 @@ object TextQueries {
        |       ELSE 'tail' END AS band
        |FROM db, tot ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Per-source DATASHEET — the summary table a corpus release actually
+    * publishes (Gebru et al.'s "Datasheets for Datasets" reduced to the
+    * measurable row): per source, document/token/char mass, mean quality
+    * score (q16's additive gate score), exact-duplicate rate (fraction
+    * of docs whose q19 content hash appears ≥ 2× corpus-wide), and
+    * eval-contamination rate (q60's ≥ 10%-shingle-overlap rule over
+    * non-eval docs). Every metric reuses the exact kernel of the card
+    * that owns it, so the datasheet can never disagree with the detail
+    * views it summarizes.
+    *
+    * 100 TB shape: three aggregation-shaped passes that all exist
+    * elsewhere already — the narrow per-doc scalar scan, q19's 16-byte
+    * digest fold, and q60's distinct-shingle semi-join (eval side 1/97
+    * of the corpus) — joined at doc granularity and folded to the
+    * source dimension with map-side combine. Parity: integer counts and
+    * an exact-0.25-step quality sum (every partial is a binary-exact
+    * multiple of 0.25, so double summation is order-free); rates are
+    * one int/int IEEE division each. */
+  def q194SourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{BenchMod, ContamPct}
+    val d = Tables(spark, dir).documents
+    val toks = tokens(normText(col("text")))
+    val base = d.select(col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_tokens"),
+      length(col("text")).cast(LongType).as("n_chars"),
+      qualityScore(col("text")).as("quality"),
+      md5(normText(col("text"))).as("h"))
+    val dupHash = base.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("h"))
+    val shh = d.select(col("doc_id"),
+      shingleHashes(tokens(normText(col("text")))).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("s"))
+    val benchSh = ex.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
+    val contam = ex.filter(col("doc_id") % BenchMod =!= 0)
+      .join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .join(shh.select(col("doc_id"), size(col("shh")).cast(LongType).as("n_sh")), "doc_id")
+      .filter(col("n_hits") > 0 && col("n_hits") * 100 >= col("n_sh") * ContamPct)
+      .select(col("doc_id"))
+    base
+      .join(dupHash.withColumn("is_dup", lit(1L)), Seq("h"), "left")
+      .join(contam.withColumn("is_contam", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("quality")).as("q_sum"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"),
+        sum(when(col("doc_id") % BenchMod =!= 0, 1L).otherwise(0L)).as("n_noneval"),
+        sum(coalesce(col("is_contam"), lit(0L))).as("n_contam"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        (col("q_sum") / col("n_docs")).as("mean_quality"),
+        (col("n_dup").cast(DoubleType) / col("n_docs")).as("dup_rate"),
+        (col("n_contam").cast(DoubleType) / nullif(col("n_noneval"), lit(0L)))
+          .as("contam_rate"))
+      .orderBy(col("source"))
+  }
+
+  val q194Sql: String = {
+    import graft.dedup.DedupQueries.{BenchMod, ContamPct}
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH base AS (SELECT doc_id, source,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    $qualityScoreSql AS quality,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS h
+       |  FROM documents),
+       |duph AS (SELECT h FROM base GROUP BY h HAVING count(*) >= 2),
+       |shs AS (SELECT doc_id,
+       |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+       |sh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % $BenchMod = 0),
+       |hits AS (SELECT doc_id, count(*) AS n_hits
+       |  FROM ex WHERE doc_id % $BenchMod != 0 AND s IN (SELECT s FROM bench)
+       |  GROUP BY doc_id),
+       |contam AS (SELECT h.doc_id FROM hits h JOIN sh ON h.doc_id = sh.doc_id
+       |  WHERE n_hits > 0 AND n_hits * 100 >= len(sh.sh) * $ContamPct)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  sum(quality) / count(*) AS mean_quality,
+       |  CAST(sum(CASE WHEN base.h IN (SELECT h FROM duph) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS dup_rate,
+       |  CAST(sum(CASE WHEN base.doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / nullif(sum(CASE WHEN base.doc_id % $BenchMod != 0 THEN 1 ELSE 0 END), 0)
+       |    AS contam_rate
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q193
   /** Context-budget fragmentation curve — the decision table for picking
     * a training context length: q59's concat-then-chunk packing evaluated
@@ -2248,6 +2341,7 @@ object TextQueries {
     "q189_mixed_lang"      -> (q189MixedLang _),
     "q190_source_quantile_gate" -> (q190SourceQuantileGate _),
     "q193_packing_curve"   -> (q193PackingCurve _),
+    "q194_source_datasheet" -> (q194SourceDatasheet _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -2287,6 +2381,7 @@ object TextQueries {
     "q189_mixed_lang"      -> q189Sql,
     "q190_source_quantile_gate" -> q190Sql,
     "q193_packing_curve"   -> q193Sql,
+    "q194_source_datasheet" -> q194Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
