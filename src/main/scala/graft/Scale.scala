@@ -200,7 +200,10 @@ object Scale {
     "q191_index_retrieval",
     // q192: q19's digest fold + source-bounded pair fan-out per digest.
     // q193: q59's lang-partitioned cumsum × a 4-row broadcast.
-    "q192_source_dup_flow", "q193_packing_curve")
+    "q192_source_dup_flow", "q193_packing_curve",
+    // q194: the three aggregation passes it reuses (scalar scan, digest
+    // fold, q60's shingle semi-join) are each in-list already
+    "q194_source_datasheet")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

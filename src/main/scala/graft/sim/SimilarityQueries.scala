@@ -464,6 +464,55 @@ object SimilarityQueries {
        |FROM np LEFT JOIN hits USING (nprobe) LEFT JOIN scans USING (nprobe) CROSS JOIN tot
        |ORDER BY np.nprobe""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** Inter-centroid distance matrix — the cluster-separation map over
+    * q68's per-label centroids: Euclidean distance for every label pair,
+    * the table that says WHICH classes sit dangerously close in
+    * embedding space (confusion risk, label-noise hotspots, merge
+    * candidates). Complements q83 (within-cluster dispersion) with the
+    * between-cluster half of the separability story, on the SAME
+    * fixed-point centroid contract, so the two cards compose into
+    * silhouette-style ratios downstream.
+    *
+    * 100 TB shape: everything after q68's d-key fixed-point fold is
+    * label-dimension arithmetic — the centroid frame is labels×d (tiny,
+    * broadcast both sides of the pair join), so the card costs ONE
+    * corpus pass regardless of label count. Parity: centroids are
+    * exact-decimal→double (q68's rule); the squared-distance fold runs
+    * in dim order in both engines (array fold ≡ list_reduce) and sqrt
+    * is correctly rounded everywhere. */
+  def q195CentroidDistances(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("label"), col("dim"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("c"))
+    val arr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("v"))
+    val dist = sqrt(aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z))
+    arr.as("a").join(arr.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        dist.as("dist"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  // lazy: centroidSqlCte initializes later in the object (q68's section)
+  lazy val q195Sql: String =
+    s"""$centroidSqlCte,
+       |arr AS (SELECT label, list(centroid ORDER BY dim) AS v FROM c GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  sqrt(list_reduce(list_prepend(0.0,
+       |    [(a.v[i+1] - b.v[i+1]) * (a.v[i+1] - b.v[i+1]) for i in range(0, len(a.v))]),
+       |    (x, y) -> x + y)) AS dist
+       |FROM arr a JOIN arr b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** Embedding int8 quantization — the storage-compression step a vector
     * corpus runs before indexing (4× smaller than float32): symmetric
@@ -932,6 +981,7 @@ object SimilarityQueries {
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q45_sim_ivf"            -> (q45SimIvf _),
     "q185_ivf_recall_curve"  -> (q185IvfRecallCurve _),
+    "q195_centroid_distances" -> (q195CentroidDistances _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
     "q68_embedding_centroids" -> (q68EmbeddingCentroids _),
     "q70_centroid_assign"    -> (q70CentroidAssign _))
@@ -949,6 +999,7 @@ object SimilarityQueries {
     "q25_sim_ann_lsh"        -> q25Sql,
     "q45_sim_ivf"            -> q45Sql,
     "q185_ivf_recall_curve"  -> q185Sql,
+    "q195_centroid_distances" -> q195Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,
     "q68_embedding_centroids" -> q68Sql,
