@@ -513,6 +513,77 @@ object SimilarityQueries {
        |FROM arr a JOIN arr b ON a.label < b.label
        |ORDER BY label_a, label_b""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** Per-label simplified silhouette (Hruschka et al.'s centroid
+    * silhouette): per vector, a = distance to its OWN label centroid,
+    * b = distance to the NEAREST other centroid, s = (b − a)/max(a, b);
+    * per label the mean of each. The separability score that combines
+    * q83's within-cluster story and q195's between-cluster matrix into
+    * the one number per class a labeling audit reads (s → 1 compact and
+    * far, s ≤ 0 overlapping into a neighbor).
+    *
+    * 100 TB shape: q70's schedule verbatim — the labels×d centroid
+    * frame broadcasts as one row, the corpus is scanned ONCE and never
+    * shuffled before the label-dimension fold; per-row work is a
+    * d-bounded fold per centroid. Parity: distance folds run in dim
+    * order on bit-exact centroids (q68's contract), sqrt is correctly
+    * rounded everywhere, per-vector a/b/s round through DECIMAL(18,9)
+    * (the q74 rule) so the per-label means are exact-sum order-free. */
+  def q196Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val dists = transform(col("cents"), c => struct(
+      aggregate(
+        zip_with(col("embedding"), c.getField("carr"),
+          (x, cc) => (x.cast(DoubleType) - cc) * (x.cast(DoubleType) - cc)),
+        lit(0.0), (acc, z) => acc + z).as("dist2"),
+      c.getField("clabel").as("clabel")))
+    val a = sqrt(element_at(
+      filter(col("ds"), d => d.getField("clabel") === col("label")), 1)
+      .getField("dist2"))
+    val b = sqrt(array_min(transform(
+      filter(col("ds"), d => d.getField("clabel") =!= col("label")),
+      d => d.getField("dist2"))))
+    val dec = (c: Column) => c.cast(DecimalType(18, 9))
+    e.select(col("label"), col("embedding"))
+      .crossJoin(broadcast(centroidRow(spark, dir)))
+      .withColumn("ds", dists)
+      .select(col("label"), dec(a).as("a"), dec(b).as("b"),
+        dec((b - a) / greatest(a, b)).as("s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"), sum(col("s")).as("ss"))
+      .select(col("label"), col("n_vectors"),
+        (col("sa").cast(DoubleType) / col("n_vectors")).as("mean_a"),
+        (col("sb").cast(DoubleType) / col("n_vectors")).as("mean_b"),
+        (col("ss").cast(DoubleType) / col("n_vectors")).as("mean_silhouette"))
+      .orderBy(col("label"))
+  }
+
+  lazy val q196Sql: String =
+    s"""$centroidSqlCte,
+       |ca AS (SELECT label AS clabel, list(centroid ORDER BY dim) AS carr
+       |       FROM c GROUP BY label),
+       |d AS (SELECT e.vec_id, e.label, ca.clabel,
+       |        list_reduce(list_prepend(0.0,
+       |          [(CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+       |             * (CAST(e.embedding[i+1] AS DOUBLE) - ca.carr[i+1])
+       |           for i in range(0, len(e.embedding))]),
+       |          (a, b) -> a + b) AS dist2
+       |      FROM embeddings e, ca),
+       |v AS (SELECT vec_id, label,
+       |        sqrt(min(CASE WHEN clabel = label THEN dist2 END)) AS a,
+       |        sqrt(min(CASE WHEN clabel <> label THEN dist2 END)) AS b
+       |      FROM d GROUP BY 1, 2),
+       |sv AS (SELECT label,
+       |        CAST(a AS DECIMAL(18,9)) AS a9, CAST(b AS DECIMAL(18,9)) AS b9,
+       |        CAST((b - a) / greatest(a, b) AS DECIMAL(18,9)) AS s9
+       |      FROM v)
+       |SELECT label, count(*) AS n_vectors,
+       |  CAST(sum(a9) AS DOUBLE) / count(*) AS mean_a,
+       |  CAST(sum(b9) AS DOUBLE) / count(*) AS mean_b,
+       |  CAST(sum(s9) AS DOUBLE) / count(*) AS mean_silhouette
+       |FROM sv GROUP BY label ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** Embedding int8 quantization — the storage-compression step a vector
     * corpus runs before indexing (4× smaller than float32): symmetric
@@ -982,6 +1053,7 @@ object SimilarityQueries {
     "q45_sim_ivf"            -> (q45SimIvf _),
     "q185_ivf_recall_curve"  -> (q185IvfRecallCurve _),
     "q195_centroid_distances" -> (q195CentroidDistances _),
+    "q196_silhouette"        -> (q196Silhouette _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
     "q68_embedding_centroids" -> (q68EmbeddingCentroids _),
     "q70_centroid_assign"    -> (q70CentroidAssign _))
@@ -1000,6 +1072,7 @@ object SimilarityQueries {
     "q45_sim_ivf"            -> q45Sql,
     "q185_ivf_recall_curve"  -> q185Sql,
     "q195_centroid_distances" -> q195Sql,
+    "q196_silhouette"        -> q196Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
     "q54_embedding_quantize" -> q54Sql,
     "q68_embedding_centroids" -> q68Sql,
