@@ -203,7 +203,10 @@ object Scale {
     "q192_source_dup_flow", "q193_packing_curve",
     // q194: the three aggregation passes it reuses (scalar scan, digest
     // fold, q60's shingle semi-join) are each in-list already
-    "q194_source_datasheet")
+    "q194_source_datasheet",
+    // q195/q196: one corpus pass + label-dimension arithmetic off the
+    // broadcast centroid frame (q68/q70's shape)
+    "q195_centroid_distances", "q196_silhouette")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L
