@@ -206,7 +206,10 @@ object Scale {
     "q194_source_datasheet",
     // q195/q196: one corpus pass + label-dimension arithmetic off the
     // broadcast centroid frame (q68/q70's shape)
-    "q195_centroid_distances", "q196_silhouette")
+    "q195_centroid_distances", "q196_silhouette",
+    // q197: the scalar scan + q19 digest fold + q60 semi-join the funnel
+    // composes, collapsed to a 7-row drop-stage frame before expansion
+    "q197_filter_funnel")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

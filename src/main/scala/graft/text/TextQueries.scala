@@ -1075,6 +1075,141 @@ object TextQueries {
        |FROM base GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q197
+  /** Pipeline attrition FUNNEL — the end-to-end view a curation run is
+    * judged by: documents and tokens surviving each successive filter
+    * stage, in realistic order: (0) ingest → (1) eval-holdout split
+    * (q60's 1/97 bench set leaves the train side) → (2) language-ID
+    * agreement (q17's kernel: predicted language must match the declared
+    * one) → (3) quality ≥ 0.75 (q16's additive gate) → (4) exact-dup
+    * canonicalization AMONG SURVIVORS (q19's digest, min-doc_id keeper —
+    * dedup after the cheap scalar gates, the order production pipelines
+    * use because dedup is the expensive stage) → (5) eval-set
+    * decontamination (q60's ≥10%-shingle-overlap rule). Per stage:
+    * surviving docs/tokens, docs dropped AT the stage, and doc/token
+    * retention vs ingest. Every stage reuses the exact kernel of the
+    * card that owns it, so the funnel can never disagree with q17, q16,
+    * q19's groups, or q60's per-doc verdicts.
+    *
+    * 100 TB shape: the corpus folds ONCE to a ≤7-row (drop_stage, docs,
+    * tokens) frame with map-side combine; the stage expansion is
+    * arithmetic on that 7-row broadcast. Per-doc inputs are the scalar
+    * scan plus two narrow doc_id-keyed joins that exist elsewhere
+    * already: q19's 16-byte digest fold (restricted to stage-3
+    * survivors) and q60's distinct-shingle semi-join (eval side 1/97 of
+    * the corpus). Parity: all counts integer, quality is exact 0.25
+    * steps, the two retention columns are one int/int IEEE division
+    * each. */
+  private val FunnelQuality = 0.75
+
+  def q197FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DedupQueries.{BenchMod, ContamPct}
+    val d = Tables(spark, dir).documents
+    val lang = langScored(spark, dir)
+      .select(col("doc_id"), (col("lang") === col("pred_lang")).as("lang_ok"))
+    val base = d.select(col("doc_id"),
+        nTokens(col("text")).cast(LongType).as("n_tokens"),
+        qualityScore(col("text")).as("quality"),
+        md5(normText(col("text"))).as("h"))
+      .join(lang, Seq("doc_id"))
+    val shh = d.select(col("doc_id"),
+        shingleHashes(tokens(normText(col("text")))).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val ex = shh.select(col("doc_id"), explode(col("shh")).as("s"))
+    val benchSh = ex.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
+    val contam = ex.filter(col("doc_id") % BenchMod =!= 0)
+      .join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .join(shh.select(col("doc_id"), size(col("shh")).cast(LongType).as("n_sh")), "doc_id")
+      .filter(col("n_hits") > 0 && col("n_hits") * 100 >= col("n_sh") * ContamPct)
+      .select(col("doc_id")).withColumn("is_contam", lit(1L))
+    // the dedup keeper is computed among stage-3 survivors only: dedup
+    // sees the corpus AFTER the holdout/lang/quality gates, as deployed
+    val s3 = base.filter(col("doc_id") % BenchMod =!= 0 &&
+      col("lang_ok") && col("quality") >= FunnelQuality)
+    val keeper = s3.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val staged = base
+      .join(keeper, Seq("h"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("drop_stage",
+        when(col("doc_id") % BenchMod === 0, 1L)
+          .when(!col("lang_ok"), 2L)
+          .when(col("quality") < FunnelQuality, 3L)
+          .when(col("doc_id") =!= col("keep_id"), 4L)
+          .when(col("is_contam").isNotNull, 5L)
+          .otherwise(6L))
+    val byDrop = staged.groupBy(col("drop_stage"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tk"))
+    val stages = spark.range(1).select(
+      explode(array((0L to 5L).map(lit): _*)).as("stage"))
+    val tot = byDrop.agg(sum(col("c")).as("t_docs"), sum(col("tk")).as("t_tokens"))
+    byDrop.crossJoin(broadcast(stages))
+      .groupBy(col("stage"))
+      .agg(sum(when(col("drop_stage") > col("stage"), col("c")).otherwise(0L)).as("n_docs"),
+        sum(when(col("drop_stage") > col("stage"), col("tk")).otherwise(0L)).as("n_tokens"),
+        sum(when(col("drop_stage") === col("stage"), col("c")).otherwise(0L)).as("n_dropped"))
+      .crossJoin(broadcast(tot))
+      .select(col("stage"),
+        when(col("stage") === 0, "ingest").when(col("stage") === 1, "eval_holdout")
+          .when(col("stage") === 2, "lang_id").when(col("stage") === 3, "quality")
+          .when(col("stage") === 4, "exact_dedup").otherwise("decontam")
+          .as("stage_name"),
+        col("n_docs"), col("n_tokens"), col("n_dropped"),
+        (col("n_docs").cast(DoubleType) / col("t_docs")).as("doc_frac"),
+        (col("n_tokens").cast(DoubleType) / col("t_tokens")).as("token_frac"))
+      .orderBy(col("stage"))
+  }
+
+  val q197Sql: String = {
+    import graft.dedup.DedupQueries.{BenchMod, ContamPct}
+    val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
+    s"""WITH lang AS (SELECT doc_id, (lang = pred_lang) AS lang_ok FROM ($langScoredSql)),
+       |base AS (SELECT doc_id, CAST(${nTokensSql("text")} AS BIGINT) AS n_tokens,
+       |    $qualityScoreSql AS quality,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS h
+       |  FROM documents),
+       |shs AS (SELECT doc_id,
+       |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+       |  FROM (SELECT doc_id, $toks AS t FROM documents)),
+       |sh AS (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % $BenchMod = 0),
+       |hits AS (SELECT doc_id, count(*) AS n_hits
+       |  FROM ex WHERE doc_id % $BenchMod != 0 AND s IN (SELECT s FROM bench)
+       |  GROUP BY doc_id),
+       |contam AS (SELECT h.doc_id FROM hits h JOIN sh ON h.doc_id = sh.doc_id
+       |  WHERE n_hits > 0 AND n_hits * 100 >= len(sh.sh) * $ContamPct),
+       |s3 AS (SELECT b.doc_id, b.h FROM base b JOIN lang USING (doc_id)
+       |  WHERE b.doc_id % $BenchMod != 0 AND lang_ok AND quality >= $FunnelQuality),
+       |keeper AS (SELECT h, min(doc_id) AS keep_id FROM s3 GROUP BY h),
+       |staged AS (SELECT b.doc_id, b.n_tokens,
+       |    CASE WHEN b.doc_id % $BenchMod = 0 THEN 1
+       |         WHEN NOT lang_ok THEN 2
+       |         WHEN quality < $FunnelQuality THEN 3
+       |         WHEN b.doc_id != k.keep_id THEN 4
+       |         WHEN b.doc_id IN (SELECT doc_id FROM contam) THEN 5
+       |         ELSE 6 END AS drop_stage
+       |  FROM base b JOIN lang USING (doc_id) LEFT JOIN keeper k ON b.h = k.h),
+       |bd AS (SELECT drop_stage, count(*) AS c, sum(n_tokens) AS tk
+       |  FROM staged GROUP BY 1),
+       |st AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS stage),
+       |tot AS (SELECT sum(c) AS t_docs, sum(tk) AS t_tokens FROM bd),
+       |f AS (SELECT stage,
+       |    sum(CASE WHEN drop_stage > stage THEN c ELSE 0 END) AS n_docs,
+       |    sum(CASE WHEN drop_stage > stage THEN tk ELSE 0 END) AS n_tokens,
+       |    sum(CASE WHEN drop_stage = stage THEN c ELSE 0 END) AS n_dropped
+       |  FROM st CROSS JOIN bd GROUP BY stage)
+       |SELECT CAST(stage AS BIGINT) AS stage,
+       |  CASE stage WHEN 0 THEN 'ingest' WHEN 1 THEN 'eval_holdout'
+       |       WHEN 2 THEN 'lang_id' WHEN 3 THEN 'quality'
+       |       WHEN 4 THEN 'exact_dedup' ELSE 'decontam' END AS stage_name,
+       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_docs AS DOUBLE) / t_docs AS doc_frac,
+       |  CAST(n_tokens AS DOUBLE) / t_tokens AS token_frac
+       |FROM f CROSS JOIN tot ORDER BY stage""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q193
   /** Context-budget fragmentation curve — the decision table for picking
     * a training context length: q59's concat-then-chunk packing evaluated
@@ -2342,6 +2477,7 @@ object TextQueries {
     "q190_source_quantile_gate" -> (q190SourceQuantileGate _),
     "q193_packing_curve"   -> (q193PackingCurve _),
     "q194_source_datasheet" -> (q194SourceDatasheet _),
+    "q197_filter_funnel"   -> (q197FilterFunnel _),
     "q80_jsonl_export"     -> (q80JsonlExport _),
     "q82_length_histogram" -> (q82LengthHistogram _),
     "q86_lang_entropy"     -> (q86LangEntropy _),
@@ -2382,6 +2518,7 @@ object TextQueries {
     "q190_source_quantile_gate" -> q190Sql,
     "q193_packing_curve"   -> q193Sql,
     "q194_source_datasheet" -> q194Sql,
+    "q197_filter_funnel"   -> q197Sql,
     "q80_jsonl_export"     -> q80Sql,
     "q82_length_histogram" -> q82Sql,
     "q86_lang_entropy"     -> q86Sql,
