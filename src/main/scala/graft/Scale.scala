@@ -310,6 +310,66 @@ object Scale {
     done.createNewFile()
   }
 
+  // ------------------------------------------------------------ dedup 100×
+  /** 10×/100× DOCUMENT decades for the pair-generating dedup family — the
+    * family the 10× replica deliberately EXCLUDES (see the class scaladoc:
+    * an appended replica token leaves >95% of shingles shared across
+    * replicas, faking 10-deep near-dup clusters and ~100× candidate
+    * fan-out that organic growth does not produce). This build makes
+    * replicas SHINGLE-DISJOINT instead: every token is prefixed with a
+    * replica tag (`r<k>x`), so within-replica text statistics — exact-dup
+    * structure, per-shingle df distribution, shingles per doc — are
+    * exactly the base corpus's, and cross-replica shingles never collide.
+    * 100 disconnected copies: the same organic-growth shape graph100
+    * argues for the trade graph, now for text. Purpose: measure that the
+    * banded/bucketed pair queries scale LINEARLY in corpus size
+    * (exponent ≈ 1 per decade) where all-pairs candidate generation
+    * would be quadratic (10 000× work at the 100× decade). */
+  private val DedupQueriesTimed = Seq("q19_dedup_exact",
+    "q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q65_dedup_clusters")
+
+  private def buildDedupReplica(spark: SparkSession, src: String, out: String,
+      reps: Int): Unit = {
+    val done = new java.io.File(s"$out/_BUILT_d${reps}_v1")
+    if (done.exists()) return
+    val k = explode(sequence(lit(0), lit(reps - 1))).as("k")
+    spark.read.parquet(s"$src/documents.parquet").select(col("*"), k)
+      .withColumn("doc_id", col("doc_id") + col("k") * lit(KeyOff))
+      // "$0" = the matched token; replacement is per-row (k varies)
+      .withColumn("text", regexp_replace(col("text"), lit("[^ ]+"),
+        concat(lit("r"), col("k").cast("string"), lit("x$0"))))
+      .drop("k")
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    done.createNewFile()
+  }
+
+  private def dedup100(spark: SparkSession, tenDir: String, hundredDir: String): Unit = {
+    // the 1× base gets the SAME construction (every token carries an
+    // "r0x" prefix) so per-token cost is identical across the decades
+    // and the exponents measure corpus growth alone
+    val oneDir = tenDir + "_base1"
+    buildDedupReplica(spark, "/root/testdata/sf0.1", oneDir, 1)
+    buildDedupReplica(spark, "/root/testdata/sf0.1", tenDir, 10)
+    buildDedupReplica(spark, "/root/testdata/sf0.1", hundredDir, 100)
+    val dirs = Seq("sf0.1" -> oneDir,
+      "10x" -> tenDir, "100x" -> hundredDir)
+    for (q <- DedupQueriesTimed) {
+      val ts = dirs.map { case (label, d) => label -> timeLong(spark, q, d) }
+      val m = ts.toMap
+      val e1 = math.log10(m("10x") / m("sf0.1"))
+      val e2 = math.log10(m("100x") / m("10x"))
+      println(f"$q%-24s " + ts.map { case (l, t) => f"$l=$t%.3fs" }.mkString(" ") +
+        f"  exp(0.1->10x)=$e1%.2f exp(10x->100x)=$e2%.2f")
+    }
+    // linear-fan-out observation: verified near-dup pairs per decade
+    // (disjoint replicas ⇒ rows grow ~reps×, never quadratically)
+    for ((label, d) <- dirs) {
+      val n = SparkEntry.queries("q20_dedup_ngram_jaccard")(spark, d).count()
+      println(s"q20 verified pairs at $label: $n")
+    }
+  }
+
   /** Runs-are-minutes tier: cold + 2 warm, MIN of the warm pair (noise
     * only inflates; the full-suite tiers keep their median-of-3). */
   private def timeLong(spark: SparkSession, name: String, dir: String): Double = {
@@ -357,6 +417,16 @@ object Scale {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dedup100")) {
+      val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      spark.range(1000).write.mode("overwrite").format("noop").save()
+      dedup100(spark,
+        args.drop(1).headOption.getOrElse("/tmp/graft_dedup10"),
+        args.drop(2).headOption.getOrElse("/tmp/graft_dedup100"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("graph100")) {
       val spark = GraftSession.builder("local[32]", 32).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
