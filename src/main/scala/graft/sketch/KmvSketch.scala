@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions.udaf
   * value); NULL inputs are skipped like every SQL aggregate (a null hash
   * means a null value — `md5(null)` is null).
   *
-  * `KmvSketchSpec` pins the error contract against exact distinct counts;
-  * approximate by construction → no DuckDB oracle (like HLL / q25 / q45).
+  * `KmvSketchSpec` pins the error contract against exact distinct counts.
+  * Unlike HLL, the estimate is DETERMINISTIC given the input hash set
+  * (exact count below k; (k−1)/(kth-smallest/2⁶⁰) above), so the q57/q77/
+  * q88 oracles mirror the estimator itself in SQL and gate both branches.
   */
 object KmvSketch {
 

@@ -13,12 +13,14 @@ import org.apache.spark.sql.types.DecimalType
   * exact count it approximates.
   *
   * The KMV estimator is EXACT below k distincts by construction (the
-  * sketch simply holds every hash), and at sf≤0.1 every lang group holds
-  * fewer than k=256 distinct contents — so at the gate scale the query is
-  * deterministic and carries a full DuckDB oracle (`count(DISTINCT
-  * hex60)`), not a rows-only check. Above k the estimator's error
-  * contract (and the HLL++ three-way comparison) is gated by
-  * `KmvSketchSpec`, which drives cardinalities past the sketch size. */
+  * sketch simply holds every hash), and DETERMINISTIC above k given the
+  * hash set — (k−1)/(kth-smallest/2⁶⁰) — so the DuckDB oracle mirrors
+  * BOTH branches (a window over the distinct-hash set picks the kth
+  * minimum): the gate is hash-exact at sf0.01 (exact branch) AND at
+  * sf0.1, where lang groups exceed k=256 and the estimator branch is
+  * the one under test. The error-vs-exact contract (and the HLL++
+  * three-way comparison) stays pinned by `KmvSketchSpec`, which drives
+  * cardinalities past the sketch size. */
 object SketchQueries {
 
   // ---------------------------------------------------------------- q57
@@ -42,11 +44,28 @@ object SketchQueries {
   private val hSql =
     s"('0x' || substr(md5(lower(trim(regexp_replace(text, '${graft.text.TextOps.WsSql}+', ' ', 'g')))), 1, 15))::BIGINT"
 
+  /** The KMV estimate, mirrored in SQL: exact count below k distincts
+    * (the sketch holds every hash), else (k−1) / (kth-smallest-hash /
+    * 2⁶⁰) — the estimator is DETERMINISTIC given the hash set, so the
+    * oracle gates BOTH branches (at sf0.1 the lang groups exceed k and
+    * the estimator branch is the one under test). The division order
+    * matches [[KmvSketch.KmvAggregator.finish]] exactly: both engines
+    * compute 255.0 / (CAST(kth AS DOUBLE) / 2⁶⁰), so the doubles are
+    * bit-identical. */
+  private def kmvCaseSql(nd: String, kth: String): String =
+    s"""CASE WHEN $nd < 256 THEN CAST($nd AS DOUBLE)
+       |       ELSE 255.0 / (CAST($kth AS DOUBLE) / 1152921504606846976.0) END""".stripMargin
+
   val q57Sql: String =
-    s"""SELECT lang,
-       |  CAST(count(DISTINCT $hSql) AS DOUBLE) AS kmv_distinct,
-       |  count(DISTINCT $hSql) AS exact_distinct
-       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    s"""WITH d AS (SELECT DISTINCT lang, $hSql AS h FROM documents),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |             count(*) OVER (PARTITION BY lang) AS nd FROM d),
+       |a AS (SELECT lang, max(nd) AS nd,
+       |             max(CASE WHEN rn = 256 THEN h END) AS kth FROM r GROUP BY lang)
+       |SELECT lang,
+       |  ${kmvCaseSql("nd", "kth")} AS kmv_distinct,
+       |  nd AS exact_distinct
+       |FROM a ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q77
   /** Two-level mergeable-sketch rollup: per-(source, lang) KMV sketch
@@ -58,12 +77,14 @@ object SketchQueries {
     * keep fresh: re-sketch only the shards that changed, re-merge the
     * rest from storage.
     *
-    * Exactness contract as q57: below k=256 distincts per lang the merged
-    * sketch IS the distinct hash set (merge = sorted-set union), so the
-    * gate-scale oracle is the exact `count(DISTINCT …)`; above k the
-    * error contract is pinned by `KmvSketchSpec` (which also drives the
-    * state/merge cascade past k). The exact_distinct column shares the
-    * single hash kernel pass with the sketch level. */
+    * Oracle contract as q57: the two-level cascade equals the one-level
+    * sketch (each of the union's k smallest hashes is necessarily within
+    * its own shard's k smallest — merge = capped sorted-set union), so
+    * the same kth-minimum SQL mirror gates both branches at both SFs.
+    * The error contract past k is additionally pinned by `KmvSketchSpec`
+    * (which also drives the state/merge cascade past k). The
+    * exact_distinct column shares the single hash kernel pass with the
+    * sketch level. */
   def q77SketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val hashed = Tables(spark, dir).documents
       .select(col("source"), col("lang"), hex60(normText(col("text"))).as("h"))
@@ -83,11 +104,16 @@ object SketchQueries {
   }
 
   val q77Sql: String =
-    s"""SELECT lang,
-       |  count(DISTINCT source) AS n_shards,
-       |  CAST(count(DISTINCT $hSql) AS DOUBLE) AS kmv_distinct,
-       |  count(DISTINCT $hSql) AS exact_distinct
-       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    s"""WITH d AS (SELECT DISTINCT lang, $hSql AS h FROM documents),
+       |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |             count(*) OVER (PARTITION BY lang) AS nd FROM d),
+       |a AS (SELECT lang, max(nd) AS nd,
+       |             max(CASE WHEN rn = 256 THEN h END) AS kth FROM r GROUP BY lang),
+       |sh AS (SELECT lang, count(DISTINCT source) AS n_shards FROM documents GROUP BY lang)
+       |SELECT lang, n_shards,
+       |  ${kmvCaseSql("nd", "kth")} AS kmv_distinct,
+       |  nd AS exact_distinct
+       |FROM a JOIN sh USING (lang) ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- q88
   /** Rolling 7-day active users (WAU) from DAILY sketches — the canonical
@@ -99,11 +125,14 @@ object SketchQueries {
     * window input is day-cardinality, not event-cardinality. The daily
     * exact DAU rides along from the same single pass.
     *
-    * Exactness contract as q57/q77: below k=256 distinct users per
-    * trailing window the merged sketch is the exact distinct set, so the
-    * gate-scale oracle is exact; past k, `KmvSketchSpec`'s cascade test
-    * covers the estimator. The global (unpartitioned) day window is
-    * deliberate: its input is one row per day. */
+    * Oracle contract as q57/q77: the per-day-sketch merge equals the
+    * one-level sketch of the window's users (capped sorted-set union),
+    * so the kth-minimum SQL mirror gates both branches — exact below k,
+    * the (k−1)/(kth/2⁶⁰) estimate above it (at sf0.1 every trailing
+    * window exceeds k and the estimator branch is the one gated).
+    * `KmvSketchSpec`'s cascade test additionally covers the error
+    * contract. The global (unpartitioned) day window is deliberate: its
+    * input is one row per day. */
   def q88RollingActives(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).events
       .select(to_date(col("ts")).as("day"),
@@ -126,12 +155,16 @@ object SketchQueries {
   val q88Sql: String =
     s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, $uhSql AS uh FROM events),
        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
-       |w AS (SELECT d.day, count(DISTINCT du.uh) AS wau
+       |wd AS (SELECT DISTINCT d.day AS day, du.uh
        |      FROM (SELECT DISTINCT day FROM du) d
-       |      JOIN du ON du.day BETWEEN d.day - 6 AND d.day
-       |      GROUP BY 1)
-       |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, CAST(w.wau AS DOUBLE) AS wau_kmv
-       |FROM dau JOIN w ON dau.day = w.day ORDER BY dau.day""".stripMargin
+       |      JOIN du ON du.day BETWEEN d.day - 6 AND d.day),
+       |r AS (SELECT day, uh, row_number() OVER (PARTITION BY day ORDER BY uh) AS rn,
+       |             count(*) OVER (PARTITION BY day) AS nd FROM wd),
+       |a AS (SELECT day, max(nd) AS nd,
+       |             max(CASE WHEN rn = 256 THEN uh END) AS kth FROM r GROUP BY day)
+       |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau,
+       |  ${kmvCaseSql("a.nd", "a.kth")} AS wau_kmv
+       |FROM dau JOIN a ON dau.day = a.day ORDER BY dau.day""".stripMargin
 
   // ---------------------------------------------------------------- q95
   /** CountMin heavy hitters — token frequency estimated from a FIXED
