@@ -242,12 +242,16 @@ object SpectralQueries {
     * the exchange is dimension²-bounded no matter the corpus size; every
     * cross-row sum is exact decimal (q68's fixed-point contract at 2¹⁵ —
     * chosen so q·q products stay integer-exact in DECIMAL), making the
-    * whole card partition-invariant. Parity: covariance entries round
-    * through DECIMAL(18,9) (the q74 rule), trace/Frobenius fold as exact
-    * decimal sums, and the three output ratios are fixed-shape double
-    * ops. The card reports the spectrum OF THE 2⁻¹⁵-QUANTIZED corpus —
-    * deterministic by construction; quantization perturbs variances by
-    * O(2⁻¹⁵) relative, far below decision thresholds. */
+    * whole card partition-invariant. Parity: covariance entries quantize
+    * to integer 1e-8 units via floor(x·10⁸ + 0.5) on the bit-identical
+    * double chain (not a DECIMAL cast — the double→decimal conversion
+    * paths split cross-engine at rounding edges; 10⁸ keeps the Frobenius
+    * sum's scaled value under 2⁵³ so its int→double conversion is also
+    * exact), trace/Frobenius fold as exact integer sums, and the three
+    * output ratios are fixed-shape double ops. The card reports the
+    * spectrum OF THE 2⁻¹⁵-QUANTIZED corpus — deterministic by
+    * construction; quantization perturbs variances by O(2⁻¹⁵) relative,
+    * far below decision thresholds. */
   private val Fp15 = 32768.0 // 2^15: q·q stays integer-exact in decimal
   private val Dec18 = DecimalType(18, 0)
 
@@ -267,30 +271,36 @@ object SpectralQueries {
         col("a.vec_id") === col("b.vec_id") && col("a.dim") <= col("b.dim"))
       .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
       .agg(sum(col("a.q") * col("b.q")).as("spp"))
+    // covariance entries quantize to integer 1e-8 units via
+    // floor(x·10⁸ + 0.5) on the (bit-identical) double chain — NOT a
+    // DECIMAL cast, whose double→decimal paths differ cross-engine at
+    // rounding edges; 10⁸ (not 10⁹) keeps Σc² scaled under 2⁵³ so every
+    // later int→double conversion is exact. trace²/frob2 is scale-free:
+    // (tr8/10⁸)² / (Σc8²/10¹⁶) = tr8²/Σc8².
     val cv = pp
       .join(broadcast(sd.select(col("dim").as("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(sd.select(col("dim").as("j"), col("s").as("sj"))), Seq("j"))
       .crossJoin(broadcast(nn))
       .select(col("i"), col("j"),
-        ((col("spp").cast(DoubleType) / col("n") -
+        floor(((col("spp").cast(DoubleType) / col("n") -
           (col("si").cast(DoubleType) / col("n")) *
             (col("sj").cast(DoubleType) / col("n"))) / lit(FpScale))
-          .cast(DecimalType(18, 9)).as("c"))
+          * lit(1.0e8) + lit(0.5)).as("c8"))
     val folded = cv.agg(
-      sum(when(col("i") === col("j"), col("c"))).as("tr_d"),
-      sum(col("c") * col("c")).as("f_all"),
-      sum(when(col("i") =!= col("j"), col("c") * col("c"))).as("f_off"),
-      max(when(col("i") === col("j"), col("c"))).as("vmax_d"),
-      min(when(col("i") === col("j"), col("c"))).as("vmin_d"))
-    val trace = col("tr_d").cast(DecimalType(18, 9)).cast(DoubleType)
-    val frob2 = (col("f_all") + col("f_off")).cast(DecimalType(18, 9)).cast(DoubleType)
+      sum(when(col("i") === col("j"), col("c8"))).as("tr8"),
+      sum(col("c8") * col("c8")).as("f_all8"),
+      sum(when(col("i") =!= col("j"), col("c8") * col("c8"))).as("f_off8"),
+      max(when(col("i") === col("j"), col("c8"))).as("vmax8"),
+      min(when(col("i") === col("j"), col("c8"))).as("vmin8"))
+    val t8 = col("tr8").cast(DoubleType)
     folded.crossJoin(broadcast(nn)).crossJoin(broadcast(dd))
       .select(col("n"), col("d"),
-        trace.as("total_var"),
-        (trace * trace / frob2).as("effective_rank"),
-        (col("vmax_d").cast(DoubleType) / trace).as("top_var_share"),
-        (col("vmax_d").cast(DoubleType) /
-          nullif(col("vmin_d").cast(DoubleType), lit(0.0)))
+        (t8 / lit(1.0e8)).as("total_var"),
+        (t8 * t8 / (col("f_all8") + col("f_off8")).cast(DoubleType))
+          .as("effective_rank"),
+        (col("vmax8").cast(DoubleType) / t8).as("top_var_share"),
+        (col("vmax8").cast(DoubleType) /
+          nullif(col("vmin8").cast(DoubleType), lit(0.0)))
           .as("anisotropy_ratio")) // NULL for degenerate zero-variance dims
   }
 
@@ -308,23 +318,23 @@ object SpectralQueries {
        |       FROM e2 a JOIN e2 b ON a.vec_id = b.vec_id AND a.dim <= b.dim
        |       GROUP BY 1, 2),
        |cv AS (SELECT i, j,
-       |    CAST((CAST(spp AS DOUBLE) / n
+       |    CAST(floor((CAST(spp AS DOUBLE) / n
        |      - (CAST(sa.s AS DOUBLE) / n) * (CAST(sb.s AS DOUBLE) / n)) / $FpScale
-       |      AS DECIMAL(18,9)) AS c
+       |      * 100000000.0 + 0.5) AS BIGINT) AS c8
        |  FROM pp JOIN sd sa ON i = sa.dim JOIN sd sb ON j = sb.dim CROSS JOIN nn),
        |fd AS (SELECT
-       |    sum(CASE WHEN i = j THEN c END) AS tr_d,
-       |    sum(c * c) AS f_all,
-       |    sum(CASE WHEN i <> j THEN c * c END) AS f_off,
-       |    max(CASE WHEN i = j THEN c END) AS vmax_d,
-       |    min(CASE WHEN i = j THEN c END) AS vmin_d
+       |    sum(CASE WHEN i = j THEN c8 END) AS tr8,
+       |    sum(c8 * c8) AS f_all8,
+       |    sum(CASE WHEN i <> j THEN c8 * c8 END) AS f_off8,
+       |    max(CASE WHEN i = j THEN c8 END) AS vmax8,
+       |    min(CASE WHEN i = j THEN c8 END) AS vmin8
        |  FROM cv)
        |SELECT n, d,
-       |  CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) AS total_var,
-       |  CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) * CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE)
-       |    / CAST(CAST(f_all + f_off AS DECIMAL(18,9)) AS DOUBLE) AS effective_rank,
-       |  CAST(vmax_d AS DOUBLE) / CAST(CAST(tr_d AS DECIMAL(18,9)) AS DOUBLE) AS top_var_share,
-       |  CAST(vmax_d AS DOUBLE) / nullif(CAST(vmin_d AS DOUBLE), 0) AS anisotropy_ratio
+       |  CAST(tr8 AS DOUBLE) / 100000000.0 AS total_var,
+       |  CAST(tr8 AS DOUBLE) * CAST(tr8 AS DOUBLE)
+       |    / CAST(f_all8 + f_off8 AS DOUBLE) AS effective_rank,
+       |  CAST(vmax8 AS DOUBLE) / CAST(tr8 AS DOUBLE) AS top_var_share,
+       |  CAST(vmax8 AS DOUBLE) / nullif(CAST(vmin8 AS DOUBLE), 0) AS anisotropy_ratio
        |FROM fd CROSS JOIN nn CROSS JOIN dd""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -860,10 +860,13 @@ object MiningQueries {
     * arithmetic on that 2-row frame. Parity: per-event values round
     * through DECIMAL(18,6) (q85's rule) so user totals and the arm-level
     * Σ and Σ² are exact decimals (squares at (37,12) stay under the cap
-    * for user totals < 10¹²); mean/variance/t are fixed-shape IEEE
-    * chains over those exact sums (sqrt is correctly rounded), q146's
-    * no-output-rounding rule. Arms with < 2 users yield NULL via the
-    * n−1 guard on both engines. */
+    * for user totals < 10¹²); Σ and Σ² then quantize to whole units
+    * (decimal→DECIMAL(_,0), same half-away rule both engines) before the
+    * double conversion — the raw Σ² scales past 2⁵³, where Spark's
+    * conversion rounds once and DuckDB's twice — and mean/variance/t are
+    * fixed-shape IEEE chains over those exactly-converted integers (sqrt
+    * correctly rounded, q146's no-output-rounding rule). Arms with < 2
+    * users yield NULL via the n−1 guard on both engines. */
   def q161AbTest(spark: SparkSession, dir: String): DataFrame = {
     val d6 = DecimalType(18, 6)
     val perUser = Tables(spark, dir).events
@@ -879,7 +882,17 @@ object MiningQueries {
       .localCheckpoint(true) // read twice: arm rows + the 1-row test fold
     def d(c: Column): Column = c.cast(DoubleType)
     val mean = d(col("s")) / d(col("n_users"))
-    val varr = (d(col("n_users")) * d(col("ss")) - d(col("s")) * d(col("s"))) /
+    // Σ and Σ² enter the variance chain as WHOLE-UNIT integers: ss is
+    // DECIMAL(38,12) whose scaled value exceeds 2⁵³, where decimal→double
+    // converts correctly-rounded-once in Spark but in two roundings
+    // (int128→double, ÷10¹²) in DuckDB — a 1-ulp split. Quantized to
+    // whole units (Spark decimal cast = HALF_UP; the oracle spells
+    // round(x, 0) explicitly because DuckDB's decimal→decimal cast
+    // TRUNCATES) the values are ≪ 2⁵³, the conversions exact, and the
+    // IEEE chain bit-identical.
+    val sInt = d(col("s").cast(DecimalType(19, 0)))
+    val ssInt = d(col("ss").cast(DecimalType(28, 0)))
+    val varr = (d(col("n_users")) * ssInt - sInt * sInt) /
       (d(col("n_users")) * d(when(col("n_users") > 1, col("n_users") - 1)))
     val withStats = arms.select(col("arm"), col("n_users"),
       mean.as("mean_value"), varr.as("var_value"))
@@ -907,7 +920,8 @@ object MiningQueries {
       |  FROM au GROUP BY 1),
       |st AS (SELECT arm, CAST(n_users AS BIGINT) AS n_users,
       |    CAST(s AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_value,
-      |    (CAST(n_users AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |    (CAST(n_users AS DOUBLE) * CAST(CAST(round(ss, 0) AS DECIMAL(28,0)) AS DOUBLE)
+      |       - CAST(CAST(round(s, 0) AS DECIMAL(19,0)) AS DOUBLE) * CAST(CAST(round(s, 0) AS DECIMAL(19,0)) AS DOUBLE))
       |      / (CAST(n_users AS DOUBLE) * CAST(CASE WHEN n_users > 1 THEN n_users - 1 END AS DOUBLE)) AS var_value
       |  FROM ar),
       |ts AS (SELECT (max(CASE WHEN arm = 0 THEN mean_value END)

@@ -1461,9 +1461,12 @@ object RelationalQueries {
     * a running count of prior touches rides the q85 window, each
     * purchase row knows its divisor instantly, and the per-touch-type
     * credit re-aggregates from (user, purchase) grain, so no
-    * purchase×touch join ever materializes; credits round through
-    * DECIMAL(18,6) per (purchase, type) so the final sums are
-    * order-free cross-engine (the q66/q74 rule).
+    * purchase×touch join ever materializes; each credit quantizes to
+    * integer MICROS via floor(x·10⁶ + 0.5) — not round()/a DECIMAL
+    * cast, whose double→decimal paths differ cross-engine at .5e-6
+    * edges (Spark rounds the shortest decimal repr, DuckDB the binary
+    * value) — so the credit integers, their sums, and the one final
+    * division are bit-identical cross-engine at every SF.
     *
     * The divisor needs each purchase's PRIOR TOUCH MIX, not just a
     * count: the credit for type t is value · n_t / n where n_t rides a
@@ -1487,12 +1490,12 @@ object RelationalQueries {
       .filter(col("n_prior") > 0)
     val credits = touchTypes.map { t =>
       purchases.select(lit(t).as("touch_type"),
-        round(col("value") * col(s"n_$t") / col("n_prior"), 6)
-          .cast(DecimalType(18, 6)).as("credit"))
+        floor(col("value") * col(s"n_$t") / col("n_prior") * lit(1000000.0) + lit(0.5))
+          .as("credit_u"))
     }.reduce(_ unionByName _)
     credits.groupBy(col("touch_type"))
-      .agg(sum(col("credit")).cast(DoubleType).as("attributed_value"),
-        count(when(col("credit") > 0, 1)).as("n_credited_purchases"))
+      .agg((sum(col("credit_u")).cast(DoubleType) / lit(1000000.0)).as("attributed_value"),
+        count(when(col("credit_u") > 0, 1)).as("n_credited_purchases"))
       .orderBy(col("touch_type"))
   }
 
@@ -1514,15 +1517,15 @@ object RelationalQueries {
       |p AS (SELECT *, n_view + n_click + n_signup + n_error AS n_prior FROM s
       |      WHERE event_type = 'purchase' AND n_view + n_click + n_signup + n_error > 0),
       |c AS (SELECT 'view' AS touch_type,
-      |        CAST(round(value * n_view / n_prior, 6) AS DECIMAL(18,6)) AS credit FROM p
+      |        CAST(floor(value * n_view / n_prior * 1000000.0 + 0.5) AS BIGINT) AS credit_u FROM p
       |      UNION ALL SELECT 'click',
-      |        CAST(round(value * n_click / n_prior, 6) AS DECIMAL(18,6)) FROM p
+      |        CAST(floor(value * n_click / n_prior * 1000000.0 + 0.5) AS BIGINT) FROM p
       |      UNION ALL SELECT 'signup',
-      |        CAST(round(value * n_signup / n_prior, 6) AS DECIMAL(18,6)) FROM p
+      |        CAST(floor(value * n_signup / n_prior * 1000000.0 + 0.5) AS BIGINT) FROM p
       |      UNION ALL SELECT 'error',
-      |        CAST(round(value * n_error / n_prior, 6) AS DECIMAL(18,6)) FROM p)
-      |SELECT touch_type, CAST(sum(credit) AS DOUBLE) AS attributed_value,
-      |  count(CASE WHEN credit > 0 THEN 1 END) AS n_credited_purchases
+      |        CAST(floor(value * n_error / n_prior * 1000000.0 + 0.5) AS BIGINT) FROM p)
+      |SELECT touch_type, CAST(sum(credit_u) AS DOUBLE) / 1000000.0 AS attributed_value,
+      |  count(CASE WHEN credit_u > 0 THEN 1 END) AS n_credited_purchases
       |FROM c GROUP BY 1 ORDER BY touch_type""".stripMargin
 
   // ---------------------------------------------------------------- q116

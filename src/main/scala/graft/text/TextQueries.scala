@@ -937,25 +937,32 @@ object TextQueries {
     * the q105 sketch-quantile cut points broadcast into a join — same
     * output contract, no global sort; the exact card is what validates
     * that sketch against. Everything after the assignment is
-    * 10-row-bounded. Parity: per-doc avg_nll rounds through
-    * DECIMAL(18,6) before bucketing and summing (exact, order-free);
-    * mean/fraction are one IEEE division each off integer/decimal
+    * 10-row-bounded. Parity: per-doc avg_nll quantizes to integer
+    * MICROS via floor(x·10⁶ + 0.5) before bucketing and summing (exact,
+    * order-free; floor on the bit-identical double avoids the
+    * cross-engine double→DECIMAL conversion split at .5e-6 edges);
+    * mean/fraction are fixed-shape IEEE divisions off integer
     * aggregates. */
   def q177PplPruneCurve(spark: SparkSession, dir: String): DataFrame = {
     val pd = bigramNllScored(spark, dir)
       .filter(col("n_bigrams") > 0)
       .select(col("doc_id"), col("n_bigrams"),
-        col("avg_nll").cast(DecimalType(18, 6)).as("nll6"))
+        // integer micros via floor(x·10⁶ + 0.5), NOT a DECIMAL cast: the
+        // double→decimal conversion paths differ cross-engine at .5e-6
+        // edges (Spark rounds the shortest decimal repr of the double,
+        // DuckDB the binary value); floor on the identical double is
+        // bit-identical in both
+        floor(col("avg_nll") * lit(1000000.0) + lit(0.5)).as("nll_u"))
     val dt = pd.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("nll6"), col("doc_id"))).cast("long"))
+      ntile(10).over(Window.orderBy(col("nll_u"), col("doc_id"))).cast("long"))
     val db = dt.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_tokens"),
-        sum(col("nll6")).as("nll_sum"))
+        sum(col("nll_u")).as("nll_sum"))
     val tot = db.agg(sum(col("n_tokens")).as("tt"))
     db.crossJoin(broadcast(tot))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(Window.orderBy(col("decile"))))
       .select(col("decile"), col("n_docs"), col("n_tokens"),
-        (col("nll_sum").cast(DoubleType) / col("n_docs")).as("mean_nll"),
+        (col("nll_sum").cast(DoubleType) / lit(1000000.0) / col("n_docs")).as("mean_nll"),
         (col("cum_tokens").cast(DoubleType) / col("tt")).as("cum_token_frac"),
         when(col("decile") <= 3, lit("head"))
           .when(col("decile") <= 7, lit("middle"))
@@ -966,17 +973,17 @@ object TextQueries {
   val q177Sql: String =
     s"""$bigramNllCtesSql,
        |pd AS (SELECT g.doc_id, CAST(len(bh) AS BIGINT) AS n_bigrams,
-       |    CAST(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS DECIMAL(18,6)) AS nll6
+       |    CAST(floor(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) * 1000000.0 + 0.5) AS BIGINT) AS nll_u
        |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
        |  WHERE len(bh) > 0),
-       |dt AS (SELECT doc_id, n_bigrams, nll6,
-       |    CAST(ntile(10) OVER (ORDER BY nll6, doc_id) AS BIGINT) AS decile FROM pd),
+       |dt AS (SELECT doc_id, n_bigrams, nll_u,
+       |    CAST(ntile(10) OVER (ORDER BY nll_u, doc_id) AS BIGINT) AS decile FROM pd),
        |db AS (SELECT decile, count(*) AS n_docs, sum(n_bigrams) AS n_tokens,
-       |    sum(nll6) AS nll_sum FROM dt GROUP BY 1),
+       |    sum(nll_u) AS nll_sum FROM dt GROUP BY 1),
        |tot AS (SELECT sum(n_tokens) AS tt FROM db)
        |SELECT decile, CAST(n_docs AS BIGINT) AS n_docs,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(nll_sum AS DOUBLE) / n_docs AS mean_nll,
+       |  CAST(nll_sum AS DOUBLE) / 1000000.0 / n_docs AS mean_nll,
        |  CAST(sum(n_tokens) OVER (ORDER BY decile) AS DOUBLE) / tt AS cum_token_frac,
        |  CASE WHEN decile <= 3 THEN 'head' WHEN decile <= 7 THEN 'middle'
        |       ELSE 'tail' END AS band
@@ -1303,17 +1310,20 @@ object TextQueries {
     * audit-scale device (production swaps in q105 sketch cut points
     * broadcast into a join, and this exact card validates that sketch).
     * Parity: percent_rank is (rank−1)/(n−1) on integer ranks with a
-    * (nll6, doc_id) total order — deterministic in both engines. */
+    * (nll_u, doc_id) total order over q177's integer-micro NLL —
+    * deterministic in both engines. */
   def q190SourceQuantileGate(spark: SparkSession, dir: String): DataFrame = {
     val pd = bigramNllScored(spark, dir)
       .filter(col("n_bigrams") > 0)
-      .select(col("doc_id"), col("avg_nll").cast(DecimalType(18, 6)).as("nll6"))
+      // integer micros, not a DECIMAL cast — q177's cross-engine rule
+      .select(col("doc_id"),
+        floor(col("avg_nll") * lit(1000000.0) + lit(0.5)).as("nll_u"))
     val src = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
-    val wSrc = Window.partitionBy(col("source")).orderBy(col("nll6"), col("doc_id"))
-    val wAll = Window.orderBy(col("nll6"), col("doc_id"))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("nll_u"), col("doc_id"))
+    val wAll = Window.orderBy(col("nll_u"), col("doc_id"))
     pd.join(src, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
-        col("nll6").cast(DoubleType).as("avg_nll"),
+        (col("nll_u").cast(DoubleType) / lit(1000000.0)).as("avg_nll"),
         percent_rank().over(wSrc).as("src_rank"),
         percent_rank().over(wAll).as("global_rank"))
       .withColumn("keep_src", col("src_rank") <= 0.6)
@@ -1325,12 +1335,12 @@ object TextQueries {
   val q190Sql: String =
     s"""$bigramNllCtesSql,
        |pd AS (SELECT g.doc_id,
-       |    CAST(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) AS DECIMAL(18,6)) AS nll6
+       |    CAST(floor(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) * 1000000.0 + 0.5) AS BIGINT) AS nll_u
        |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
        |  WHERE len(bh) > 0),
-       |pr AS (SELECT pd.doc_id, d.source, CAST(nll6 AS DOUBLE) AS avg_nll,
-       |    percent_rank() OVER (PARTITION BY d.source ORDER BY nll6, pd.doc_id) AS src_rank,
-       |    percent_rank() OVER (ORDER BY nll6, pd.doc_id) AS global_rank
+       |pr AS (SELECT pd.doc_id, d.source, CAST(nll_u AS DOUBLE) / 1000000.0 AS avg_nll,
+       |    percent_rank() OVER (PARTITION BY d.source ORDER BY nll_u, pd.doc_id) AS src_rank,
+       |    percent_rank() OVER (ORDER BY nll_u, pd.doc_id) AS global_rank
        |  FROM pd JOIN documents d ON pd.doc_id = d.doc_id)
        |SELECT doc_id, source, avg_nll, src_rank, global_rank,
        |  src_rank <= 0.6 AS keep_src,

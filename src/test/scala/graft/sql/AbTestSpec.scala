@@ -32,10 +32,13 @@ class AbTestSpec extends SparkSpec {
       val mean = (members.sum / members.length).toDouble
       assert(math.abs(r.getAs[Double]("mean_value") - mean) < 1e-9, s"arm $arm mean")
       val n = members.length
-      val s = members.sum.toDouble
-      val ss = members.map(v => (v * v)).sum.toDouble
+      // mirror the card's whole-unit quantization of Σ and Σ² (HALF_UP
+      // to scale 0) before the IEEE variance chain
+      val s = members.sum.setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ss = members.map(v => (v * v)).sum
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
       val v = (n * ss - s * s) / (n.toDouble * (n - 1))
-      assert(math.abs(r.getAs[Double]("var_value") - v) < 1e-6 * math.max(1.0, v),
+      assert(math.abs(r.getAs[Double]("var_value") - v) < 1e-9 * math.max(1.0, v),
         s"arm $arm variance")
     }
   }
