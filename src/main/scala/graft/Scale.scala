@@ -209,7 +209,10 @@ object Scale {
     "q195_centroid_distances", "q196_silhouette",
     // q197: the scalar scan + q19 digest fold + q60 semi-join the funnel
     // composes, collapsed to a 7-row drop-stage frame before expansion
-    "q197_filter_funnel")
+    "q197_filter_funnel",
+    // q198: two ≤1024-key codebook folds + broadcast-codebook scans; the
+    // per-query ADC/exact passes ride the 20-query broadcast (q24's shape)
+    "q198_pq_adc")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

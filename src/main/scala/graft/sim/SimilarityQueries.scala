@@ -739,6 +739,206 @@ object SimilarityQueries {
       |  label = clabel AS correct
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** Product quantization ADC recall — the memory-compression end of the
+    * ANN family (Jégou et al., TPAMI 2011): d=64 splits into M=8
+    * subspaces of 8 dims; per subspace a K=16-codeword codebook is
+    * trained (deterministic hash-seeded init partition → one Lloyd
+    * refinement: assign to nearest init centroid, re-average); every
+    * vector encodes to 8 code nibbles (4 bytes vs 256 — 64× compression);
+    * queries rank the corpus by ASYMMETRIC DISTANCE (ADC): per query a
+    * tiny (M×K) table of query-subvector-to-codeword distances, approx
+    * dist = Σ_sub table[sub, code] — 8 lookups per corpus vector, no
+    * float math against the corpus at all. Output: per query, overlap of
+    * ADC top-10 with exact L2 top-10 (raw ADC recall), AND the deployed
+    * two-stage path — ADC top-100 shortlist fetched and exact-reranked —
+    * whose recall is what a PQ store actually serves. Completes the path
+    * brute (q24) → LSH (q25) → IVF (q45/q185) → PQ.
+    *
+    * 100 TB shape: codebook training is two corpus scans folding onto
+    * (sub, code, ld) ≤ 1024 keys with map-side combine (q68's
+    * fixed-point device, exact decimal sums); assignment/encoding scans
+    * join only the BROADCAST 1024-double codebook; the ADC pass touches
+    * 4-byte codes, never the vectors — the property that lets a corpus
+    * 64× larger than RAM serve ANN. The exact-L2 side exists to GATE the
+    * estimator (audit-scale; production keeps only codes + codebook).
+    * Parity: every distance fold quantizes each squared-diff term to
+    * integer 1e-12 units via floor(t·10¹² + 0.5) on bit-identical
+    * doubles and sums LONGS — order-free, no cross-engine double→decimal
+    * path (the q177 rule); argmins tie-break on code/vec_id; centroid
+    * doubles come from exact fixed-point sums (q68). Empty codebook
+    * cells (an init partition or Lloyd cell receiving no vectors) simply
+    * vanish from the broadcast table in BOTH engines — fewer codewords,
+    * same contract. */
+  private val PqM = 8
+  private val PqSubDim = 8 // = Dim / PqM
+  private val PqK = 16
+  private val PqTopK = 10
+  private val PqShortlist = 100 // ADC candidates fetched for exact rerank
+
+  /** (vec_id, sub, ld, x, q): the subspace-exploded corpus frame. */
+  private def pqExploded(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"),
+        floor(col("dim") / lit(PqSubDim.toDouble)).cast("int").as("sub"),
+        pmod(col("dim"), lit(PqSubDim)).as("ld"),
+        col("xf").cast(DoubleType).as("x"),
+        floor(col("xf").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+
+  /** Squared-diff term as integer 1e-12 units (order-free long sums). */
+  private def pqTerm(a: Column, b: Column): Column =
+    floor((a - b) * (a - b) * lit(1.0e12) + lit(0.5))
+
+  /** Nearest-codeword assignment of every (vec, sub) under a
+    * (sub, code, ld, cent) codebook — tie-break on smaller code. */
+  private def pqAssign(ex: DataFrame, cb: DataFrame): DataFrame =
+    ex.join(broadcast(cb), Seq("sub", "ld"))
+      .select(col("vec_id"), col("sub"), col("code"), pqTerm(col("x"), col("cent")).as("tp"))
+      .groupBy(col("vec_id"), col("sub"), col("code"))
+      .agg(sum(col("tp")).as("dp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dp"), col("code"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+
+  /** (sub, code, ld, cent) centroids of an assignment (exact fixed-point). */
+  private def pqCodebook(ex: DataFrame, assign: DataFrame): DataFrame =
+    ex.join(assign, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("code"), col("ld"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("sub"), col("code"), col("ld"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
+
+  def q198PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val ex = pqExploded(spark, dir).localCheckpoint(true) // read 6 ways
+    val init = ex.withColumn("code",
+      (graft.text.TextOps.hex60(concat(lit("pq:"), col("vec_id").cast("string"))) % PqK)
+        .cast("int"))
+    val cb0 = init.groupBy(col("sub"), col("code"), col("ld"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("sub"), col("code"), col("ld"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
+    val cb1 = pqCodebook(ex, pqAssign(ex, cb0)).localCheckpoint(true) // encode + ADC
+    val codes = pqAssign(ex, cb1)
+    val qs = ex.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qx"))
+    val adc = qs.join(broadcast(cb1), Seq("sub", "ld"))
+      .select(col("qid"), col("sub"), col("code"), pqTerm(col("qx"), col("cent")).as("tp"))
+      .groupBy(col("qid"), col("sub"), col("code"))
+      .agg(sum(col("tp")).as("adp"))
+    val approxAll = codes.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("adp")).as("ap"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ap"), col("vec_id"))))
+      .localCheckpoint(true) // read twice: raw ADC top-k + rerank shortlist
+    val atop = approxAll.filter(col("rank") <= PqTopK)
+    val short = approxAll.filter(col("rank") <= PqShortlist)
+    val exactAll = ex.join(broadcast(qs), Seq("sub", "ld"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqTerm(col("x"), col("qx")).as("tp"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("tp")).as("dp"))
+      .localCheckpoint(true) // read twice: ground-truth top-k + rerank
+    val etop = exactAll
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp"), col("vec_id"))))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("vec_id"))
+    // deployment path: exact distances only on the fetched shortlist
+    val rerank = short.select(col("qid"), col("vec_id"))
+      .join(exactAll, Seq("qid", "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp"), col("vec_id"))))
+      .filter(col("rank") <= PqTopK)
+    def hitsOf(df: DataFrame, as: String): DataFrame =
+      df.join(etop, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    val base = qs.select(col("qid")).distinct()
+    val perQ = base
+      .join(hitsOf(atop, "h_adc"), Seq("qid"), "left")
+      .join(hitsOf(rerank, "h_rr"), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h_adc"), lit(0L)).as("h_adc"),
+        coalesce(col("h_rr"), lit(0L)).as("h_rr"))
+    val tot = perQ.agg(sum(col("h_adc")).as("ta"), sum(col("h_rr")).as("tr"))
+    val denom = lit((NumQueries * PqTopK).toDouble)
+    perQ.crossJoin(broadcast(tot))
+      .select(col("qid"), col("h_adc").as("n_hits"),
+        (col("h_adc").cast(DoubleType) / lit(PqTopK.toDouble)).as("recall_at10"),
+        (col("h_rr").cast(DoubleType) / lit(PqTopK.toDouble)).as("recall_rerank"),
+        (col("ta").cast(DoubleType) / denom).as("mean_recall"),
+        (col("tr").cast(DoubleType) / denom).as("mean_recall_rerank"),
+        lit((Dim * 4).toDouble / (PqM * 4 / 8).toDouble).as("compression_x"))
+      .orderBy(col("qid"))
+  }
+
+  val q198Sql: String = {
+    val term = (a: String, b: String) =>
+      s"CAST(floor(($a - $b) * ($a - $b) * 1000000000000.0 + 0.5) AS BIGINT)"
+    s"""WITH ex AS (SELECT vec_id,
+       |    CAST(floor(u.d / $PqSubDim.0) AS INT) AS sub, u.d % $PqSubDim AS ld,
+       |    u.x AS x, u.q AS q
+       |  FROM (SELECT vec_id,
+       |      unnest([{'d': i, 'x': CAST(embedding[i+1] AS DOUBLE),
+       |               'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
+       |             for i in range(0, len(embedding))]) AS u
+       |    FROM embeddings)),
+       |p0 AS (SELECT vec_id,
+       |    CAST(('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $PqK AS INT) AS code
+       |  FROM embeddings),
+       |cb0 AS (SELECT sub, code, ld,
+       |    CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS cent
+       |  FROM ex JOIN p0 USING (vec_id) GROUP BY 1, 2, 3),
+       |d1 AS (SELECT e.vec_id, e.sub, c.code, sum(${term("e.x", "c.cent")}) AS dp
+       |  FROM ex e JOIN cb0 c ON e.sub = c.sub AND e.ld = c.ld GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dp, code) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |cb1 AS (SELECT e.sub, a.code, e.ld,
+       |    CAST(sum(e.q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS cent
+       |  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id AND e.sub = a.sub GROUP BY 1, 2, 3),
+       |d2 AS (SELECT e.vec_id, e.sub, c.code, sum(${term("e.x", "c.cent")}) AS dp
+       |  FROM ex e JOIN cb1 c ON e.sub = c.sub AND e.ld = c.ld GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dp, code) AS rn FROM d2)
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, sub, ld, x AS qx FROM ex WHERE vec_id < $NumQueries),
+       |adc AS (SELECT q.qid, c.sub, c.code, sum(${term("q.qx", "c.cent")}) AS adp
+       |  FROM qs q JOIN cb1 c ON q.sub = c.sub AND q.ld = c.ld GROUP BY 1, 2, 3),
+       |ap AS (SELECT a.qid, co.vec_id, sum(a.adp) AS ap
+       |  FROM codes co JOIN adc a ON co.sub = a.sub AND co.code = a.code
+       |  WHERE co.vec_id != a.qid GROUP BY 1, 2),
+       |ar AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ap, vec_id) AS rank FROM ap),
+       |atop AS (SELECT qid, vec_id FROM ar WHERE rank <= $PqTopK),
+       |short AS (SELECT qid, vec_id FROM ar WHERE rank <= $PqShortlist),
+       |exd AS (SELECT q.qid, e.vec_id, sum(${term("e.x", "q.qx")}) AS dp
+       |  FROM ex e JOIN qs q ON e.sub = q.sub AND e.ld = q.ld
+       |  WHERE e.vec_id != q.qid GROUP BY 1, 2),
+       |etop AS (SELECT qid, vec_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dp, vec_id) AS rank FROM exd)
+       |  WHERE rank <= $PqTopK),
+       |rr AS (SELECT qid, vec_id FROM (SELECT s.qid, s.vec_id, x.dp,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY x.dp, s.vec_id) AS rank
+       |  FROM short s JOIN exd x ON s.qid = x.qid AND s.vec_id = x.vec_id)
+       |  WHERE rank <= $PqTopK),
+       |ha AS (SELECT a.qid, count(*) AS h_adc
+       |  FROM atop a JOIN etop e ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY 1),
+       |hr AS (SELECT r.qid, count(*) AS h_rr
+       |  FROM rr r JOIN etop e ON r.qid = e.qid AND r.vec_id = e.vec_id GROUP BY 1),
+       |pq AS (SELECT qid, coalesce(h_adc, 0) AS h_adc, coalesce(h_rr, 0) AS h_rr
+       |  FROM (SELECT DISTINCT qid FROM qs) b
+       |  LEFT JOIN ha USING (qid) LEFT JOIN hr USING (qid)),
+       |tot AS (SELECT sum(h_adc) AS ta, sum(h_rr) AS tr FROM pq)
+       |SELECT qid, CAST(h_adc AS BIGINT) AS n_hits,
+       |  CAST(h_adc AS DOUBLE) / $PqTopK.0 AS recall_at10,
+       |  CAST(h_rr AS DOUBLE) / $PqTopK.0 AS recall_rerank,
+       |  CAST(ta AS DOUBLE) / ${NumQueries * PqTopK}.0 AS mean_recall,
+       |  CAST(tr AS DOUBLE) / ${NumQueries * PqTopK}.0 AS mean_recall_rerank,
+       |  ${(Dim * 4).toDouble / (PqM * 4 / 8).toDouble} AS compression_x
+       |FROM pq CROSS JOIN tot ORDER BY qid""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   // ---------------------------------------------------------------- q83
@@ -1052,6 +1252,7 @@ object SimilarityQueries {
     "q26_sim_embedding_neardup" -> (q26EmbeddingNearDup _),
     "q45_sim_ivf"            -> (q45SimIvf _),
     "q185_ivf_recall_curve"  -> (q185IvfRecallCurve _),
+    "q198_pq_adc"            -> (q198PqAdc _),
     "q195_centroid_distances" -> (q195CentroidDistances _),
     "q196_silhouette"        -> (q196Silhouette _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
@@ -1071,6 +1272,7 @@ object SimilarityQueries {
     "q25_sim_ann_lsh"        -> q25Sql,
     "q45_sim_ivf"            -> q45Sql,
     "q185_ivf_recall_curve"  -> q185Sql,
+    "q198_pq_adc"            -> q198Sql,
     "q195_centroid_distances" -> q195Sql,
     "q196_silhouette"        -> q196Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
