@@ -820,4 +820,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOccurrences(plan, "Exchange ") == 1,
       s"q189: expected only the presentation-sort exchange\n$plan")
   }
+
+  test("q197 funnel: corpus joins stay equi; only the two bounded stage/total expansions nest") {
+    val plan = physical("q197_filter_funnel")
+    assert(!plan.contains("CartesianProduct"),
+      s"q197: no unbounded cartesian anywhere\n$plan")
+    // byDrop(≤7 rows)×stages(6) and ×tot(1 row) are the only crossJoins
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 2,
+      s"q197: a corpus-side join degenerated to a nested loop\n$plan")
+  }
+
+  test("q198 PQ: every corpus join is an equi-join and the codebook broadcasts") {
+    val plan = physical("q198_pq_adc")
+    assert(!plan.contains("CartesianProduct"),
+      s"q198: no unbounded cartesian anywhere\n$plan")
+    // the only nested loop is the 1-row recall-total summary ferry; the
+    // broadcast codebook joins sit behind the localCheckpoint barriers
+    // (materialized before this plan), so they can't appear here — their
+    // equi-key shape is pinned by the no-cartesian assert surviving the
+    // checkpoint boundary in the assembly joins
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") <= 1,
+      s"q198: a recall-assembly join degenerated to a nested loop\n$plan")
+  }
 }
