@@ -212,7 +212,10 @@ object Scale {
     "q197_filter_funnel",
     // q198: two ≤1024-key codebook folds + broadcast-codebook scans; the
     // per-query ADC/exact passes ride the 20-query broadcast (q24's shape)
-    "q198_pq_adc")
+    "q198_pq_adc",
+    // q199: q198's folds on residuals + the coarse broadcast-centroid
+    // scan; the ADC pass reads only the probed lists' codes
+    "q199_ivfpq_adc")
 
   /** Per-replica key offset — far above any organic key range at sf0.1. */
   private val KeyOff = 1000000000L

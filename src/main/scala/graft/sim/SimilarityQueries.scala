@@ -939,6 +939,233 @@ object SimilarityQueries {
        |FROM pq CROSS JOIN tot ORDER BY qid""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q199
+  /** IVF-PQ residual encoding — q45's inverted lists COMBINED with q198's
+    * codes, the way a production vector store (Faiss IVFPQ) actually
+    * ships: a coarse quantizer (q68's 10 per-label centroids) assigns
+    * every vector to a list; PQ encodes the RESIDUAL x − coarse_centroid
+    * (residuals concentrate near 0, so the same 4-bit-per-subspace budget
+    * quantizes them finer than raw vectors); a query probes its
+    * nprobe=2 nearest lists and ADC-ranks ONLY those lists' members,
+    * with a per-(query, probed-list) lookup table built from the query's
+    * residual against THAT list's centroid. Output per query: candidates
+    * scanned (the IVF selectivity), raw-ADC recall@10 vs the global
+    * exact L2 top-10, and the deployed shortlist-rerank recall — the
+    * recall/compute/compression operating point the q185 curve and q198
+    * card bracket from either side.
+    *
+    * 100 TB shape: the coarse assign is q70's broadcast-centroid scan;
+    * residual codebook training is q198's two ≤1024-key folds; search
+    * touches only the probed lists' 4-byte codes (~nprobe/nlists of the
+    * corpus) plus a 2×(M×K) per-query table — both the memory AND the
+    * scan fraction shrink, which is the entire point of the combination.
+    * Parity: identical quantization rules to q198 (squared-diff terms →
+    * integer 1e-12 units, exact fixed-point centroid sums, code/label
+    * tie-breaks); hash-exact at sf0.01 and sf0.1. */
+  private val IvfPqProbes = 2
+
+  def q199IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val ex = pqExploded(spark, dir).localCheckpoint(true)
+    // coarse per-label centroids over (sub, ld) — q68's fixed-point device
+    val coarse = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label").as("clabel"),
+        floor(col("dim") / lit(PqSubDim.toDouble)).cast("int").as("sub"),
+        pmod(col("dim"), lit(PqSubDim)).as("ld"),
+        floor(col("xf").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+      .groupBy(col("clabel"), col("sub"), col("ld"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("clabel"), col("sub"), col("ld"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("ccent"))
+      .localCheckpoint(true) // assign + residuals + probe tables all read it
+    // nearest coarse list per vector (quantized-term L2, label tie-break)
+    val coarseD = ex.join(broadcast(coarse), Seq("sub", "ld"))
+      .select(col("vec_id"), col("clabel"), pqTerm(col("x"), col("ccent")).as("tp"))
+      .groupBy(col("vec_id"), col("clabel")).agg(sum(col("tp")).as("dp"))
+      .localCheckpoint(true) // vectors assign (rn=1); queries probe (rn<=2)
+    val assign = coarseD
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dp"), col("clabel"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("clabel"))
+    // residual frame: r = x − ccent of the OWN list, refixed for sums
+    val res = ex.join(assign, Seq("vec_id"))
+      .join(broadcast(coarse), Seq("clabel", "sub", "ld"))
+      .select(col("vec_id"), col("clabel"), col("sub"), col("ld"),
+        (col("x") - col("ccent")).as("x"),
+        floor((col("x") - col("ccent")) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+      .localCheckpoint(true)
+    val rex = res.select(col("vec_id"), col("sub"), col("ld"), col("x"), col("q"))
+    val init = rex.withColumn("code",
+      (graft.text.TextOps.hex60(concat(lit("pq:"), col("vec_id").cast("string"))) % PqK)
+        .cast("int"))
+    val cb0 = init.groupBy(col("sub"), col("code"), col("ld"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
+      .select(col("sub"), col("code"), col("ld"),
+        (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
+    val cb1 = pqCodebook(rex, pqAssign(rex, cb0)).localCheckpoint(true)
+    val codes = pqAssign(rex, cb1).join(assign, Seq("vec_id"))
+    // query side: probe the 2 nearest lists, table per (qid, list)
+    val probes = coarseD.filter(col("vec_id") < NumQueries)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("dp"), col("clabel"))))
+      .filter(col("rn") <= IvfPqProbes)
+      .select(col("vec_id").as("qid"), col("clabel"))
+    val qx = ex.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qraw"))
+    val adc = probes.join(qx, Seq("qid"))
+      .join(broadcast(coarse), Seq("clabel", "sub", "ld"))
+      .select(col("qid"), col("clabel"), col("sub"), col("ld"),
+        (col("qraw") - col("ccent")).as("qr"))
+      .join(broadcast(cb1), Seq("sub", "ld"))
+      .select(col("qid"), col("clabel"), col("sub"), col("code"),
+        pqTerm(col("qr"), col("cent")).as("tp"))
+      .groupBy(col("qid"), col("clabel"), col("sub"), col("code"))
+      .agg(sum(col("tp")).as("adp"))
+    // candidates = members of probed lists; ADC over their codes
+    val approxAll = codes.join(broadcast(adc), Seq("clabel", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("adp")).as("ap"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ap"), col("vec_id"))))
+      .localCheckpoint(true) // top-k, shortlist, and the candidate count
+    val nCand = approxAll.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+    val atop = approxAll.filter(col("rank") <= PqTopK)
+    val short = approxAll.filter(col("rank") <= PqShortlist)
+    val qs = ex.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qx"))
+    val exactAll = ex.join(broadcast(qs), Seq("sub", "ld"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqTerm(col("x"), col("qx")).as("tp"))
+      .groupBy(col("qid"), col("vec_id")).agg(sum(col("tp")).as("dp"))
+      .localCheckpoint(true)
+    val etop = exactAll
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp"), col("vec_id"))))
+      .filter(col("rank") <= PqTopK)
+      .select(col("qid"), col("vec_id"))
+    val rerank = short.select(col("qid"), col("vec_id"))
+      .join(exactAll, Seq("qid", "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dp"), col("vec_id"))))
+      .filter(col("rank") <= PqTopK)
+    def hitsOf(df: DataFrame, as: String): DataFrame =
+      df.join(etop, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    val base = qs.select(col("qid")).distinct()
+    val perQ = base
+      .join(nCand, Seq("qid"), "left")
+      .join(hitsOf(atop, "h_adc"), Seq("qid"), "left")
+      .join(hitsOf(rerank, "h_rr"), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("h_adc"), lit(0L)).as("h_adc"),
+        coalesce(col("h_rr"), lit(0L)).as("h_rr"))
+    val tot = perQ.agg(sum(col("h_adc")).as("ta"), sum(col("h_rr")).as("tr"))
+    val denom = lit((NumQueries * PqTopK).toDouble)
+    perQ.crossJoin(broadcast(tot))
+      .select(col("qid"), col("n_cand"), col("h_adc").as("n_hits"),
+        (col("h_adc").cast(DoubleType) / lit(PqTopK.toDouble)).as("recall_at10"),
+        (col("h_rr").cast(DoubleType) / lit(PqTopK.toDouble)).as("recall_rerank"),
+        (col("ta").cast(DoubleType) / denom).as("mean_recall"),
+        (col("tr").cast(DoubleType) / denom).as("mean_recall_rerank"),
+        lit((Dim * 4).toDouble / (PqM * 4 / 8 + 1).toDouble).as("compression_x"))
+      .orderBy(col("qid"))
+  }
+
+  val q199Sql: String = {
+    val term = (a: String, b: String) =>
+      s"CAST(floor(($a - $b) * ($a - $b) * 1000000000000.0 + 0.5) AS BIGINT)"
+    s"""WITH ex AS (SELECT vec_id,
+       |    CAST(floor(u.d / $PqSubDim.0) AS INT) AS sub, u.d % $PqSubDim AS ld,
+       |    u.x AS x, u.q AS q
+       |  FROM (SELECT vec_id,
+       |      unnest([{'d': i, 'x': CAST(embedding[i+1] AS DOUBLE),
+       |               'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
+       |             for i in range(0, len(embedding))]) AS u
+       |    FROM embeddings)),
+       |coarse AS (SELECT label AS clabel,
+       |    CAST(floor(u.d / $PqSubDim.0) AS INT) AS sub, u.d % $PqSubDim AS ld,
+       |    CAST(sum(u.q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS ccent
+       |  FROM (SELECT label,
+       |      unnest([{'d': i,
+       |               'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1073741824.0) AS DECIMAL(38,0))}
+       |             for i in range(0, len(embedding))]) AS u
+       |    FROM embeddings) GROUP BY 1, 2, 3),
+       |cd AS (SELECT e.vec_id, c.clabel, sum(${term("e.x", "c.ccent")}) AS dp
+       |  FROM ex e JOIN coarse c ON e.sub = c.sub AND e.ld = c.ld GROUP BY 1, 2),
+       |asg AS (SELECT vec_id, clabel FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dp, clabel) AS rn FROM cd)
+       |  WHERE rn = 1),
+       |res AS (SELECT e.vec_id, a.clabel, e.sub, e.ld, e.x - c.ccent AS x,
+       |    CAST(floor((e.x - c.ccent) * 1073741824.0) AS DECIMAL(38,0)) AS q
+       |  FROM ex e JOIN asg a ON e.vec_id = a.vec_id
+       |  JOIN coarse c ON a.clabel = c.clabel AND e.sub = c.sub AND e.ld = c.ld),
+       |p0 AS (SELECT vec_id,
+       |    CAST(('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % $PqK AS INT) AS code
+       |  FROM embeddings),
+       |cb0 AS (SELECT sub, code, ld,
+       |    CAST(sum(q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS cent
+       |  FROM res JOIN p0 USING (vec_id) GROUP BY 1, 2, 3),
+       |d1 AS (SELECT r.vec_id, r.sub, c.code, sum(${term("r.x", "c.cent")}) AS dp
+       |  FROM res r JOIN cb0 c ON r.sub = c.sub AND r.ld = c.ld GROUP BY 1, 2, 3),
+       |a1 AS (SELECT vec_id, sub, code FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dp, code) AS rn FROM d1)
+       |  WHERE rn = 1),
+       |cb1 AS (SELECT r.sub, a.code, r.ld,
+       |    CAST(sum(r.q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1073741824.0) AS cent
+       |  FROM res r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
+       |d2 AS (SELECT r.vec_id, r.sub, c.code, sum(${term("r.x", "c.cent")}) AS dp
+       |  FROM res r JOIN cb1 c ON r.sub = c.sub AND r.ld = c.ld GROUP BY 1, 2, 3),
+       |codes AS (SELECT k.vec_id, k.sub, k.code, a.clabel
+       |  FROM (SELECT vec_id, sub, code FROM (SELECT *,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dp, code) AS rn FROM d2)
+       |    WHERE rn = 1) k JOIN asg a ON k.vec_id = a.vec_id),
+       |probes AS (SELECT vec_id AS qid, clabel FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dp, clabel) AS rn FROM cd)
+       |  WHERE rn <= $IvfPqProbes AND vec_id < $NumQueries),
+       |qx AS (SELECT vec_id AS qid, sub, ld, x AS qraw FROM ex WHERE vec_id < $NumQueries),
+       |adc AS (SELECT p.qid, p.clabel, b.sub, b.code,
+       |    sum(${term("(q.qraw - c.ccent)", "b.cent")}) AS adp
+       |  FROM probes p JOIN qx q ON p.qid = q.qid
+       |  JOIN coarse c ON p.clabel = c.clabel AND q.sub = c.sub AND q.ld = c.ld
+       |  JOIN cb1 b ON q.sub = b.sub AND q.ld = b.ld
+       |  GROUP BY 1, 2, 3, 4),
+       |ap AS (SELECT a.qid, co.vec_id, sum(a.adp) AS ap
+       |  FROM codes co JOIN adc a ON co.clabel = a.clabel AND co.sub = a.sub AND co.code = a.code
+       |  WHERE co.vec_id != a.qid GROUP BY 1, 2),
+       |ar AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ap, vec_id) AS rank FROM ap),
+       |nc AS (SELECT qid, count(*) AS n_cand FROM ap GROUP BY 1),
+       |atop AS (SELECT qid, vec_id FROM ar WHERE rank <= $PqTopK),
+       |short AS (SELECT qid, vec_id FROM ar WHERE rank <= $PqShortlist),
+       |exd AS (SELECT q.qid, e.vec_id, sum(${term("e.x", "q.qx")}) AS dp
+       |  FROM ex e JOIN (SELECT vec_id AS qid, sub, ld, x AS qx FROM ex WHERE vec_id < $NumQueries) q
+       |    ON e.sub = q.sub AND e.ld = q.ld
+       |  WHERE e.vec_id != q.qid GROUP BY 1, 2),
+       |etop AS (SELECT qid, vec_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dp, vec_id) AS rank FROM exd)
+       |  WHERE rank <= $PqTopK),
+       |rr AS (SELECT qid, vec_id FROM (SELECT s.qid, s.vec_id, x.dp,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY x.dp, s.vec_id) AS rank
+       |  FROM short s JOIN exd x ON s.qid = x.qid AND s.vec_id = x.vec_id)
+       |  WHERE rank <= $PqTopK),
+       |ha AS (SELECT a.qid, count(*) AS h_adc
+       |  FROM atop a JOIN etop e ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY 1),
+       |hr AS (SELECT r.qid, count(*) AS h_rr
+       |  FROM rr r JOIN etop e ON r.qid = e.qid AND r.vec_id = e.vec_id GROUP BY 1),
+       |pq AS (SELECT qid, coalesce(n_cand, 0) AS n_cand,
+       |    coalesce(h_adc, 0) AS h_adc, coalesce(h_rr, 0) AS h_rr
+       |  FROM (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id < $NumQueries) b
+       |  LEFT JOIN nc USING (qid) LEFT JOIN ha USING (qid) LEFT JOIN hr USING (qid)),
+       |tot AS (SELECT sum(h_adc) AS ta, sum(h_rr) AS tr FROM pq)
+       |SELECT qid, CAST(n_cand AS BIGINT) AS n_cand, CAST(h_adc AS BIGINT) AS n_hits,
+       |  CAST(h_adc AS DOUBLE) / $PqTopK.0 AS recall_at10,
+       |  CAST(h_rr AS DOUBLE) / $PqTopK.0 AS recall_rerank,
+       |  CAST(ta AS DOUBLE) / ${NumQueries * PqTopK}.0 AS mean_recall,
+       |  CAST(tr AS DOUBLE) / ${NumQueries * PqTopK}.0 AS mean_recall_rerank,
+       |  ${(Dim * 4).toDouble / (PqM * 4 / 8 + 1).toDouble} AS compression_x
+       |FROM pq CROSS JOIN tot ORDER BY qid""".stripMargin
+  }
+
   // ----------------------------------------------------------------
 
   // ---------------------------------------------------------------- q83
@@ -1253,6 +1480,7 @@ object SimilarityQueries {
     "q45_sim_ivf"            -> (q45SimIvf _),
     "q185_ivf_recall_curve"  -> (q185IvfRecallCurve _),
     "q198_pq_adc"            -> (q198PqAdc _),
+    "q199_ivfpq_adc"         -> (q199IvfPqAdc _),
     "q195_centroid_distances" -> (q195CentroidDistances _),
     "q196_silhouette"        -> (q196Silhouette _),
     "q54_embedding_quantize" -> (q54EmbeddingQuantize _),
@@ -1273,6 +1501,7 @@ object SimilarityQueries {
     "q45_sim_ivf"            -> q45Sql,
     "q185_ivf_recall_curve"  -> q185Sql,
     "q198_pq_adc"            -> q198Sql,
+    "q199_ivfpq_adc"         -> q199Sql,
     "q195_centroid_distances" -> q195Sql,
     "q196_silhouette"        -> q196Sql,
     "q26_sim_embedding_neardup" -> q26Sql,
