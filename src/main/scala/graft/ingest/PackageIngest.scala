@@ -476,7 +476,7 @@ object PackageIngest {
           // benign). Hadoop rename reports failure by RETURNING false —
           // ignoring it would turn a failed commit into silent asset loss.
           val attemptId = Option(org.apache.spark.TaskContext.get())
-            .map(_.taskAttemptId).getOrElse(0L)
+            .map(_.taskAttemptId()).getOrElse(0L)
           // best-effort sweep of staging files a DEAD attempt left between
           // create(tmp) and rename — they would otherwise sit in the asset
           // directory forever, visible to directory-listing consumers. A

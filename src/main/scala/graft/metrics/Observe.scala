@@ -51,7 +51,7 @@ final class MetricsSink extends QueryExecutionListener {
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     qe.observedMetrics.foreach { case (name, row) =>
-      seen.put(name, row.getValuesMap[Any](row.schema.fieldNames))
+      seen.put(name, row.getValuesMap[Any](row.schema.fieldNames.toIndexedSeq))
     }
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
 }

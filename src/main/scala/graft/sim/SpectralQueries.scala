@@ -56,12 +56,12 @@ object SpectralQueries {
         (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("m"))
       .orderBy(col("d")).collect().map(_.getDouble(1))
     val dims = means.length
-    val mLit = array(means.map(lit): _*)
+    val mLit = array(means.toIndexedSeq.map(lit): _*)
     val xc = zip_with(col("embedding"), mLit, (x, m) => x.cast(DoubleType) - m)
 
     // one power-iteration round: (dim, wd) from the centered corpus and v
     def round(v: Array[Double]): DataFrame = {
-      val vLit = array(v.map(lit): _*)
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
       val sf = aggregate(
         zip_with(xc, vLit, (a, b) => floor(a * b * lit(FpScale))),
         lit(0).cast(Dec38), (acc, t) => acc + t.cast(Dec38))
