@@ -332,7 +332,8 @@ object Scale {
     * (exponent ≈ 1 per decade) where all-pairs candidate generation
     * would be quadratic (10 000× work at the 100× decade). */
   private val DedupQueriesTimed = Seq("q19_dedup_exact",
-    "q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q65_dedup_clusters")
+    "q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q65_dedup_clusters",
+    "q129_containment", "q76_incremental_dedup")
 
   private def buildDedupReplica(spark: SparkSession, src: String, out: String,
       reps: Int): Unit = {
