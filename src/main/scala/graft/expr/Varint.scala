@@ -52,6 +52,9 @@ object Varint {
     var shift = 0
     while (i < bytes.length) {
       val b = bytes(i)
+      if (shift > 63)
+        throw new IllegalArgumentException(
+          s"over-long varint at byte $i: >10 continuation bytes in one value")
       v |= (b & 0x7fL) << shift
       if ((b & 0x80) == 0) { out(k) = v; k += 1; v = 0L; shift = 0 }
       else shift += 7

@@ -552,8 +552,11 @@ object MediaQueries {
     * channels/rate/length derive from doc_id, each 16-bit sample from an
     * integer hash of (frame, channel, doc_id) — exactly recomputable in
     * SQL, so the oracle can verify the codec round trip by arithmetic.
-    * (The multiplier is Knuth's 2654435761; products stay under 2⁶³ for
-    * doc_id < ~3×10⁹ — far past any gate SF.) */
+    * (The multiplier is Knuth's 2654435761; the dominant product term is
+    * doc_id·13·2654435761, which stays under 2⁶³ for doc_id < ~2.6×10⁸ —
+    * still far past any gate SF. Past that bound the Long product wraps
+    * negative on both sides, but Spark and the SQL oracle disagree on
+    * `%` of a negative, so the hash formula must not be fed larger ids.) */
   private[media] def encodeWav(docId: Long): Array[Byte] = {
     val ch = 1 + (docId % 2).toInt
     val sr = 8000 + 4000 * (docId % 3).toInt

@@ -43,14 +43,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *      snapshot — a concurrent write can't tear the view (the
   *      point-in-time read transaction a real connector provides).
   *
-  * The latest two snapshots per table are retained (a reader that
-  * overlaps one writer still completes); older ones are deleted. */
-final class DocStoreServer(inner: LocalStore, port: Int = 0) {
+  * SNAPSHOT RETENTION — time-based, not count-based. The latest two
+  * snapshots per table are always retained, and any older snapshot is
+  * kept until it is at least `snapshotTtlMs` old (default 10 min). So
+  * the guarantee a lazy reader gets is explicit: a DataFrame from
+  * `HttpStore.read` can defer its part fetches for up to the TTL no
+  * matter how many writers advance the table in between — count-based
+  * keep-latest-2 could reap a live reader's parts after just two
+  * subsequent writes. Reaping happens on the next snapshot call for the
+  * same table (no background thread; a test double doesn't need one). */
+final class DocStoreServer(inner: LocalStore, port: Int = 0,
+    snapshotTtlMs: Long = 10L * 60 * 1000) {
 
   private val staging: Path = Files.createTempDirectory("graft-docstore-txn")
   /** snapshot token → ordered part files */
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Vector[Path]]()
-  /** table → newest-first snapshot tokens (retention = 2) */
+  /** snapshot token → materialization time (for TTL-based reaping) */
+  private val snapTimes = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  /** table → newest-first snapshot tokens (latest 2 always kept; older
+    * kept until `snapshotTtlMs` old) */
   private val tableSnaps = new java.util.concurrent.ConcurrentHashMap[String, List[String]]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -102,15 +113,24 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0) {
       } finally s.close()
     }
     snapshots.put(token, files)
-    // retain the newest two snapshots of this table; reap the rest
+    snapTimes.put(token, System.currentTimeMillis())
+    // Retention: always keep the newest two snapshots of this table; an
+    // older one is reaped only once it has aged past snapshotTtlMs, so a
+    // lazy reader's parts survive any number of intervening writes for
+    // at least the TTL (see class doc).
+    val now = System.currentTimeMillis()
     val evicted = new java.util.concurrent.atomic.AtomicReference[List[String]](Nil)
     tableSnaps.compute(t, (_, old) => {
       val cur = token :: Option(old).getOrElse(Nil)
-      evicted.set(cur.drop(2))
-      cur.take(2)
+      val (keepOld, reap) = cur.drop(2).partition { tok =>
+        now - snapTimes.getOrDefault(tok, now) < snapshotTtlMs
+      }
+      evicted.set(reap)
+      cur.take(2) ::: keepOld
     })
     evicted.get().foreach { tok =>
       snapshots.remove(tok)
+      snapTimes.remove(tok)
       deleteRecursively(staging.resolve(s"snap-$tok"))
     }
     (token, files.size)

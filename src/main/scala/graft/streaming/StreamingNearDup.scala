@@ -99,7 +99,10 @@ object StreamingNearDup {
           if (j >= threshold) hits += NearDupHit(a.doc_id, oldId, a.band, j)
         }
       }
-      held = (held :+ (a.doc_id -> a.sig)).takeRight(BucketCap)
+      // A replayed/duplicate doc_id refreshes its slot instead of taking a
+      // second one — otherwise redelivery consumes FIFO cap slots and
+      // evicts distinct representatives, degrading recall.
+      held = (held.filterNot(_._1 == a.doc_id) :+ (a.doc_id -> a.sig)).takeRight(BucketCap)
     }
     state.update(held)
     hits.result().iterator
