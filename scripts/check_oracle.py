@@ -36,10 +36,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(out_dir: str, sf_dir: str) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata ships single files; Spark-written replicas (the
+        # 10x scale dir) are part-file directories — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
@@ -84,10 +88,14 @@ def main(out_dir: str, sf_dir: str) -> int:
         else:
             print(f"✓ {name}: {len(got)} rows match")
             n_pass += 1
-    missing = set(oracles) - have
-    for name in sorted(missing):
-        print(f"✗ {name}: oracle declared but no spark output")
-        n_fail += 1
+    # --subset: builder-side partial runs (Verify's optional 3rd arg dumps
+    # only some queries); score only what was dumped instead of failing
+    # every undumped oracle. The driver never passes this.
+    if "--subset" not in sys.argv:
+        missing = set(oracles) - have
+        for name in sorted(missing):
+            print(f"✗ {name}: oracle declared but no spark output")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -423,7 +423,36 @@ object Scale {
     Seq.fill(3)(once()).sorted.apply(1) // median of 3 warm
   }
 
+  // ------------------------------------------------------------ compaction
+  /** Execute q148's OPTIMIZE manifest against a real small-file layout at
+    * sf0.1 and measure the read-amplification delta (file count, bytes,
+    * listing+scan seconds before/after) — the round-12 conversion of the
+    * plan card into a measured rewrite. */
+  private def compaction(spark: SparkSession, sfDir: String): Unit = {
+    import graft.store.Compaction
+    val small = "/tmp/graft_compact_small"
+    val big = "/tmp/graft_compact_out"
+    Compaction.stageSmallFiles(spark, sfDir, small)
+    val (n0, b0, t0) = Compaction.listingStats(spark, small)
+    val nBins = Compaction.execute(spark, small, big)
+    val (n1, b1, t1) = Compaction.listingStats(spark, big)
+    println(f"compaction: before files=$n0 bytes=$b0 scan=$t0%.2fs")
+    println(f"compaction: bins=$nBins after files=$n1 bytes=$b1 scan=$t1%.2fs")
+    println(f"compaction: file-count x${n0.toDouble / n1}%.1f scan x${t0 / t1}%.1f")
+    val before = Compaction.contents(spark, small).collect()(0)
+    val after = Compaction.contents(spark, big).collect()(0)
+    println(s"conservation: before=$before after=$after " +
+      s"match=${before.toString == after.toString}")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("compaction")) {
+      val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      compaction(spark, args.drop(1).headOption.getOrElse("/root/testdata/sf0.1"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("dedup100")) {
       val spark = GraftSession.builder("local[32]", 32).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")

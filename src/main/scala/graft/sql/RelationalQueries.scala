@@ -564,7 +564,21 @@ object RelationalQueries {
   private val IncidentValueMin = 15.0
   private val BinSeconds = 3600L
 
-  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Broadcast the windows side only while it is measurably dim-sized:
+    * a binned window row is 4 narrow columns (~32 B serialized), so 10⁶
+    * rows ≈ 32 MB — the same order as [[graft.graph.GraphQueries]]'
+    * `BroadcastNodes` bound. Above it the broadcast build side stops
+    * fitting comfortably per executor and the partitioned equi-join on
+    * `bin` is the right plan. */
+  private[graft] val BroadcastWindowsMax = 1000000L
+
+  def q51RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    q51RangeJoinImpl(spark, dir, BroadcastWindowsMax)
+
+  /** `broadcastMaxWindows` exposed for the spec to force the shuffle
+    * path on the fixture (pass 0) and pin both plans. */
+  private[graft] def q51RangeJoinImpl(spark: SparkSession, dir: String,
+      broadcastMaxWindows: Long): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val windows = ev
@@ -579,12 +593,21 @@ object RelationalQueries {
       .select(col("event_id"), col("ts").as("p_ts"), col("user_id"))
       .withColumn("bin", floor(unix_timestamp(col("p_ts")) / BinSeconds))
 
-    // the windows side (high-value error events only) is a tiny fraction
-    // of the event stream — broadcasting it makes the probe pass NARROW:
-    // the full event set never shuffles on the bin key at all. At 100 TB
-    // the hint holds as long as incident windows stay dimension-sized;
-    // a corpus where they don't would drop the hint and shuffle on `bin`.
-    broadcast(wBinned).join(pBinned, Seq("bin"))
+    // The windows side (high-value error events only) is usually a tiny
+    // fraction of the event stream, and broadcasting it makes the probe
+    // pass NARROW: the full event set never shuffles on the bin key at
+    // all. But "usually" is measured, not assumed (the r11 verdict's
+    // watch item): count the windows side — one narrow scan with the
+    // error/value filter pushed to parquet — and only hint broadcast
+    // below [[BroadcastWindowsMax]]. A corpus whose incident windows
+    // outgrow dimension size gets the shuffle-hash equi-join on `bin`
+    // instead (windows stay the build side per bin). Same shape as
+    // [[graft.sim.NearDup.DispatchThreshold]]'s measured dispatch.
+    val nWindows = windows.count()
+    val joined =
+      if (nWindows <= broadcastMaxWindows) broadcast(wBinned).join(pBinned, Seq("bin"))
+      else wBinned.hint("shuffle_hash").join(pBinned, Seq("bin"))
+    joined
       .filter(col("p_ts") >= col("w_start") && col("p_ts") < col("w_end"))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -1172,14 +1195,22 @@ object RelationalQueries {
     * cross-engine, nothing to round. */
   private val CompactTarget = 2000L // bytes per compaction bin (gate-scale sized)
 
-  def q148CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val files = Tables(spark, dir).documents
-      .select(col("source"), col("doc_id"), col("n_chars"))
+  /** Adds q148's `bin` column (next-fit byte binning per source in doc_id
+    * order) to any frame carrying (source, doc_id, n_chars) — THE pure
+    * function both the manifest (q148) and the executing rewrite job
+    * ([[graft.store.Compaction]]) share, so executing the plan can never
+    * drift from the plan itself. */
+  private[graft] def withCompactionBin(files: DataFrame): DataFrame = {
     val cum = sum(col("n_chars")).over(
       Window.partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    files
-      .withColumn("bin", ((cum - col("n_chars")) / CompactTarget).cast("long"))
+    files.withColumn("bin", ((cum - col("n_chars")) / CompactTarget).cast("long"))
+  }
+
+  def q148CompactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    withCompactionBin(files)
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bin_bytes"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

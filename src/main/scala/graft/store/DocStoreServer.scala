@@ -1,7 +1,7 @@
 package graft.store
 
 import java.net.InetSocketAddress
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -56,6 +56,38 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     snapshotTtlMs: Long = 10L * 60 * 1000) {
 
   private val staging: Path = Files.createTempDirectory("graft-docstore-txn")
+
+  /** COMMIT LEDGER — the exactly-once half of the wire contract. After a
+    * commit applies, its txn id is recorded as a marker file under the
+    * STORE's own root (durable with the data, so it survives a server
+    * crash/restart over the same store); a commit request whose txn id is
+    * already in the ledger acks 200 WITHOUT re-applying. With the
+    * client's deterministic per-batch txn ids ([[HttpStore.txnScope]]),
+    * the lost-ack crash — server applies, dies before the 200, streaming
+    * replays the whole batch — converges to exactly-once table state
+    * (`HttpStoreChaosSpec` kills/restarts the server around the boundary
+    * and asserts it). The residual window is apply→marker: a crash
+    * BETWEEN them replays as a re-apply, the same at-least-once exposure
+    * the trait documents for non-transactional stores. */
+  private val ledgerDir: Path = {
+    val d = Paths.get(inner.base, "_txn_ledger")
+    Files.createDirectories(d)
+    d
+  }
+  private val committed: java.util.Set[String] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val ls = Files.list(ledgerDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.foreach(p => s.add(p.getFileName.toString))
+    } finally ls.close()
+    s
+  }
+
+  /** TEST-ONLY fault injection: when set, the next commit APPLIES (and
+    * writes its ledger marker) but answers 500 — the ack is lost exactly
+    * as if the server died after the apply. Self-clears. */
+  @volatile var dropNextCommitAck: Boolean = false
   /** snapshot token → ordered part files */
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Vector[Path]]()
   /** snapshot token → materialization time (for TTL-based reaping) */
@@ -155,29 +187,43 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
       case ("POST", "txn" :: id :: "commit" :: Nil) if TxnId.matches(id) =>
         val op = params.getOrElse("op",
           throw new IllegalArgumentException("commit requires ?op="))
-        val schemaJson = {
-          val in = ex.getRequestBody
-          try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        }
-        val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val spark = inner.spark
         val dir = staging.resolve(id)
-        val batch =
-          if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        op match {
-          case "upsertDocuments"     => inner.upsertDocuments(batch)
-          case "setPublished"        => inner.setPublished(batch)
-          case "appendIdentifiers"   => inner.appendIdentifiers(batch)
-          case "upsertProperties"    => inner.upsertProperties(batch)
-          case "appendAssets"        => inner.appendAssets(batch)
-          case "appendNotifications" => inner.appendNotifications(batch)
-          case "appendFailures"      => inner.appendFailures(batch)
-          case other => throw new IllegalArgumentException(s"unknown op: $other")
+        if (committed.contains(id)) {
+          // replayed commit of an already-applied transaction (the client
+          // lost the ack): drop any re-staged rows, ack without re-applying
+          deleteRecursively(dir)
+          respond(ex, 200, "already-committed")
+        } else {
+          val schemaJson = {
+            val in = ex.getRequestBody
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          }
+          val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+          val spark = inner.spark
+          val batch =
+            if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          op match {
+            case "upsertDocuments"     => inner.upsertDocuments(batch)
+            case "setPublished"        => inner.setPublished(batch)
+            case "appendIdentifiers"   => inner.appendIdentifiers(batch)
+            case "upsertProperties"    => inner.upsertProperties(batch)
+            case "appendAssets"        => inner.appendAssets(batch)
+            case "appendNotifications" => inner.appendNotifications(batch)
+            case "appendFailures"      => inner.appendFailures(batch)
+            case other => throw new IllegalArgumentException(s"unknown op: $other")
+          }
+          // applied → ledger marker (durable under the store root) → ack;
+          // see the ledger scaladoc for the apply→marker residual window
+          Files.createFile(ledgerDir.resolve(id))
+          committed.add(id)
+          deleteRecursively(dir)
+          if (dropNextCommitAck) {
+            dropNextCommitAck = false
+            respond(ex, 500, "injected crash: commit applied, ack lost")
+          } else respond(ex, 200, "committed")
         }
-        deleteRecursively(dir)
-        respond(ex, 200, "committed")
 
       case ("GET", "tables" :: t :: "schema" :: Nil) if TableName.matches(t) =>
         inner.read(t) match {

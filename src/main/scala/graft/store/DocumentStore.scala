@@ -53,6 +53,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait DocumentStore {
   def spark: SparkSession
 
+  /** Replay-idempotency seam: returns a view of this store whose writes
+    * carry a DETERMINISTIC per-batch transaction identity derived from
+    * `scope` (the caller's replay unit — streaming passes its micro-batch
+    * id). A store with a commit ledger (e.g. [[HttpStore]] →
+    * [[DocStoreServer]]) uses the identity to recognize a replayed commit
+    * — the batch that lost its ack after the server applied it — and ack
+    * it WITHOUT re-applying, upgrading at-least-once redelivery to
+    * exactly-once table state (`HttpStoreChaosSpec`). Default: the store
+    * itself (stores whose writes are not transactionally deduplicated
+    * keep the trait's documented at-least-once convergence). */
+  def withBatchScope(scope: String): DocumentStore = this
+
   def read(t: String): Option[DataFrame]
   def upsertDocuments(updates: DataFrame): Unit
   def setPublished(decisions: DataFrame): Unit

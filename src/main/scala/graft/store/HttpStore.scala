@@ -51,8 +51,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * preserves row identity bit-for-bit; `HttpStoreSpec` pins
   * LocalStore/HttpStore row-identity through the golden-package ingest.
   */
-final case class HttpStore(spark: SparkSession, endpoint: String)
+final case class HttpStore(spark: SparkSession, endpoint: String,
+    txnScope: Option[String] = None)
     extends DocumentStore {
+
+  /** Per-instance op counter: with a `txnScope`, the n-th write of the
+    * scope gets txn id `uuid3(scope|op|n)` — the batch's write sequence
+    * is deterministic (the act phase is straight-line code), so a
+    * replayed batch re-issues the SAME txn ids and the server's commit
+    * ledger recognizes every already-applied commit. A fresh scoped
+    * instance per replay (see [[withBatchScope]]) restarts the counter. */
+  private val txnSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def withBatchScope(scope: String): DocumentStore =
+    copy(txnScope = Some(scope))
 
   def read(t: String): Option[DataFrame] = {
     val (code, body, headers) = HttpStore.getWithHeaders(s"$endpoint/tables/$t/schema")
@@ -90,7 +102,11 @@ final case class HttpStore(spark: SparkSession, endpoint: String)
     * because every [[DocumentStore]] operation is defined on the batch
     * as a multiset. */
   private def send(op: String, df: DataFrame): Unit = {
-    val txn = java.util.UUID.randomUUID().toString
+    val txn = txnScope match {
+      case Some(s) => java.util.UUID.nameUUIDFromBytes(
+        s"$s|$op|${txnSeq.getAndIncrement()}".getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
     val ep = endpoint
     df.toJSON.foreachPartition { (lines: Iterator[String]) =>
       val buf = new StringBuilder

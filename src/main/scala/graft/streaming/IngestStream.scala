@@ -87,10 +87,22 @@ object IngestStream {
   def processBatch(store: DocumentStore, environment: String = "prod",
       packageUri: (String, String) => String = s3aUri,
       requestId: String = "graft-local-request",
-      maxReceives: Int = DefaultMaxReceives)(
+      maxReceives: Int = DefaultMaxReceives,
+      txnScopePrefix: String = "ingest")(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+
+    // Replay idempotency: this micro-batch's store effects carry a
+    // batch-scoped deterministic txn identity, so a commit-ledger store
+    // (HttpStore→DocStoreServer) recognizes a replayed lost-ack batch and
+    // acks without re-applying — exactly-once table state under
+    // checkpoint replay (see DocumentStore.withBatchScope). The prefix
+    // carries the QUERY's identity (start() derives it from the
+    // checkpoint dir): batch ids restart at 0 per checkpoint, so two
+    // queries against one store must not share txn ids — only a replay
+    // of the same checkpoint's batch may dedupe.
+    val scoped = store.withBatchScope(s"$txnScopePrefix-$batchId")
 
     // ---- decode (S1–S4) + unknown-originator guard ----
     // same rule as the batch act phase (PackageIngest.ingestDs): send_email
@@ -178,7 +190,7 @@ object IngestStream {
           f.archive, f.archive_path))
       val outcome =
         if (packages.isEmpty) None
-        else Some(PackageIngest.ingestDs(spark, packages, store, requestId, environment))
+        else Some(PackageIngest.ingestDs(spark, packages, scoped, requestId, environment))
       try {
         // ---- failure report (W11): SQS ids only; SNS failures vanish ----
         // outcome errors join back to message ids on the PRE-S4 reference
@@ -217,10 +229,10 @@ object IngestStream {
         // Join shape: the ledger scan is pre-filtered by the micro-batch's
         // failed ids (broadcast — bounded by batch size), and the per-id
         // counts broadcast back, so neither side ever shuffles the ledger.
-        val priorReceives = store.failures
+        val priorReceives = scoped.failures
           .join(broadcast(failures.select("msg_id").distinct()), Seq("msg_id"))
           .groupBy(col("msg_id")).agg(count(lit(1)).as("prior_receives"))
-        store.appendFailures(failures
+        scoped.appendFailures(failures
           .join(broadcast(priorReceives), Seq("msg_id"), "left")
           .withColumn("receive_no", coalesce(col("prior_receives"), lit(0L)) + lit(1L))
           .withColumn("terminal",
@@ -252,15 +264,22 @@ object IngestStream {
   def start(events: DataFrame, store: DocumentStore, checkpointDir: String,
       environment: String = "prod",
       packageUri: (String, String) => String = s3aUri,
-      maxReceives: Int = DefaultMaxReceives): StreamingQuery =
+      maxReceives: Int = DefaultMaxReceives): StreamingQuery = {
+    // query identity for the txn scope: a restart on the SAME checkpoint
+    // replays with the same ids (dedupable); a different query against
+    // the same store never collides
+    val scopePrefix = "ingest-" + java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes("UTF-8")).toString
     events
       .observe("graft.ingest.source", count(lit(1)).as("n_events"))
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        processBatch(store, environment, packageUri, maxReceives = maxReceives)(b, id))
+        processBatch(store, environment, packageUri, maxReceives = maxReceives,
+          txnScopePrefix = scopePrefix)(b, id))
       .start()
+  }
 
   /** Batch-mode entry over a directory of JSON event files (one record per
     * line: {"kind": "...", "record_json": "..."}). */

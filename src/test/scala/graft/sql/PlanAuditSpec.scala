@@ -45,6 +45,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the binned windows side to broadcast\n$plan")
   }
 
+  test("q51 dispatch: windows above the measured bound take the shuffle-hash path, row-identical") {
+    // Force the fallback (bound 0 makes every corpus "too big to
+    // broadcast"): the plan must become a partitioned equi-join on bin —
+    // no broadcast of the windows side, and still no nested loop.
+    val forced = RelationalQueries.q51RangeJoinImpl(spark, Sf0001, 0L)
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"forced shuffle path fell back to a nested loop\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the shuffle-hash equi-join on bin when the broadcast bound is exceeded\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"windows side must not broadcast above the bound\n$plan")
+    // Both paths are the same logical query: row-identical output.
+    val viaBroadcast = graft.SparkEntry.queries("q51_range_join")(spark, Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val viaShuffle = forced.collect().map(_.toString).sorted.toSeq
+    assert(viaBroadcast == viaShuffle, "broadcast and shuffle paths disagree")
+    assert(viaBroadcast.nonEmpty)
+  }
+
   test("q48 identifier fold plans broadcast for the warn dimension (no extra shuffle on the probe side)") {
     val plan = physical("q48_identifier_assignment")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),

@@ -125,4 +125,40 @@ class StreamingSoakSpec extends SparkSpec {
     // minute's 2 impressions at least)
     assert(spark.table("soak_join").count() >= Batches.toLong * users.size * 2 / 2)
   }
+
+  test("soak: tws near-dup bucket state plateaus at buckets x BucketCap under a constant flood") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = (0 until 100).map(i => s"w$i").mkString(" ")
+      val source = MemoryStream[StreamText]
+      val q = StreamingNearDupTws.detect(source.toDS())
+        .writeStream.format("memory").queryName("soak_ndtws").outputMode("append").start()
+
+      var nextId = 0L
+      val series = soak(q) { _ =>
+        // 3 fresh ids of the SAME text per batch: all land in the same 32
+        // buckets, so 330 arrivals would hold 330 signatures if unbounded
+        // — the FIFO cap must hold each bucket at BucketCap instead
+        source.addData((0 until 3).map { _ =>
+          nextId += 1; StreamText(nextId, base)
+        }: _*)
+      }
+      q.stop()
+
+      // bound: 32 buckets x BucketCap entries (list elements are rows in
+      // the TWS store; if the provider counts per-key the true value is
+      // 32, still under the ceiling)
+      assertPlateau(series, 32L * StreamingNearDup.BucketCap, "tws near-dup state rows")
+      // hits flowed the whole soak (every arrival past the first scores
+      // against at least one held signature in every band)
+      assert(spark.table("soak_ndtws").count() >= Batches.toLong * 32)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
