@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.store.{DocumentStore, LocalStore}
+import graft.streaming.IngestStream
+
+/** End-to-end ingest throughput: drive [[IngestStream]] over N
+  * golden-shaped TDR packages (real tarballs staged under a file: bucket,
+  * real SQS-dialect messages through a file streaming source) into a
+  * [[LocalStore]] at local[32], and report docs/s — the number BASELINE.md
+  * sets against the reference's derived ceiling of O(10) docs/s across 25
+  * concurrent 256 MB Lambdas.
+  *
+  * Two timed runs isolate the bottleneck:
+  *   - `full`: the whole pipeline into a LocalStore (fetch → tar gather →
+  *     resolve → table MERGEs → asset byte copies);
+  *   - `null_store`: same pipeline, but every table write lands in a
+  *     frame-forcing null sink (asset bytes still copied) — the delta
+  *     names how much of the wall is the store MERGE vs the pipeline.
+  *
+  * Prints one BENCH-style JSON line:
+  * {"metric":"ingest_docs_per_sec","value":...,"docs":N,"full_sec":...,
+  *  "null_store_sec":...,"bottleneck":"..."}. */
+object IngestBench {
+
+  /** Table writes discarded after forcing the frame (the compute is paid,
+    * the MERGE isn't); reads stay empty — every package takes the insert
+    * path, like a fresh corpus. Asset bytes still land under assetRoot. */
+  private final class NullStore(val spark: SparkSession, val assetRoot: String)
+      extends DocumentStore {
+    private def force(df: DataFrame): Unit = { df.count(); () }
+    def read(t: String): Option[DataFrame] = None
+    def upsertDocuments(updates: DataFrame): Unit = force(updates)
+    def setPublished(decisions: DataFrame): Unit = force(decisions)
+    def appendIdentifiers(rows: DataFrame): Unit = force(rows)
+    def upsertProperties(rows: DataFrame): Unit = force(rows)
+    def appendAssets(rows: DataFrame): Unit = force(rows)
+    def appendNotifications(rows: DataFrame): Unit = force(rows)
+    def appendFailures(rows: DataFrame): Unit = force(rows)
+  }
+
+  /** Delegating store that accumulates wall seconds per operation — the
+    * bottleneck-naming instrument (printed after the full run). */
+  private final class TimingStore(inner: DocumentStore) extends DocumentStore {
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    private def timed[T](op: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      try body finally timings.merge(op, (System.nanoTime() - t0) / 1e9, _ + _)
+    }
+    def spark: SparkSession = inner.spark
+    def read(t: String): Option[DataFrame] = timed(s"read($t)")(inner.read(t))
+    def upsertDocuments(u: DataFrame): Unit = timed("upsertDocuments")(inner.upsertDocuments(u))
+    def setPublished(d: DataFrame): Unit = timed("setPublished")(inner.setPublished(d))
+    def appendIdentifiers(r: DataFrame): Unit = timed("appendIdentifiers")(inner.appendIdentifiers(r))
+    def upsertProperties(r: DataFrame): Unit = timed("upsertProperties")(inner.upsertProperties(r))
+    def appendAssets(r: DataFrame): Unit = timed("appendAssets")(inner.appendAssets(r))
+    def appendNotifications(r: DataFrame): Unit = timed("appendNotifications")(inner.appendNotifications(r))
+    def appendFailures(r: DataFrame): Unit = timed("appendFailures")(inner.appendFailures(r))
+    def assetRoot: String = inner.assetRoot
+  }
+
+  private def metadata(ref: String): String =
+    s"""{"parameters": {"TRE": {"reference": "TRE-$ref", "payload": {
+       |  "filename": "doc.docx", "xml": "doc.xml", "metadata": "TRE-$ref-metadata.json",
+       |  "images": [], "log": "parser.log"}},
+       |  "PARSER": {"uri": null, "cite": "[2024] EWHC ${ref.hashCode.abs % 9000 + 1} (KB)",
+       |    "parser_run_id": "run-$ref"},
+       |  "TDR": {"Source-Organization": "MoJ", "Contact-Name": "Jo Doe",
+       |    "Contact-Email": "jo@example.com", "Internal-Sender-Identifier": "$ref",
+       |    "Consignment-Completed-Datetime": "2024-01-01T00:00:00Z"}}}""".stripMargin
+
+  private def archive(ref: String): Array[Byte] =
+    graft.tar.TarOps.packStrings(Seq(
+      s"$ref/TRE-$ref-metadata.json" -> metadata(ref),
+      s"$ref/doc.xml" ->
+        s"<akomaNtoso><judgment>body of $ref ${"x" * 2000}</judgment></akomaNtoso>",
+      s"$ref/doc.docx" -> s"docx bytes $ref ${"y" * 1000}",
+      s"$ref/parser.log" -> "ok"))
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def sqsLine(msgId: String, ref: String): String = {
+    val inner = s"""{"parameters": {"reference": "$ref", "originator": "TDR", """ +
+      s""""s3Bucket": "b", "s3Key": "k/$ref.tar.gz"}}"""
+    val body = jsonStr(s"""{"Type": "Notification", "Message": ${jsonStr(inner)}}""")
+    val record = s"""{"messageId": "$msgId", "eventSource": "aws:sqs", "body": $body}"""
+    s"""{"kind": "sqs", "record_json": ${jsonStr(record)}}"""
+  }
+
+  private def timedRun(spark: SparkSession, eventsDir: String, store: DocumentStore,
+      resolver: (String, String) => String): Double = {
+    val ckpt = Files.createTempDirectory("graft-ingest-bench-ckpt").toString
+    val events = spark.readStream
+      .schema(StructType(Seq(StructField("kind", StringType),
+        StructField("record_json", StringType))))
+      .option("maxFilesPerTrigger", "1000000")
+      .json(eventsDir)
+    val t0 = System.nanoTime()
+    val q = IngestStream.start(events, store, ckpt, packageUri = resolver)
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // stage N real tarballs under the file: bucket, generated in parallel
+    val bucket = Files.createTempDirectory("graft-ingest-bench-bucket")
+    Files.createDirectories(bucket.resolve("b/k"))
+    val bucketStr = bucket.toString
+    spark.range(n.toLong).repartition(32).as[Long].foreach { i =>
+      val ref = f"REF-B$i%06d"
+      Files.write(Paths.get(s"$bucketStr/b/k/$ref.tar.gz"), archive(ref))
+      ()
+    }
+    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+
+    // one JSON-lines file of N SQS messages for the file streaming source
+    val eventsDir = Files.createTempDirectory("graft-ingest-bench-events").toString
+    val sb = new StringBuilder
+    (0 until n).foreach { i =>
+      sb.append(sqsLine(f"msg-$i%06d", f"REF-B$i%06d")).append('\n')
+    }
+    Files.writeString(Paths.get(s"$eventsDir/events.jsonl"), sb.toString)
+
+    // warm the session (codegen, FS init) outside the timed runs
+    spark.range(1000).write.mode("overwrite").format("noop").save()
+
+    val inner = LocalStore(spark,
+      Files.createTempDirectory("graft-ingest-bench-store").toString)
+    val fullStore = new TimingStore(inner)
+    val fullSec = timedRun(spark, eventsDir, fullStore, resolver)
+    val docs = fullStore.documents.count()
+    fullStore.timings.forEach { (op, s) =>
+      println(f"[ingest-bench] $op%-22s ${s}%.1f s")
+    }
+    require(docs == n.toLong, s"expected $n documents, got $docs")
+
+    val nullSec = timedRun(spark, eventsDir, new NullStore(spark,
+      Files.createTempDirectory("graft-ingest-bench-null-assets").toString), resolver)
+
+    val rate = n / fullSec
+    val mergeShare = (fullSec - nullSec) / fullSec
+    val bottleneck =
+      if (mergeShare > 0.5) "store MERGE (table writes dominate)"
+      else "pipeline (fetch + tar gather + asset copies dominate)"
+    println(f"""{"metric":"ingest_docs_per_sec","value":$rate%.1f,"docs":$n,""" +
+      f""""full_sec":$fullSec%.1f,"null_store_sec":$nullSec%.1f,""" +
+      f""""merge_share":$mergeShare%.2f,"bottleneck":"$bottleneck"}""")
+    spark.stop()
+  }
+}

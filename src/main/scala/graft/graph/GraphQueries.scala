@@ -122,15 +122,15 @@ object GraphQueries {
 
   val q93Sql: String = {
     def round(k: Int): String =
-      s"""p$k AS (SELECT ed.dst AS node,
+      s"""p$k AS MATERIALIZED (SELECT ed.dst AS node,
          |  CAST(b.base + sum(CAST(CAST(0.85 AS DOUBLE) * CAST(p.pr AS DOUBLE) / ed.deg AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS pr
          |  FROM ed JOIN p${k - 1} p ON ed.src = p.node CROSS JOIN b
          |  GROUP BY ed.dst, b.base)""".stripMargin
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
        |nn AS (SELECT count(*) AS n FROM deg),
        |b AS (SELECT CAST(CAST(0.15 AS DOUBLE) / n AS DECIMAL(18,6)) AS base FROM nn),
        |p0 AS (SELECT src AS node, CAST(CAST(1.0 AS DOUBLE) / n AS DECIMAL(18,6)) AS pr
@@ -217,16 +217,21 @@ object GraphQueries {
     * shared by q118 and q156 so the community assignment the modularity
     * audit scores is the exact chain the LPA gate pins. */
   private val lpaCtesSql: String = {
+    // MATERIALIZED is load-bearing at scale: DuckDB inlines plain CTEs,
+    // so the l1→c2→l2→c3→l3 chain (each referencing sym and the previous
+    // round) would otherwise expand into an exponentially deep join tree
+    // — fine at sf0.01, a 35-minute-plus blowup at the 10× replica. The
+    // hint pins one evaluation per round (11 s at 10×), results unchanged.
     def round(k: Int): String =
-      s"""c$k AS (SELECT s.dst, l.lbl, count(*) AS c
+      s"""c$k AS MATERIALIZED (SELECT s.dst, l.lbl, count(*) AS c
          |  FROM sym s JOIN l${k - 1} l ON s.src = l.v GROUP BY 1, 2),
-         |l$k AS (SELECT dst AS v, lbl FROM (SELECT dst, lbl,
+         |l$k AS MATERIALIZED (SELECT dst AS v, lbl FROM (SELECT dst, lbl,
          |  row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rk FROM c$k)
          |  WHERE rk = 1)""".stripMargin
-    s"""e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM sym),
        |${(1 to LpaRounds).map(round).mkString(",\n")}""".stripMargin
   }
 
@@ -402,16 +407,16 @@ object GraphQueries {
 
   val q123Sql: String = {
     def level(k: Int): String =
-      s"""n$k AS (SELECT DISTINCT v.seed, s.dst AS node
+      s"""n$k AS MATERIALIZED (SELECT DISTINCT v.seed, s.dst AS node
          |  FROM v${k - 1} v JOIN sym s ON v.node = s.src),
-         |v$k AS (SELECT DISTINCT seed, node FROM
+         |v$k AS MATERIALIZED (SELECT DISTINCT seed, node FROM
          |  (SELECT seed, node FROM v${k - 1} UNION ALL SELECT seed, node FROM n$k))""".stripMargin
     val counts = (1 to KhopHops).map(k =>
       s"""SELECT seed, $k AS hop, CAST(count(*) - 1 AS BIGINT) AS n_reached
          |FROM v$k GROUP BY seed""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |sd AS (SELECT s_suppkey * 2 + 1 AS seed FROM supplier ORDER BY seed LIMIT $KhopSeeds),
        |v0 AS (SELECT seed, seed AS node FROM sd),
        |${(1 to KhopHops).map(level).mkString(",\n")},

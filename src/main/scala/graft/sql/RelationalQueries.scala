@@ -516,8 +516,14 @@ object RelationalQueries {
     * partitions instead of one straggler. The RESULT is identical to the
     * plain join (the oracle is the unsalted SQL); only the shuffle layout
     * changes. AQE's skew-join split handles many cases automatically —
-    * salting is the explicit form for when the skew is in the DATA, known
-    * ahead, and the dim side is small enough to replicate. */
+    * `AqeSkewJoinSpec` observes `OptimizeSkewedJoin` fire (skew=true in
+    * the final adaptive plan) on a hot-key fixture — but the manual salt
+    * remains necessary where AQE can't reach: skewed AGGREGATIONS (AQE
+    * splits only join shuffle reads), joins whose output partitioning a
+    * downstream operator requires (splitting would break it), and plans
+    * that must avoid materializing the skewed shuffle at all. Salting is
+    * the explicit form for skew that is in the DATA and known ahead,
+    * with a dim side small enough to replicate Salt×. */
   private val Salt = 8
 
   def q46SaltedJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -272,6 +272,12 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  // MATERIALIZED on `sp` is load-bearing at scale: DuckDB inlines plain
+  // CTEs, and `sp` (the gap-filled hourly spine) is referenced three times
+  // (st, and both sides of pr's self-join) — the 10× replica sweep hung
+  // minutes on the re-expanded spine joins until the hint pinned one
+  // evaluation (1.1 s at 10×). Results unchanged (same rule as q156's LPA
+  // chain, GraphQueries.lpaCtesSql).
   val q158Sql: String = {
     val lagRows = AcfLags.map(l => s"($l)").mkString(", ")
     s"""WITH hc AS (SELECT event_type,
@@ -280,7 +286,7 @@ object TimeSeriesQueries {
        |ext AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hc GROUP BY 1),
        |spx AS (SELECT ext.event_type, u.h
        |  FROM ext, unnest(generate_series(ext.h0, ext.h1)) AS u(h)),
-       |sp AS (SELECT spx.event_type, spx.h, coalesce(hc.cnt, 0) AS x
+       |sp AS MATERIALIZED (SELECT spx.event_type, spx.h, coalesce(hc.cnt, 0) AS x
        |  FROM spx LEFT JOIN hc ON hc.event_type = spx.event_type AND hc.h = spx.h),
        |st AS (SELECT event_type, count(*) AS n, sum(x) AS s,
        |    sum(CAST(x AS DECIMAL(15,0)) * CAST(x AS DECIMAL(15,0))) AS ss

@@ -88,6 +88,15 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     * writes its ledger marker) but answers 500 — the ack is lost exactly
     * as if the server died after the apply. Self-clears. */
   @volatile var dropNextCommitAck: Boolean = false
+
+  /** Commits (exclusive) vs snapshot materialization (shared): the
+    * point-in-time snapshot must not observe a commit mid-bucket-swap —
+    * the isolation a real connector's read transaction provides, here a
+    * coarse server-wide lock (a test double doesn't need per-table
+    * granularity). Static part serving never locks, so in-flight reads
+    * never block writers. `ConcurrentStoreSpec` hammers one writer
+    * against a reader loop and asserts reads never tear or fail. */
+  private val txnIsolation = new java.util.concurrent.locks.ReentrantReadWriteLock()
   /** snapshot token → ordered part files */
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[String, Vector[Path]]()
   /** snapshot token → materialization time (for TTL-based reaping) */
@@ -204,19 +213,22 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
             if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          op match {
-            case "upsertDocuments"     => inner.upsertDocuments(batch)
-            case "setPublished"        => inner.setPublished(batch)
-            case "appendIdentifiers"   => inner.appendIdentifiers(batch)
-            case "upsertProperties"    => inner.upsertProperties(batch)
-            case "appendAssets"        => inner.appendAssets(batch)
-            case "appendNotifications" => inner.appendNotifications(batch)
-            case "appendFailures"      => inner.appendFailures(batch)
-            case other => throw new IllegalArgumentException(s"unknown op: $other")
-          }
-          // applied → ledger marker (durable under the store root) → ack;
-          // see the ledger scaladoc for the apply→marker residual window
-          Files.createFile(ledgerDir.resolve(id))
+          txnIsolation.writeLock().lock()
+          try {
+            op match {
+              case "upsertDocuments"     => inner.upsertDocuments(batch)
+              case "setPublished"        => inner.setPublished(batch)
+              case "appendIdentifiers"   => inner.appendIdentifiers(batch)
+              case "upsertProperties"    => inner.upsertProperties(batch)
+              case "appendAssets"        => inner.appendAssets(batch)
+              case "appendNotifications" => inner.appendNotifications(batch)
+              case "appendFailures"      => inner.appendFailures(batch)
+              case other => throw new IllegalArgumentException(s"unknown op: $other")
+            }
+            // applied → ledger marker (durable under the store root) →
+            // ack; see the ledger scaladoc for the apply→marker window
+            Files.createFile(ledgerDir.resolve(id))
+          } finally txnIsolation.writeLock().unlock()
           committed.add(id)
           deleteRecursively(dir)
           if (dropNextCommitAck) {
@@ -226,13 +238,14 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
         }
 
       case ("GET", "tables" :: t :: "schema" :: Nil) if TableName.matches(t) =>
-        inner.read(t) match {
+        txnIsolation.readLock().lock()
+        try inner.read(t) match {
           case None => respond(ex, 404, s"no such table: $t")
           case Some(df) =>
             val (token, parts) = snapshot(t, df)
             respond(ex, 200, df.schema.json,
               Map("X-Graft-Snap" -> token, "X-Graft-Parts" -> parts.toString))
-        }
+        } finally txnIsolation.readLock().unlock()
 
       case ("GET", "snap" :: token :: idx :: Nil) if TxnId.matches(token) =>
         (Option(snapshots.get(token)), idx.toIntOption) match {
