@@ -50,7 +50,11 @@ def main(out_dir: str, sf_dir: str, timeout_s: float) -> int:
         else:
             holder = []
 
-            def run(nm=name):
+            # nm AND out bound as defaults: the loop body shares one scope,
+            # so a closure over `holder` would let a TIMED-OUT thread's late
+            # append land in a LATER query's list (observed: q108's
+            # triangles oracle result compared against q120)
+            def run(nm=name, out=holder):
                 # fresh connection per query: a timed-out thread keeps its
                 # connection; the sweep moves on with a new one
                 con = duckdb.connect()
@@ -58,9 +62,11 @@ def main(out_dir: str, sf_dir: str, timeout_s: float) -> int:
                     p = f"{sf_dir}/{t}.parquet"
                     if os.path.isdir(p):
                         p = f"{p}/*.parquet"
+                    elif not os.path.exists(p):
+                        continue  # partial replicas (e.g. the dedup one) ship only documents
                     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
                 want = canon(con.sql(oracles[nm]).df())
-                holder.append(want)
+                out.append(want)
 
             try:
                 got = canon(pd.read_parquet(f"{out_dir}/{name}"))

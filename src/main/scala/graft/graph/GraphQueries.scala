@@ -554,15 +554,15 @@ object GraphQueries {
 
   val q130Sql: String = {
     def round(k: Int): String =
-      s"""a${k}r AS (SELECT s, sum(h) AS raw FROM e JOIN h${k - 1} USING (c) GROUP BY 1),
-         |a$k AS (SELECT s, CAST(CAST(raw AS DOUBLE) /
+      s"""a${k}r AS MATERIALIZED (SELECT s, sum(h) AS raw FROM e JOIN h${k - 1} USING (c) GROUP BY 1),
+         |a$k AS MATERIALIZED (SELECT s, CAST(CAST(raw AS DOUBLE) /
          |          (SELECT CAST(sum(raw) AS DOUBLE) FROM a${k}r) AS DECIMAL(18,6)) AS a
          |        FROM a${k}r),
-         |h${k}r AS (SELECT c, sum(a) AS raw FROM e JOIN a$k USING (s) GROUP BY 1),
-         |h$k AS (SELECT c, CAST(CAST(raw AS DOUBLE) /
+         |h${k}r AS MATERIALIZED (SELECT c, sum(a) AS raw FROM e JOIN a$k USING (s) GROUP BY 1),
+         |h$k AS MATERIALIZED (SELECT c, CAST(CAST(raw AS DOUBLE) /
          |          (SELECT CAST(sum(raw) AS DOUBLE) FROM h${k}r) AS DECIMAL(18,6)) AS h
          |        FROM h${k}r)""".stripMargin
-    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |h0 AS (SELECT DISTINCT c, CAST(1 AS DECIMAL(18,6)) AS h FROM e),
        |${(1 to HitsRounds).map(round).mkString(",\n")}
@@ -653,13 +653,13 @@ object GraphQueries {
 
   val q108Sql: String = {
     val scale = TriSampleMod.toLong * TriSampleMod * TriSampleMod
-    s"""WITH cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    s"""WITH cs AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |cd AS (SELECT c, count(*) AS d FROM cs GROUP BY 1),
-       |e AS (SELECT DISTINCT x.s AS a, y.s AS b
+       |e AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
        |      FROM cs x JOIN cs y ON x.c = y.c AND x.s < y.s
        |      WHERE x.c IN (SELECT c FROM cd WHERE d BETWEEN 2 AND $CoCap)),
-       |es AS (SELECT a, b FROM e
+       |es AS MATERIALIZED (SELECT a, b FROM e
        |       WHERE ('0x' || substr(md5('tri:' || a || ':' || b), 1, 15))::BIGINT
        |             % $TriSampleMod = 0),
        |tri AS (SELECT count(*) AS t_sampled
@@ -725,7 +725,7 @@ object GraphQueries {
 
   val q145Sql: String = {
     def level(k: Int): String =
-      s"""d$k AS (SELECT seed, node, min(dist) AS dist FROM (
+      s"""d$k AS MATERIALIZED (SELECT seed, node, min(dist) AS dist FROM (
          |  SELECT seed, node, dist FROM d${k - 1}
          |  UNION ALL
          |  SELECT d.seed, s.dst AS node, d.dist + s.w AS dist
@@ -735,7 +735,7 @@ object GraphQueries {
        |              CAST(min(l_quantity) AS BIGINT) AS w
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |            GROUP BY 1, 2),
-       |sym AS (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
+       |sym AS MATERIALIZED (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew),
        |sd AS (SELECT s_suppkey * 2 + 1 AS seed FROM supplier ORDER BY seed LIMIT $SsspSeeds),
        |d0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS dist FROM sd),
        |${(1 to SsspHops).map(level).mkString(",\n")}
@@ -816,18 +816,18 @@ object GraphQueries {
 
   val q151Sql: String = {
     def round(r: Int): String =
-      s"""k$r AS (SELECT src AS v FROM e${r - 1} GROUP BY src
+      s"""k$r AS MATERIALIZED (SELECT src AS v FROM e${r - 1} GROUP BY src
          |        HAVING count(*) >= (SELECT k FROM kq)),
-         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
          |        JOIN k$r a ON e.src = a.v JOIN k$r b ON e.dst = b.v)""".stripMargin
     val counts = (1 to CoreRounds).map(r =>
       s"""SELECT $r AS round, (SELECT k FROM kq) AS k,
          |  (SELECT count(*) FROM k$r) AS n_nodes,
          |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e$r) AS n_edges""".stripMargin)
       .mkString("\nUNION ALL\n")
-    s"""WITH t0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    s"""WITH t0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e0 AS (SELECT src, dst FROM t0 UNION ALL SELECT dst, src FROM t0),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM t0 UNION ALL SELECT dst, src FROM t0),
        |d0 AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
        |dc AS (SELECT d, count(*) AS c FROM d0 GROUP BY 1),
        |dw AS (SELECT d, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cw,

@@ -431,7 +431,7 @@ object MediaQueries {
     * from an integer hash of (x, y, frame, doc_id) — exactly recomputable
     * in SQL. PNG is lossless, so the oracle can verify the whole
     * container→codec→raster path by arithmetic. (Same hash family as
-    * [[encodeWav]]; products stay under 2⁶³ for doc_id < ~10⁸.) */
+    * [[encodeWav]], same doc_id % 10⁸ mask — overflow-free for any id.) */
   /** Minimal spec-conformant PNG encoder (8-bit grayscale, filter 0,
     * one zlib IDAT) for FIXTURE synthesis only. `ImageIO`'s writer costs
     * ~0.6 ms per 16×16 frame (SPI dispatch + metadata machinery) and the
@@ -486,7 +486,7 @@ object MediaQueries {
         var x = 0
         while (x < w) {
           pix(y * w + x) =
-            (((x.toLong * 7 + y * 11 + i * 13 + docId * 31) * 2654435761L) % 256L).toByte
+            (((x.toLong * 7 + y * 11 + i * 13 + (docId % 100000000L) * 31) * 2654435761L) % 256L).toByte
           x += 1
         }
         y += 1
@@ -538,7 +538,7 @@ object MediaQueries {
       |fx AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames, i,
       |    unnest(range(0, width)) AS x FROM fi),
       |px AS (SELECT doc_id, width, height, fps, n_frames, sampled_frames,
-      |    ((x * 7 + y * 11 + i * 13 + doc_id * 31) * 2654435761) % 256 AS v
+      |    ((x * 7 + y * 11 + i * 13 + (doc_id % 100000000) * 31) * 2654435761) % 256 AS v
       |  FROM fx, unnest(range(0, height)) AS t(y))
       |SELECT doc_id, width, height, fps,
       |  CAST(n_frames AS BIGINT) AS n_frames,
@@ -552,11 +552,12 @@ object MediaQueries {
     * channels/rate/length derive from doc_id, each 16-bit sample from an
     * integer hash of (frame, channel, doc_id) — exactly recomputable in
     * SQL, so the oracle can verify the codec round trip by arithmetic.
-    * (The multiplier is Knuth's 2654435761; the dominant product term is
-    * doc_id·13·2654435761, which stays under 2⁶³ for doc_id < ~2.6×10⁸ —
-    * still far past any gate SF. Past that bound the Long product wraps
-    * negative on both sides, but Spark and the SQL oracle disagree on
-    * `%` of a negative, so the hash formula must not be fed larger ids.) */
+    * (The multiplier is Knuth's 2654435761. The doc term is masked to
+    * doc_id % 10⁸ BEFORE the multiply so the Int64 product can never
+    * overflow for ANY doc_id — the 10× scale replica's k·10⁹ id offsets
+    * overflowed the unmasked form, throwing in DuckDB while Spark wrapped
+    * silently; the mask makes the bound structural instead of a comment.
+    * The oracle SQL applies the identical mask.) */
   private[media] def encodeWav(docId: Long): Array[Byte] = {
     val ch = 1 + (docId % 2).toInt
     val sr = 8000 + 4000 * (docId % 3).toInt
@@ -567,7 +568,7 @@ object MediaQueries {
     while (i < nFrames) {
       var c = 0
       while (c < ch) {
-        val v = (((i.toLong * 31 + c * 17 + docId * 13) * 2654435761L) % 65536L).toInt - 32768
+        val v = (((i.toLong * 31 + c * 17 + (docId % 100000000L) * 13) * 2654435761L) % 65536L).toInt - 32768
         data.putShort(v.toShort)
         c += 1
       }
@@ -618,7 +619,7 @@ object MediaQueries {
       |f2 AS (SELECT doc_id, channels, sample_rate, n_frames, i,
       |    unnest(range(0, channels)) AS c FROM f1),
       |sm AS (SELECT doc_id, channels, sample_rate, n_frames,
-      |    ((i * 31 + c * 17 + doc_id * 13) * 2654435761) % 65536 - 32768 AS s
+      |    ((i * 31 + c * 17 + (doc_id % 100000000) * 13) * 2654435761) % 65536 - 32768 AS s
       |  FROM f2)
       |SELECT doc_id, sample_rate, channels, CAST(16 AS INT) AS bits,
       |  CAST(n_frames AS BIGINT) AS n_frames,
