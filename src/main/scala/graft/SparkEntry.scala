@@ -22,6 +22,7 @@ object SparkEntry {
       graft.sql.TimeSeriesQueries.queries ++
       graft.sql.SurvivalQueries.queries ++
       graft.text.TextQueries.queries ++
+      graft.text.CurationQueries.queries ++
       graft.text.SearchQueries.queries ++
       graft.text.BpeQueries.queries ++
       graft.dedup.DedupQueries.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.sql.TimeSeriesQueries.oracleSql ++
       graft.sql.SurvivalQueries.oracleSql ++
       graft.text.TextQueries.oracleSql ++
+      graft.text.CurationQueries.oracleSql ++
       graft.text.SearchQueries.oracleSql ++
       graft.text.BpeQueries.oracleSql ++
       graft.dedup.DedupQueries.oracleSql ++

@@ -845,7 +845,7 @@ object TextQueries {
     */
   /** The q74 per-doc score frame, unordered — shared kernel for the gate
     * query (q74) and the pruning-curve card (q177). */
-  private def bigramNllScored(spark: SparkSession, dir: String): DataFrame = {
+  private[text] def bigramNllScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(normText(col("text")))
     // referenced three times (V, model training, scoring) — materialize
     // the gram kernel once (see docShingleHashes rationale in dedup)
@@ -887,7 +887,7 @@ object TextQueries {
 
   /** The q74 CTE chain up to the per-doc score fold — shared verbatim by
     * q74Sql and q177Sql so the card can never diverge from the scorer. */
-  private val bigramNllCtesSql: String = {
+  private[text] val bigramNllCtesSql: String = {
     val toks = s"string_split(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g'))), ' ')"
     s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
        |g AS (SELECT doc_id,
