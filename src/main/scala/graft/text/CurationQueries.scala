@@ -72,7 +72,13 @@ object CurationQueries {
     val dirty = px.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
-    (base, px.join(dirty, Seq("h"), "left_semi").select(col("doc_id"), col("pos")))
+    // flagged is dup-mass-cardinality (tiny) but its lineage is the whole
+    // gram-kernel + fold + semi-join pipeline, and q200 consumes it from
+    // THREE subtrees (span stats, longest-span pick, interval union) and
+    // q204 from two more — materialize once or the detector runs 3-5×
+    // (measured: q200 3.3 s → 1.6 s at sf0.1)
+    (base, px.join(dirty, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos")).localCheckpoint(true))
   }
 
   /** The same detector as shared oracle CTEs (tk/sq/px/dirty/fl).
