@@ -333,7 +333,10 @@ object Scale {
     * would be quadratic (10 000× work at the 100× decade). */
   private val DedupQueriesTimed = Seq("q19_dedup_exact",
     "q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q65_dedup_clusters",
-    "q129_containment", "q76_incremental_dedup")
+    "q129_containment", "q76_incremental_dedup",
+    // round 12: the substring-span family — dirty-gram mass is
+    // within-replica only (disjoint shingles), so the honest decade
+    "q200_substring_spans", "q204_excise_audit")
 
   private def buildDedupReplica(spark: SparkSession, src: String, out: String,
       reps: Int): Unit = {

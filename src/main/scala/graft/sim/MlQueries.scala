@@ -62,9 +62,13 @@ object MlQueries {
   /** Runs the [[GdSteps]]-step fit. Returns the per-step 1-row weight
     * frames (for q147's trajectory output) and the final weights as
     * driver-ferried bounded scalars (for q154's scoring pass). */
-  private def fit(spark: SparkSession, dir: String): (Seq[DataFrame], Array[Double]) = {
-    val x = featureFrame(spark, dir)
+  private def fit(spark: SparkSession, dir: String): (Seq[DataFrame], Array[Double]) =
+    fitFrame(featureFrame(spark, dir))
 
+  /** The same [[GdSteps]]-step fit over ANY feature frame (x0..x<d-1>, y)
+    * — q147/q154 pass the full corpus, q207 passes gated training
+    * subsets. */
+  private def fitFrame(x: DataFrame): (Seq[DataFrame], Array[Double]) = {
     // one GD step from weight vector w: returns the 1-row frame holding
     // the updated weights as DECIMAL(18,9) (w0..w<NumFeat-1> = features,
     // w<NumFeat> = bias)
@@ -354,13 +358,144 @@ object MlQueries {
        |FROM sc CROSS JOIN iv ORDER BY bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q207
+  /** LEARNING CURVE of q147's classifier: the fit re-runs on nested
+    * hash-gated training fractions (25/50/75/100% of the non-held-out
+    * corpus) and each fitted model is evaluated by q154's tie-corrected
+    * AUC on ONE fixed held-out slice (fold 7 of an 8-fold hash split —
+    * never trained on). Per fraction: training rows, eval rows, AUC.
+    * This is the "do we need more data?" card every training-data
+    * acquisition decision reads — completing the supervised family's
+    * lifecycle: q159 screens features, q147 fits, q154 evaluates, q207
+    * prices the next data purchase.
+    *
+    * Subsets NEST (same hash, growing threshold), so the curve isolates
+    * data volume — no subset-to-subset sampling noise. Shares
+    * [[fitFrame]]/[[sigmoid6]] verbatim with q147/q154 (and the oracle
+    * unrolls the identical per-subset trajectory text), so a curve point
+    * at 100% is q147's own fit evaluated on the held-out slice.
+    *
+    * 100 TB shape: 4 fits × [[GdSteps]] corpus scans, each folding
+    * map-side to a (d+1)-term gradient (q147's schedule; the gate is a
+    * scan-stage hash projection, no membership table); each eval is one
+    * scan of the 1/8 slice + the value-cardinality rank sweep (q154's
+    * device). Parity: identical decimal trajectory arithmetic; the AUC
+    * numerator sums as DECIMAL(38,0). */
+  private val LcPcts = Seq(25, 50, 75, 100)
+
+  private def gatedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val feats = (0 until NumFeat).map(i =>
+      element_at(col("embedding"), i + 1).cast(DoubleType).as(s"x$i"))
+    val y = when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y")
+    val fold = (graft.text.TextOps.hex60(
+      concat(lit("lc:"), col("vec_id").cast("string"))) % 8).as("fold")
+    val u = (graft.text.TextOps.hex60(
+      concat(lit("lcp:"), col("vec_id").cast("string"))) % 100).as("u")
+    Tables(spark, dir).embeddings.select(feats ++ Seq(y, fold, u): _*)
+  }
+
+  def q207LearningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val g = gatedFrame(spark, dir).localCheckpoint(true)
+    val eval = g.filter(col("fold") === 7)
+    val nEval = eval.count()
+    val curves = LcPcts.map { p =>
+      val train = g.filter(col("fold") =!= 7 && col("u") < p)
+      val (_, w) = fitFrame(train)
+      val scored = eval.select(sigmoid6(w).as("s"), col("y"))
+      val grp = scored.groupBy(col("s"))
+        .agg(count(when(col("y") === 1.0, 1)).as("pos"),
+          count(when(col("y") === 0.0, 1)).as("neg"))
+      val wBelow = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val swept = grp.withColumn("neg_below",
+        coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      val nTrain = train.count()
+      swept.agg(
+        sum((col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("neg_below") + col("neg")))
+          .cast(DecimalType(38, 0))).as("num2"),
+        sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+        .select(lit(p.toLong).as("pct"), lit(nTrain).as("n_train"),
+          lit(nEval).as("n_eval"),
+          (col("num2").cast(DoubleType) /
+            (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType)))
+            .as("auc"))
+    }
+    curves.reduce(_ unionByName _).orderBy(col("pct"))
+  }
+
+  val q207Sql: String = {
+    val xCols = (0 until NumFeat)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(", ")
+    def zSql(wRef: Int => String): String =
+      ((0 until NumFeat).map(i => s"${wRef(i)} * x$i") :+ wRef(NumFeat)).mkString(" + ")
+    def stepSql(tag: String, k: Int, wRef: Int => String, prevJoin: String): String = {
+      val gCols = ((0 until NumFeat).map(i =>
+        s"sum(CAST((CAST(sg AS DOUBLE) - y) * x$i AS DECIMAL(18,9))) AS g$i") :+
+        s"sum(CAST(CAST(sg AS DOUBLE) - y AS DECIMAL(18,9))) AS g$NumFeat").mkString(", ")
+      val wCols = (0 to NumFeat).map(i =>
+        s"CAST(${wRef(i)} - CAST(g$i AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS w$i")
+        .mkString(", ")
+      s"""s$tag$k AS (SELECT x$tag.*, CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(${zSql(wRef)}))) AS DECIMAL(18,6)) AS sg
+         |  FROM x$tag$prevJoin),
+         |g$tag$k AS (SELECT $gCols, count(*) AS n FROM s$tag$k),
+         |w$tag$k AS (SELECT $wCols FROM g$tag$k$prevJoin)""".stripMargin
+    }
+    val zero: Int => String = _ => "CAST(0.0 AS DOUBLE)"
+    def fromW(tag: String, c: Int): Int => String = i => s"CAST(w$tag$c.w$i AS DOUBLE)"
+    val perPct = LcPcts.map { p =>
+      val tag = s"_$p"
+      val steps = (1 to GdSteps).map { k =>
+        if (k == 1) stepSql(tag, 1, zero, "")
+        else stepSql(tag, k, fromW(tag, k - 1), s" CROSS JOIN w$tag${k - 1}")
+      }.mkString(",\n")
+      val finalZ = ((0 until NumFeat).map(i =>
+        s"CAST(w$tag$GdSteps.w$i AS DOUBLE) * x$i") :+
+        s"CAST(w$tag$GdSteps.w$NumFeat AS DOUBLE)").mkString(" + ")
+      s"""x$tag AS MATERIALIZED (SELECT * FROM xg WHERE fold != 7 AND u < $p),
+         |$steps,
+         |e$tag AS (SELECT CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-($finalZ))) AS DECIMAL(18,6)) AS s, y
+         |  FROM xe CROSS JOIN w$tag$GdSteps),
+         |c$tag AS (SELECT s,
+         |    count(*) FILTER (WHERE y = 1.0) AS pos,
+         |    count(*) FILTER (WHERE y = 0.0) AS neg
+         |  FROM e$tag GROUP BY 1),
+         |sw$tag AS (SELECT pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |  FROM c$tag),
+         |a$tag AS (SELECT
+         |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
+         |      / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)) AS auc
+         |  FROM sw$tag),
+         |n$tag AS (SELECT count(*) AS n_train FROM x$tag)""".stripMargin
+    }.mkString(",\n")
+    val sel = LcPcts.map { p =>
+      val tag = s"_$p"
+      s"""SELECT CAST($p AS BIGINT) AS pct, CAST(n_train AS BIGINT) AS n_train,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM xe) AS n_eval, auc
+         |FROM n$tag, a$tag""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH xg AS MATERIALIZED (SELECT $xCols,
+       |  CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |  ('0x' || substr(md5('lc:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS fold,
+       |  ('0x' || substr(md5('lcp:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS u
+       |  FROM embeddings),
+       |xe AS MATERIALIZED (SELECT * FROM xg WHERE fold = 7),
+       |$perPct
+       |$sel
+       |ORDER BY pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q147_logistic_gd" -> (q147LogisticGd _),
       "q154_model_eval" -> (q154ModelEval _),
-      "q159_woe_iv" -> (q159WoeIv _))
+      "q159_woe_iv" -> (q159WoeIv _),
+      "q207_learning_curve" -> (q207LearningCurve _))
 
   val oracleSql: Map[String, String] =
     Map("q147_logistic_gd" -> q147Sql,
       "q154_model_eval" -> q154Sql,
-      "q159_woe_iv" -> q159Sql)
+      "q159_woe_iv" -> q159Sql,
+      "q207_learning_curve" -> q207Sql)
 }
