@@ -1349,6 +1349,60 @@ object DedupQueries {
        |FROM h JOIN s USING (content_hash)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** NEAR-dup-aware training weights — q141's count-deduplication with
+    * q65's connected-component labels swapped in for the exact content
+    * hash (the swap q141's scaladoc promises; this card makes it a gated
+    * artifact): weight = 1/|near-dup cluster|, singletons are their own
+    * cluster (left-join coalesce, q132's device), so lightly-edited
+    * copies that q141's exact hash treats as distinct content share one
+    * unit of influence. Σweight = #clusters is spec-pinned.
+    *
+    * 100 TB shape: q65's CC engine (edge-proportional shuffles,
+    * per-round checkpoint) + ONE label-keyed count + the doc-keyed join
+    * back — the exact q141 join-back shape on the CC label instead of
+    * the digest. One bit-stable division per row. */
+  def q208NearDupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = q65DedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = base.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_n"))
+    base.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("source"), col("cluster_id"), col("cluster_n"),
+        (lit(1.0) / col("cluster_n").cast(DoubleType)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q208Sql: String =
+    s"""WITH RECURSIVE $shinglesSqlCteBody,
+       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |pr AS (SELECT ida, idb
+       |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
+       |sym AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pr
+       |        UNION ALL SELECT idb, ida FROM pr),
+       |walk AS (SELECT src, dst FROM sym
+       |         UNION
+       |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
+       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |        FROM walk GROUP BY src),
+       |base AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_n
+       |       FROM base GROUP BY 1)
+       |SELECT doc_id, source, cluster_id, cluster_n,
+       |  CAST(1.0 AS DOUBLE) / CAST(cluster_n AS DOUBLE) AS weight
+       |FROM base JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Duplicate-cluster size distribution — how redundancy is SHAPED: many
     * 2-dup clusters (benign boilerplate) vs a few huge ones (a mirror or
@@ -1684,6 +1738,7 @@ object DedupQueries {
     "q87_dup_size_histogram"  -> (q87DupSizeHistogram _),
     "q81_dup_stats"           -> (q81DupStats _),
     "q141_dup_weights"        -> (q141DupWeights _),
+    "q208_near_dup_weights"   -> (q208NearDupWeights _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
     "q61_repetition"          -> (q61Repetition _),
@@ -1713,6 +1768,7 @@ object DedupQueries {
     "q87_dup_size_histogram"  -> q87Sql,
     "q81_dup_stats"           -> q81Sql,
     "q141_dup_weights"        -> q141Sql,
+    "q208_near_dup_weights"   -> q208Sql,
     "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,
     "q61_repetition"          -> q61Sql,
