@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.sketch.KmvSketch
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming KMV distinct-count on the `transformWithState` API — the
+  * third (and last) bounded-state streaming operator ported to the
+  * Spark-4 arbitrary-state API, completing the story next to
+  * [[StreamingDedupTws]] (exact first-seen) and [[StreamingNearDupTws]]
+  * (MinHash-LSH buckets): every stateful operator this engine ships now
+  * has a TWS form whose state retention is a declarative [[TTLConfig]]
+  * knob on the store (RocksDB-backed, disk-bounded) instead of
+  * hand-carried deadline state.
+  *
+  * The state is EXACTLY the classic operator's: [[KmvSketch.State]] —
+  * one ≤k-long sorted array per key, updated by the aggregator's own
+  * insert path, so the TWS estimates are pinned value-identical to
+  * [[StreamingDistinct.estimates]] on the same fixture
+  * (`StreamingDistinctTwsSpec`), and both reconcile with a q77-style
+  * batch shard rollup below k. TTL here means "a key silent for the
+  * window restarts its sketch" — the retention trade a 100 TB stream
+  * with unbounded key churn has to make; TTLConfig.NONE keeps the
+  * classic forever-state semantics. */
+object StreamingDistinctTws {
+
+  /** Keyed by the observation key; ValueState[KmvSketch.State] + native
+    * TTL. The state encoder is the same product encoder the typed
+    * Aggregator uses, so the persisted bytes stay reconcilable. */
+  class DistinctProcessor(k: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedValue, DistinctEstimate] {
+    @transient private lazy val agg = new KmvSketch.KmvAggregator(k)
+    @transient private var sketch: ValueState[KmvSketch.State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[KmvSketch.State]("kmv",
+        Encoders.product[KmvSketch.State], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+        timerValues: TimerValues): Iterator[DistinctEstimate] = {
+      val prior = if (sketch.exists()) sketch.get() else agg.zero
+      val updated = rows.foldLeft(prior)((s, v) => agg.reduce(s, v.value_hash))
+      sketch.update(updated)
+      Iterator.single(DistinctEstimate(key, agg.finish(updated), updated.mins.length))
+    }
+  }
+
+  /** Update-mode estimates: each batch emits the refreshed estimate for
+    * every key it touched — [[StreamingDistinct.estimates]]' contract. */
+  def estimates(values: Dataset[KeyedValue], k: Int = StreamingDistinct.DefaultK,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[DistinctEstimate] = {
+    import values.sparkSession.implicits._
+    values
+      .groupByKey(_.key)
+      .transformWithState(new DistinctProcessor(k, ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+}
