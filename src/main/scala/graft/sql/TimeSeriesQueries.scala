@@ -1,8 +1,9 @@
 package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Time-series smoothing over the event stream — the EWMA companion to
   * q117's sliding z-score: where the z-score weighs every trailing hour
@@ -360,15 +361,112 @@ object TimeSeriesQueries {
       |    / (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)) AS seasonal_index
       |FROM bm CROSS JOIN g ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** CUSUM changepoint detection per event type (Page 1954) over the
+    * zero-filled hourly rate series — the LEVEL-SHIFT detector the
+    * time-series family lacked: q117/q146 flag transient bursts against
+    * a trailing window, q158 reads periodicity, q166 quantifies the
+    * calendar; q209 answers "WHEN did the rate permanently change", the
+    * question behind every deploy/incident postmortem.
+    *
+    * The textbook statistic S_t = Σ_{i≤t}(x_i − x̄) needs the rational
+    * mean; multiplying through by n makes it EXACT INTEGER arithmetic:
+    * D_t = n·P_t − t·T (P = prefix sum, T = total) — argmax |D_t| is
+    * argmax |S_t| (positive scaling), ties → earliest hour. D_n = 0 by
+    * construction, so the argmax never lands on the last hour of a
+    * non-constant series (the nullif guards the constant/degenerate
+    * case). Per type: hours, events, the changepoint hour, exact-sum
+    * means before/after, the shift, and max |S| = |D|/n.
+    *
+    * 100 TB shape: one map-side-combinable (type, hour) count; the spine,
+    * prefix window, and argmax are hour-cardinality and type-partitioned
+    * (the hour count is bounded by the TIME RANGE, not the corpus, so
+    * |D| ≤ hours·events stays far inside 2⁵³ even at 10¹² events —
+    * every decimal→double cast below is exact). Parity: D accumulates as
+    * DECIMAL(38,0); means/shift/|S| are fixed-shape IEEE divisions on
+    * exact integers. */
+  def q209CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), col("h0"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), (col("h") - col("h0") + 1).as("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val d380 = DecimalType(38, 0)
+    val wPre = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val stats = spine.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+    val dev = spine
+      .withColumn("p", sum(col("x")).over(wPre))
+      .join(stats, Seq("event_type"))
+      .withColumn("d",
+        (col("n").cast(d380) * col("p").cast(d380) -
+          col("t").cast(d380) * col("tot").cast(d380)).cast(d380))
+    val wArg = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("d")).desc, col("h").asc)
+    dev.withColumn("rn", row_number().over(wArg)).filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_hours"), col("tot").as("n_events"),
+        date_format(timestamp_seconds(col("h") * 3600), "yyyy-MM-dd HH:mm:ss")
+          .as("cp_hour"),
+        col("t").as("cp_index"),
+        (col("p").cast(DoubleType) / col("t")).as("mean_before"),
+        ((col("tot") - col("p")).cast(DoubleType) /
+          nullif((col("n") - col("t")), lit(0L))).as("mean_after"),
+        (((col("tot") - col("p")).cast(DoubleType) /
+          nullif((col("n") - col("t")), lit(0L))) -
+          (col("p").cast(DoubleType) / col("t"))).as("shift"),
+        (abs(col("d")).cast(DoubleType) / col("n")).as("cusum_max"),
+        signum(col("d").cast(DoubleType)).cast(LongType).as("direction"))
+      .orderBy(col("event_type"))
+  }
+
+  val q209Sql: String =
+    s"""WITH hourly AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+       |spx AS (SELECT r.event_type, r.h0, u.h
+       |  FROM rng r, unnest(generate_series(r.h0, r.h1)) AS u(h)),
+       |spine AS MATERIALIZED (SELECT spx.event_type, spx.h, spx.h - spx.h0 + 1 AS t,
+       |    coalesce(cnt, 0) AS x
+       |  FROM spx LEFT JOIN hourly ON hourly.event_type = spx.event_type AND hourly.h = spx.h),
+       |st AS (SELECT event_type, count(*) AS n, sum(x) AS tot FROM spine GROUP BY 1),
+       |dev AS (SELECT spine.event_type, h, t, x,
+       |    sum(x) OVER (PARTITION BY spine.event_type ORDER BY h) AS p,
+       |    n, tot
+       |  FROM spine JOIN st ON spine.event_type = st.event_type),
+       |dd AS (SELECT event_type, h, t, p, n, tot,
+       |    CAST(CAST(n AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))
+       |       - CAST(t AS DECIMAL(38,0)) * CAST(tot AS DECIMAL(38,0)) AS DECIMAL(38,0)) AS d
+       |  FROM dev),
+       |cp AS (SELECT * FROM (SELECT dd.*,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY abs(d) DESC, h ASC) AS rn
+       |  FROM dd) WHERE rn = 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(tot AS BIGINT) AS n_events,
+       |  strftime(to_timestamp(h * 3600), '%Y-%m-%d %H:%M:%S') AS cp_hour,
+       |  CAST(t AS BIGINT) AS cp_index,
+       |  CAST(p AS DOUBLE) / t AS mean_before,
+       |  CAST(tot - p AS DOUBLE) / nullif(n - t, 0) AS mean_after,
+       |  CAST(tot - p AS DOUBLE) / nullif(n - t, 0) - CAST(p AS DOUBLE) / t AS shift,
+       |  CAST(abs(d) AS DOUBLE) / n AS cusum_max,
+       |  CAST(sign(CAST(d AS DOUBLE)) AS BIGINT) AS direction
+       |FROM cp ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q146_ewma_spikes" -> (q146EwmaSpikes _),
       "q153_forecast_eval" -> (q153ForecastEval _),
       "q158_acf" -> (q158Acf _),
-      "q166_seasonal_index" -> (q166SeasonalIndex _))
+      "q166_seasonal_index" -> (q166SeasonalIndex _),
+      "q209_cusum_changepoint" -> (q209CusumChangepoint _))
 
   val oracleSql: Map[String, String] =
     Map("q146_ewma_spikes" -> q146Sql,
       "q153_forecast_eval" -> q153Sql,
       "q158_acf" -> q158Sql,
-      "q166_seasonal_index" -> q166Sql)
+      "q166_seasonal_index" -> q166Sql,
+      "q209_cusum_changepoint" -> q209Sql)
 }
