@@ -1094,7 +1094,9 @@ object DedupQueries {
     * q69's digest-keyed schedule on the checkpointed chunk frame. */
   private val CdcMod = 8
 
-  def q187CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunk frame (doc_id, chunk digest, token length) shared by
+    * q187 and q210 — the token kernel runs once per call. */
+  private def cdcChunkEx(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val toks = tokens(normText(col("text")))
     val uh = graft.expr.WordGrams.hashedOf(toks, 1, 1)
     val n = size(col("uh"))
@@ -1115,8 +1117,12 @@ object DedupQueries {
       .withColumn("bpos", bpos)
       .select(col("doc_id"), chunks.as("cs"))
       .localCheckpoint(true)
-    val ex = ch.select(col("doc_id"), explode(col("cs")).as("c"))
-      .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("len"))
+    (ch, ch.select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("len")))
+  }
+
+  def q187CdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (ch, ex) = cdcChunkEx(spark, dir)
     val dc = ex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val per = ex.join(dc, Seq("h"))
       .groupBy(col("doc_id"))
@@ -1402,6 +1408,164 @@ object DedupQueries {
        |  CAST(1.0 AS DOUBLE) / CAST(cluster_n AS DOUBLE) AS weight
        |FROM base JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+  /** Dedup-treatment COMPARISON matrix — the decision table for choosing
+    * an excision granularity, composing the exact kernels of the four
+    * treatments the family ships (q194's summary-≡-detail pattern):
+    *
+    *   - `exact_doc` (q19's rule): non-keeper copies (min-doc_id keeper
+    *     per content hash) removed WHOLE;
+    *   - `chunk_fixed` (q69): duplicated non-overlapping 10-token
+    *     windows (mass = dup windows × 10; all occurrences counted);
+    *   - `chunk_cdc` (q187): duplicated content-defined chunks (variable
+    *     length — the mass is the chunks' own token lengths);
+    *   - `span_exact` (q200): the exact token-interval union of
+    *     cross-document repeated 8-gram spans.
+    *
+    * Per treatment: docs affected, tokens removed (each treatment's OWN
+    * accounting, all in the same whitespace-token units), the shared
+    * corpus token mass, and the removed fraction. exact_doc keeps one
+    * canonical copy; the sub-document treatments flag every occurrence
+    * (the Lee et al. ExactSubstr convention q204 executes) — the
+    * asymmetry is the point of the table: it is what choosing a
+    * granularity trades.
+    *
+    * 100 TB shape: four aggregation-shaped passes that all exist
+    * elsewhere (16-byte digest fold; two chunk-digest folds; the span
+    * detector's dup-mass semi-join), each folding to ONE row map-side —
+    * no new shuffle shapes, output is 4 rows. */
+  def q210TreatmentMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.text.CurationQueries.SpanK
+    val (base, flagged) = graft.text.CurationQueries.spanDirty(spark, dir)
+    val corpus = base.agg(sum(size(col("t")).cast(LongType)).as("corpus_tokens"))
+
+    // exact_doc: q19's keeper rule over the content hash
+    val h = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("ch"))
+      .join(base.select(col("doc_id"), size(col("t")).cast(LongType).as("n")),
+        Seq("doc_id"))
+    val keeper = h.groupBy(col("ch")).agg(min(col("doc_id")).as("kid"))
+    val exactRow = h.join(keeper, Seq("ch")).filter(col("doc_id") =!= col("kid"))
+      .agg(count(lit(1)).as("docs_affected"), sum(col("n")).as("tokens_removed"))
+      .select(lit("exact_doc").as("treatment"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+
+    // chunk_fixed: q69's duplicated 10-token windows, all occurrences
+    val segs = graft.expr.WordGrams.hashedOf(tokens(normText(col("text"))), ChunkW, ChunkW)
+    val cex = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(segs).as("h"))
+    val cdc69 = cex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val chunkRow = cex.join(cdc69, Seq("h")).filter(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ndup"))
+      .agg(count(lit(1)).as("docs_affected"),
+        sum(col("ndup") * ChunkW).as("tokens_removed"))
+      .select(lit("chunk_fixed").as("treatment"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+
+    // chunk_cdc: q187's duplicated content-defined chunks
+    val (_, cdcEx) = cdcChunkEx(spark, dir)
+    val cdcDf = cdcEx.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val cdcRow = cdcEx.join(cdcDf, Seq("h")).filter(col("nd") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("len")).as("tokdup"))
+      .agg(count(lit(1)).as("docs_affected"), sum(col("tokdup")).as("tokens_removed"))
+      .select(lit("chunk_cdc").as("treatment"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
+
+    // span_exact: q200's dirty token set (≡ the interval union, pinned
+    // equal by CurationSpec's q204 cross-check)
+    val spanRow = flagged
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
+      .distinct()
+      .agg(countDistinct(col("doc_id")).as("docs_affected"),
+        count(lit(1)).as("tokens_removed"))
+      .select(lit("span_exact").as("treatment"),
+        col("docs_affected"), col("tokens_removed"))
+
+    exactRow.unionByName(chunkRow).unionByName(cdcRow).unionByName(spanRow)
+      .crossJoin(broadcast(corpus))
+      .select(col("treatment"), col("docs_affected"), col("tokens_removed"),
+        col("corpus_tokens"),
+        (col("tokens_removed").cast(DoubleType) / col("corpus_tokens"))
+          .as("removed_frac"))
+      .orderBy(col("treatment"))
+  }
+
+  val q210Sql: String = {
+    val k = graft.text.CurationQueries.SpanK
+    s"""WITH tk AS MATERIALIZED (SELECT doc_id, $toksSql AS t FROM documents),
+       |tokn AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tk),
+       |ct AS (SELECT sum(n) AS corpus_tokens FROM tokn),
+       |eh AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '$WsSql+', ' ', 'g')))) AS ch
+       |  FROM documents),
+       |ek AS (SELECT ch, min(doc_id) AS kid FROM eh GROUP BY 1),
+       |erow AS (SELECT 'exact_doc' AS treatment,
+       |    CAST(count(*) AS BIGINT) AS docs_affected,
+       |    CAST(coalesce(sum(n), 0) AS BIGINT) AS tokens_removed
+       |  FROM eh JOIN ek USING (ch) JOIN tokn USING (doc_id)
+       |  WHERE doc_id != kid),
+       |cq AS (SELECT doc_id, unnest(CASE WHEN len(t) // $ChunkW > 0 THEN
+       |    [('0x' || substr(md5(array_to_string(t[(i*$ChunkW+1):(i*$ChunkW+$ChunkW)], ' ')), 1, 15))::BIGINT
+       |     for i in range(0, len(t) // $ChunkW)]
+       |  ELSE []::BIGINT[] END) AS h FROM tk),
+       |cqd AS (SELECT h FROM cq GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cqp AS (SELECT doc_id, count(*) AS ndup FROM cq
+       |        WHERE h IN (SELECT h FROM cqd) GROUP BY 1),
+       |crow AS (SELECT 'chunk_fixed' AS treatment,
+       |    CAST(count(*) AS BIGINT) AS docs_affected,
+       |    CAST(coalesce(sum(ndup * $ChunkW), 0) AS BIGINT) AS tokens_removed
+       |  FROM cqp),
+       |duh AS (SELECT doc_id,
+       |  [('0x' || substr(md5(t[i]), 1, 15))::BIGINT for i in range(1, len(t)+1)] AS uh
+       |  FROM tk WHERE len(t) > 0),
+       |dbp AS (SELECT doc_id, uh,
+       |  [i for i in range(1, len(uh)+1) if uh[i] % $CdcMod = 0] AS bpos
+       |  FROM duh),
+       |dsg AS (SELECT doc_id, uh,
+       |  list_prepend(0, bpos) AS starts, list_append(bpos, len(uh)) AS ends
+       |  FROM dbp),
+       |dch AS (SELECT doc_id,
+       |  [struct_pack(h := substr(md5(array_to_string(
+       |       list_transform(uh[starts[x]+1:ends[x]], v -> CAST(v AS VARCHAR)), ',')), 1, 16),
+       |     l := CAST(ends[x] - starts[x] AS BIGINT))
+       |   for x in range(1, len(starts)+1) if ends[x] > starts[x]] AS cs
+       |  FROM dsg),
+       |dex0 AS (SELECT doc_id, unnest(cs) AS c FROM dch),
+       |dex AS MATERIALIZED (SELECT doc_id, c.h AS h, c.l AS len FROM dex0),
+       |dd AS (SELECT h FROM dex GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, sum(len) AS tokdup FROM dex
+       |       WHERE h IN (SELECT h FROM dd) GROUP BY 1),
+       |drow AS (SELECT 'chunk_cdc' AS treatment,
+       |    CAST(count(*) AS BIGINT) AS docs_affected,
+       |    CAST(coalesce(sum(tokdup), 0) AS BIGINT) AS tokens_removed
+       |  FROM dp),
+       |ssq AS (SELECT doc_id,
+       |    CASE WHEN len(t) >= $k
+       |      THEN [('0x' || substr(md5(array_to_string(t[i:i+${k - 1}], ' ')), 1, 15))::BIGINT
+       |            for i in range(1, len(t) - ${k - 2})]
+       |      ELSE []::BIGINT[] END AS seq
+       |  FROM tk),
+       |spx AS MATERIALIZED (SELECT doc_id, unnest(seq) AS h,
+       |    generate_subscripts(seq, 1) AS pos FROM ssq),
+       |sdirty AS (SELECT h FROM spx GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |sfl AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM spx
+       |        WHERE h IN (SELECT h FROM sdirty)),
+       |stf AS (SELECT DISTINCT doc_id, pos + r.o AS j FROM sfl, range(0, $k) r(o)),
+       |srow AS (SELECT 'span_exact' AS treatment,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+       |    CAST(count(*) AS BIGINT) AS tokens_removed
+       |  FROM stf),
+       |allrows AS (SELECT * FROM erow UNION ALL SELECT * FROM crow
+       |            UNION ALL SELECT * FROM drow UNION ALL SELECT * FROM srow)
+       |SELECT treatment, docs_affected, tokens_removed,
+       |  CAST(corpus_tokens AS BIGINT) AS corpus_tokens,
+       |  CAST(tokens_removed AS DOUBLE) / corpus_tokens AS removed_frac
+       |FROM allrows, ct ORDER BY treatment""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q87
   /** Duplicate-cluster size distribution — how redundancy is SHAPED: many
@@ -1739,6 +1903,7 @@ object DedupQueries {
     "q81_dup_stats"           -> (q81DupStats _),
     "q141_dup_weights"        -> (q141DupWeights _),
     "q208_near_dup_weights"   -> (q208NearDupWeights _),
+    "q210_treatment_matrix"   -> (q210TreatmentMatrix _),
     "q76_incremental_dedup"   -> (q76IncrementalDedup _),
     "q60_decontaminate"       -> (q60Decontaminate _),
     "q61_repetition"          -> (q61Repetition _),
@@ -1769,6 +1934,7 @@ object DedupQueries {
     "q81_dup_stats"           -> q81Sql,
     "q141_dup_weights"        -> q141Sql,
     "q208_near_dup_weights"   -> q208Sql,
+    "q210_treatment_matrix"   -> q210Sql,
     "q76_incremental_dedup"   -> q76Sql,
     "q60_decontaminate"       -> q60Sql,
     "q61_repetition"          -> q61Sql,

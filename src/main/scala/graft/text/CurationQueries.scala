@@ -56,7 +56,7 @@ object CurationQueries {
     * doc_id, pos of dirty gram positions). The base frame is materialized
     * once — the detector references it twice (gram explode + token counts)
     * and q204 a third time (excision). */
-  private def spanDirty(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def spanDirty(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = SpanK
     val toks = tokens(normText(col("text")))
     val base = Tables(spark, dir).documents
