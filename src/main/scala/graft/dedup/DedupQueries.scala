@@ -993,23 +993,32 @@ object DedupQueries {
 
   private val shinglesSqlCteBody = shinglesSqlCte.stripPrefix("WITH ")
 
-  val q65Sql: String =
-    s"""WITH RECURSIVE $shinglesSqlCteBody,
+  /** The ONE oracle spelling of the near-dup CC walk (shingle sets →
+    * Jaccard ≥ 0.8 pairs → recursive min-label walk → `lab(doc_id,
+    * cluster_id)`), shared by q65Sql, q208Sql, and q206Sql (review
+    * caught three diverging hand-inlined copies). Callers prepend
+    * `WITH RECURSIVE ` themselves. Multi-referenced CTEs MATERIALIZED
+    * per the 10x inliner rule. */
+  private[graft] val ccWalkCtesSql: String =
+    s"""$shinglesSqlCteBody,
        |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
        |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2),
        |pr AS (SELECT ida, idb
        |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
        |       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
-       |sym AS (SELECT ida AS src, idb AS dst FROM pr
+       |sym AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pr
        |        UNION ALL SELECT idb, ida FROM pr),
        |walk AS (SELECT src, dst FROM sym
        |         UNION
        |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |        FROM walk GROUP BY src)
+       |        FROM walk GROUP BY src)""".stripMargin
+
+  val q65Sql: String =
+    s"""WITH RECURSIVE $ccWalkCtesSql
        |SELECT doc_id, cluster_id,
        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
@@ -1383,22 +1392,7 @@ object DedupQueries {
   }
 
   val q208Sql: String =
-    s"""WITH RECURSIVE $shinglesSqlCteBody,
-       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
-       |pr AS (SELECT ida, idb
-       |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-       |       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
-       |sym AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pr
-       |        UNION ALL SELECT idb, ida FROM pr),
-       |walk AS (SELECT src, dst FROM sym
-       |         UNION
-       |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
-       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |        FROM walk GROUP BY src),
+    s"""WITH RECURSIVE $ccWalkCtesSql,
        |base AS MATERIALIZED (SELECT d.doc_id, d.source,
        |    coalesce(lab.cluster_id, d.doc_id) AS cluster_id
        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
@@ -1440,11 +1434,14 @@ object DedupQueries {
     val (base, flagged) = graft.text.CurationQueries.spanDirty(spark, dir)
     val corpus = base.agg(sum(size(col("t")).cast(LongType)).as("corpus_tokens"))
 
-    // exact_doc: q19's keeper rule over the content hash
+    // exact_doc: q19's keeper rule over the content hash; digests
+    // materialized — referenced by the keeper fold AND the join back
+    // (q69's device; review caught the double kernel run)
     val h = Tables(spark, dir).documents
       .select(col("doc_id"), md5(normText(col("text"))).as("ch"))
       .join(base.select(col("doc_id"), size(col("t")).cast(LongType).as("n")),
         Seq("doc_id"))
+      .localCheckpoint(true)
     val keeper = h.groupBy(col("ch")).agg(min(col("doc_id")).as("kid"))
     val exactRow = h.join(keeper, Seq("ch")).filter(col("doc_id") =!= col("kid"))
       .agg(count(lit(1)).as("docs_affected"), sum(col("n")).as("tokens_removed"))
@@ -1456,6 +1453,7 @@ object DedupQueries {
     val segs = graft.expr.WordGrams.hashedOf(tokens(normText(col("text"))), ChunkW, ChunkW)
     val cex = Tables(spark, dir).documents
       .select(col("doc_id"), explode(segs).as("h"))
+      .localCheckpoint(true)
     val cdc69 = cex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val chunkRow = cex.join(cdc69, Seq("h")).filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("ndup"))

@@ -42,13 +42,17 @@ object StreamingDedupTws {
       }
   }
 
-  /** First-seen admission; `ttl` bounds state retention (NONE = exact). */
+  /** First-seen admission; `ttl` bounds state retention (NONE = exact).
+    * A real TTL REQUIRES ProcessingTime mode — Spark's
+    * `validateTTLConfig` throws for any non-NONE TTL under
+    * `TimeMode.None()` (the [[StreamingNearDupTws]] dispatch, applied
+    * here after review caught the hardcoded mode). */
   def firstSeen(docs: Dataset[StreamDoc],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[KeptDoc] = {
     import docs.sparkSession.implicits._
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     docs
       .groupByKey(_.content_hash)
-      .transformWithState(new DedupProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new DedupProcessor(ttl), timeMode, OutputMode.Append())
   }
 }

@@ -50,9 +50,12 @@ object StreamingDistinctTws {
   def estimates(values: Dataset[KeyedValue], k: Int = StreamingDistinct.DefaultK,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[DistinctEstimate] = {
     import values.sparkSession.implicits._
+    // a real TTL REQUIRES ProcessingTime mode — validateTTLConfig throws
+    // for a non-NONE TTL under TimeMode.None() (StreamingNearDupTws's
+    // dispatch; review caught this hardcoded as None)
+    val timeMode = if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     values
       .groupByKey(_.key)
-      .transformWithState(new DistinctProcessor(k, ttl),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new DistinctProcessor(k, ttl), timeMode, OutputMode.Update())
   }
 }

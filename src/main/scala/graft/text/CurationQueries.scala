@@ -228,11 +228,18 @@ object CurationQueries {
     * bucket) and the confusion fold is langs²-bounded. */
   def q201NaiveBayesLang(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val tb = docs
+    // ONE token-kernel pass: fold straight to (doc, lang, bucket, n) —
+    // doc×bucket cardinality, ≤ 64 rows/doc — and materialize; training
+    // counts, totals, AND the scoring frame all derive from it (the
+    // bigramNllScored multi-reference rule; review caught tb evaluated
+    // twice)
+    val dbl = docs
       .select(col("doc_id"), col("lang"),
         explode(tokens(normText(col("text")))).as("w"))
       .select(col("doc_id"), col("lang"), (hex60(col("w")) % NbBuckets).as("b"))
-    val counts = tb.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n_b"))
+      .localCheckpoint(true)
+    val counts = dbl.groupBy(col("lang"), col("b")).agg(sum(col("n_b")).as("c"))
     val tots = counts.groupBy(col("lang")).agg(sum(col("c")).as("tl"))
     val langDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("docs_l"))
     val totalDocs = docs.agg(count(lit(1)).as("total_docs"))
@@ -249,7 +256,7 @@ object CurationQueries {
       .select(col("lang").as("cand_lang"),
         log(col("docs_l").cast(DoubleType) / col("total_docs").cast(DoubleType))
           .cast(DecimalType(18, 9)).as("lnprior"))
-    val db = tb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n_b"))
+    val db = dbl.select(col("doc_id"), col("b"), col("n_b"))
     val scores = db
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("cand_lang"))
@@ -498,19 +505,30 @@ object CurationQueries {
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("j"))
       .distinct()
     val dlist = tokflag.groupBy(col("doc_id")).agg(collect_set(col("j")).as("dl"))
+    // materialized: the excision HOF is the card's hot kernel and
+    // `cleaned` feeds the ledger AND the re-detector (review caught the
+    // 3× recompute). `t` is deliberately NOT carried — the ledger's
+    // tokens_before folds from the already-computed size, halving the
+    // checkpointed payload (measured: carrying both arrays at the 100×
+    // decade cost more in checkpoint I/O than the recompute it saved)
     val cleaned = base.join(dlist, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("t"),
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast(LongType).as("nb"),
         when(col("dl").isNull, col("t")).otherwise(
           transform(
             filter(sequence(lit(1), size(col("t"))),
               j => !array_contains(col("dl"), j.cast(LongType))),
             j => element_at(col("t"), j))).as("ct"),
         col("dl").isNotNull.as("touched"))
+      .localCheckpoint(true)
     // re-run the detector over the CLEANED corpus
     val seqG2 = when(size(col("ct")) >= k,
       transform(sequence(lit(1), size(col("ct")) - (k - 1)),
         i => hex60(concat_ws(" ", slice(col("ct"), i, lit(k))))))
       .otherwise(array().cast("array<bigint>"))
+    // NOT checkpointed: px2 is gram-position cardinality, and writing it
+    // out at the 100× decade costs more than re-hashing the (already
+    // materialized) cleaned arrays for its two consumers
     val px2 = cleaned
       .select(col("doc_id"), col("source"), explode(seqG2).as("h"))
     val dirty2 = px2.groupBy(col("h"))
@@ -522,7 +540,7 @@ object CurationQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("touched").cast(LongType)).as("docs_touched"),
-        sum(size(col("t")).cast(LongType)).as("tokens_before"),
+        sum(col("nb")).as("tokens_before"),
         sum(size(col("ct")).cast(LongType)).as("tokens_after"))
       .join(residual, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("docs_touched"),
@@ -621,9 +639,13 @@ object CurationQueries {
     // catastrophic cancellation when the curve is flat (order 1 here), and
     // the decimal→double casts of the raw sums differ in the last ulp
     // cross-engine; the final rounding collapses that divergence
+    // 20 rows, but its lineage is the corpus-wide first-seen fold and
+    // both the regression and the output join read it — materialize
+    // (oracle marks lns MATERIALIZED; review caught the double corpus pass)
     val lns = cur.select(col("ord"), col("dec"), col("cum_positions"), col("cum_vocab"),
       log(col("cum_positions").cast(DoubleType)).cast(DecimalType(18, 6)).as("lx"),
       log(col("cum_vocab").cast(DoubleType)).cast(DecimalType(18, 6)).as("ly"))
+      .localCheckpoint(true)
     val reg = lns.groupBy(col("ord")).agg(
       count(lit(1)).as("n"),
       sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
@@ -687,8 +709,10 @@ object CurationQueries {
     * near-identical documents can never straddle splits. Per split: docs,
     * clusters, token mass — plus the leaked-cluster count under THIS gate
     * (0 by construction, and the gate proves it rather than asserts it)
-    * and under q98's naive doc_id gate (the contrast number: 4 clusters
-    * leak at sf0.01). The Pile/C4-style dedup-aware split treatment.
+    * and under the naive doc_id-keyed gate — q98's DEVICE applied at
+    * THIS card's 80/10/10 bounds, not q98's own 90/5/5 numbers, so the
+    * contrast (4 clusters leak at sf0.01) is this card's measurement,
+    * not q98's. The Pile/C4-style dedup-aware split treatment.
     *
     * 100 TB shape: q65's CC engine (edge-proportional shuffles, per-round
     * checkpoint) + one doc-keyed label join; the gate is a scan-stage
@@ -722,27 +746,9 @@ object CurationQueries {
   }
 
   val q206Sql: String = {
-    // q65's oracle chain (recursive-CTE CC walk) + the split ledger
-    s"""WITH RECURSIVE tk AS MATERIALIZED (SELECT doc_id, $toksSqlLocal AS t FROM documents),
-       |shs AS (SELECT doc_id,
-       |    list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
-       |  FROM tk),
-       |sh AS MATERIALIZED (SELECT doc_id, sh FROM shs WHERE len(sh) > 0),
-       |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-       |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
-       |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
-       |      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
-       |pr AS (SELECT ida, idb
-       |       FROM p JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-       |       WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.8),
-       |sym AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM pr
-       |        UNION ALL SELECT idb, ida FROM pr),
-       |walk AS (SELECT src, dst FROM sym
-       |         UNION
-       |         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src),
-       |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-       |        FROM walk GROUP BY src),
+    // q65's ORACLE CC chain, shared verbatim (DedupQueries.ccWalkCtesSql —
+    // one spelling for q65/q206/q208, so the walk can never diverge)
+    s"""WITH RECURSIVE ${graft.dedup.DedupQueries.ccWalkCtesSql},
        |base AS MATERIALIZED (SELECT d.doc_id,
        |    CAST(${nTokensSql("text")} AS BIGINT) AS n,
        |    coalesce(lab.cluster_id, d.doc_id) AS cid

@@ -58,4 +58,29 @@ class StreamingDistinctTwsSpec extends SparkSpec {
       assert(aFinal._3 == k, s"state must cap at k=$k, got ${aFinal._3}")
     }
   }
+
+  test("tws with a REAL TTL starts and counts (ProcessingTime mode dispatch)") {
+    // a non-NONE TTLConfig under TimeMode.None() throws at query start
+    // (validateTTLConfig) — the operator must dispatch to ProcessingTime;
+    // this run fails loudly if the dispatch regresses
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val src = MemoryStream[KeyedValue]
+      val q = StreamingDistinctTws.estimates(src.toDS(), 16,
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+        .writeStream.format("memory").queryName("tws_dist_ttl")
+        .outputMode("update").start()
+      try {
+        src.addData((1 to 5).map(i => KeyedValue("z", i.toLong * 31L)): _*)
+        // processing-time-TTL streams batch continuously (no quiescence
+        // for processAllAvailable) — poll the sink
+        import spark.implicits._
+        def est = spark.table("tws_dist_ttl").as[DistinctEstimate].collect()
+        val deadline = System.currentTimeMillis + 60000
+        while (!est.exists(e => e.key == "z" && e.estimate == 5.0 && e.state_size == 5) &&
+          System.currentTimeMillis < deadline) Thread.sleep(200)
+        assert(est.exists(e => e.key == "z" && e.estimate == 5.0 && e.state_size == 5))
+      } finally q.stop()
+    }
+  }
 }

@@ -14,7 +14,7 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
   private def toks(text: String): Seq[String] =
-    text.replaceAll("[ \t\n\r\f]+", " ").trim.toLowerCase.split(" ").toSeq
+    text.replaceAll("[ \t\n\r\f\u000B]+", " ").trim.toLowerCase.split(" ").toSeq
 
   private def hex60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -118,7 +118,7 @@ class CurationSpec extends SparkSpec {
   test("q202: buckets are powers of two, plan conserves docs/tokens, and " +
     "batch arithmetic is exact") {
     def nTok(text: String): Long =
-      "[^ \t\n\r\f]+".r.findAllIn(text).size.toLong
+      "[^ \t\n\r\f\u000B]+".r.findAllIn(text).size.toLong
     val perDoc = docs.map { case (_, text, _) =>
       val n = nTok(text)
       val m = math.max(n, 16L)
