@@ -335,7 +335,8 @@ object Scale {
     "q20_dedup_ngram_jaccard", "q21_dedup_minhash_lsh", "q65_dedup_clusters",
     "q129_containment", "q76_incremental_dedup",
     // round 12: the substring-span family — dirty-gram mass is
-    // within-replica only (disjoint shingles), so the honest decade
+    // within-replica only (disjoint shingles), so the honest decade is the
+    // full 10×: pair fan-out grows with the replica count, never across it
     "q200_substring_spans", "q204_excise_audit")
 
   private def buildDedupReplica(spark: SparkSession, src: String, out: String,

@@ -217,7 +217,8 @@ object MlQueries {
       sum(col("sqerr")).as("sq"))
       .select(
         (col("num2").cast(DoubleType) /
-          (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType))).as("auc"),
+          nullif(lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType),
+            lit(0.0))).as("auc"),
         (col("sq").cast(DoubleType) /
           (col("p") + col("n")).cast(DoubleType)).as("brier"))
 
@@ -255,7 +256,7 @@ object MlQueries {
        |  FROM grp),
        |tot AS (SELECT
        |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
-       |      / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)) AS auc,
+       |      / nullif(2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE), 0.0) AS auc,
        |    CAST(sum(sqerr) AS DOUBLE)
        |      / CAST(sum(pos) + sum(neg) AS DOUBLE) AS brier
        |  FROM swept),
@@ -418,7 +419,8 @@ object MlQueries {
         .select(lit(p.toLong).as("pct"), lit(nTrain).as("n_train"),
           lit(nEval).as("n_eval"),
           (col("num2").cast(DoubleType) /
-            (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType)))
+            nullif(lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType),
+              lit(0.0)))
             .as("auc"))
     }
     curves.reduce(_ unionByName _).orderBy(col("pct"))
@@ -466,7 +468,7 @@ object MlQueries {
          |  FROM c$tag),
          |a$tag AS (SELECT
          |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
-         |      / (2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE)) AS auc
+         |      / nullif(2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE), 0.0) AS auc
          |  FROM sw$tag),
          |n$tag AS (SELECT count(*) AS n_train FROM x$tag)""".stripMargin
     }.mkString(",\n")

@@ -384,7 +384,11 @@ object TimeSeriesQueries {
     * |D| ≤ hours·events stays far inside 2⁵³ even at 10¹² events —
     * every decimal→double cast below is exact). Parity: D accumulates as
     * DECIMAL(38,0); means/shift/|S| are fixed-shape IEEE divisions on
-    * exact integers. */
+    * exact integers. cp_hour formatting: `date_format(timestamp_seconds)`
+    * renders in the SESSION time zone while DuckDB's `strftime
+    * (to_timestamp)` is UTC-fixed — cross-engine hash parity therefore
+    * requires `spark.sql.session.timeZone=UTC`, which [[graft.GraftSession]]
+    * pins for every entry point (same contract as q117's hour labels). */
   def q209CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables(spark, dir).events
       .groupBy(col("event_type"),

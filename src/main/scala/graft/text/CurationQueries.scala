@@ -438,13 +438,16 @@ object CurationQueries {
       sum((col("rx") * col("rx")).cast(d380)).as("sxx"),
       sum((col("ry") * col("ry")).cast(d380)).as("syy"),
       sum((col("rx") * col("ry")).cast(d380)).as("sxy"))
+    // nullif: a constant-score corpus (all ranks tied on either variable)
+    // zeroes a sqrt term — both engines then yield NULL rho, not NaN
     sums.select(col("n").as("n_docs"),
       ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
         col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
-        (sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+        nullif(sqrt(col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
           col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
           sqrt(col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
-            col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+            col("sy").cast(DoubleType) * col("sy").cast(DoubleType)),
+          lit(0.0)))
         .as("spearman_rho"))
   }
 
@@ -472,17 +475,19 @@ object CurationQueries {
        |  FROM r2)
        |SELECT CAST(n AS BIGINT) AS n_docs,
        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)
        |    AS spearman_rho
        |FROM mo""".stripMargin
 
   // ---------------------------------------------------------------- q204
   /** Excision EXECUTION of q200's worklist + the idempotence audit: every
     * token covered by any cross-document repeated [[SpanK]]-gram is
-    * removed from every document holding it (Lee et al. remove ALL copies
-    * — one canonical copy survives only where a document held the content
-    * uniquely), then the detector RE-RUNS over the cleaned corpus. Per
+    * removed from EVERY document holding it — ALL occurrences go, the
+    * duplicated content itself is not preserved anywhere (a deliberate,
+    * stricter convention than Lee et al.'s keep-one-occurrence ExactSubstr;
+    * content a document held uniquely is of course untouched). The
+    * detector then RE-RUNS over the cleaned corpus. Per
     * source: docs, docs touched, token mass before/after, removed tokens
     * and fraction, and the residual dirty position count after excision —
     * the number that proves the treatment converged (0 here; stitched

@@ -49,6 +49,56 @@ class TopKRewriteSpec extends SparkSpec {
       "rank() must keep the window formulation")
   }
 
+  /** Both statistics regimes of the key-cardinality guard, on one
+    * analyzed catalog table: the high-cardinality key (o_orderkey,
+    * distinct ≈ rows) trips the veto and keeps the native window plan;
+    * the dashboard key (o_orderpriority, 5 values) keeps the heap. The
+    * bound is conf'd below the fixture's row count so a 1,500-row table
+    * exercises the 1M-key regime's decision. */
+  test("column statistics veto the rewrite in the high-cardinality regime only") {
+    val tbl = "topk_guard_fixture"
+    Tables(spark, Sf0001).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").saveAsTable(tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "1000")
+    try {
+      def topkOver(key: String): DataFrame = {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        spark.table(tbl).withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).drop("rn")
+      }
+      val hi = physical(topkOver("o_orderkey"))
+      assert(!hi.contains("TopKPerKey ["),
+        s"rewrite fired despite distinct-count evidence above the bound:\n$hi")
+      assert(hi.contains("Window"), s"high-cardinality plan lost its window:\n$hi")
+      val lo = physical(topkOver("o_orderpriority"))
+      assert(lo.contains("TopKPerKey ["),
+        s"dashboard regime (5 keys) must keep the heap operator:\n$lo")
+    } finally {
+      spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("absent statistics, the rewrite fires regardless of actual cardinality") {
+    // raw-parquet reads carry no column stats — the guard must not veto
+    // on missing evidence (q101/q140's plans depend on this)
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "2")
+    try {
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(col("o_totalprice").desc)
+      val df = Tables(spark, Sf0001).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).drop("rn")
+      assert(physical(df).contains("TopKPerKey ["),
+        "guard vetoed without statistics evidence")
+    } finally spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+  }
+
   test("a surviving rank column blocks the rewrite (operator cannot emit it)") {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
