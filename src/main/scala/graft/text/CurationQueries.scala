@@ -209,9 +209,14 @@ object CurationQueries {
   // ---------------------------------------------------------------- q201
   /** Multinomial naive-Bayes language classifier over [[NbBuckets]] hashed
     * token buckets (Laplace-smoothed, document-frequency priors), trained
-    * on the corpus's own `lang` labels and scored back over the corpus —
-    * reported as the confusion matrix with per-row (true-language) shares.
-    * The generative bag-of-hashed-features classifier every fastText-style
+    * on the corpus's own `lang` labels — on the TRAIN folds only of an
+    * 8-fold hash split (q207's fold device, seed tag `nb:`; fold 7 is the
+    * held-out eval eighth the model never sees) — and scored over the
+    * whole corpus. Reported as BOTH confusion matrices, keyed by `split`
+    * ('train' rows = the generative-family demonstration on seen data,
+    * 'eval' rows = the honest generalization number the suite's eval
+    * convention — q154, q167, q207 — demands). The generative
+    * bag-of-hashed-features classifier every fastText-style
     * quality/language gate descends from; q17's marker heuristic needs a
     * curated word list, this learns its evidence from the data.
     *
@@ -225,24 +230,34 @@ object CurationQueries {
     * 100 TB shape: the model is a langs × [[NbBuckets]] grid (broadcast);
     * training counts map-side combine onto it; scoring folds each doc's
     * ≤ B distinct buckets × langs — the corpus shuffles once on (doc_id,
-    * bucket) and the confusion fold is langs²-bounded. */
+    * bucket) and the confusion fold is 2·langs²-bounded. The split gate
+    * is a scan-stage hash projection (no membership table). */
   def q201NaiveBayesLang(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    // ONE token-kernel pass: fold straight to (doc, lang, bucket, n) —
-    // doc×bucket cardinality, ≤ 64 rows/doc — and materialize; training
-    // counts, totals, AND the scoring frame all derive from it (the
-    // bigramNllScored multi-reference rule; review caught tb evaluated
-    // twice)
+    val splitCol = when(
+      hex60(concat(lit("nb:"), col("doc_id").cast("string"))) % 8 === 7,
+      lit("eval")).otherwise(lit("train"))
+    // ONE token-kernel pass: fold straight to (doc, lang, split, bucket,
+    // n) — doc×bucket cardinality, ≤ 64 rows/doc — and materialize;
+    // training counts, totals, AND the scoring frame all derive from it
+    // (the bigramNllScored multi-reference rule; review caught tb
+    // evaluated twice)
     val dbl = docs
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), splitCol.as("split"),
         explode(tokens(normText(col("text")))).as("w"))
-      .select(col("doc_id"), col("lang"), (hex60(col("w")) % NbBuckets).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("n_b"))
+      .select(col("doc_id"), col("lang"), col("split"),
+        (hex60(col("w")) % NbBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("split"), col("b"))
+      .agg(count(lit(1)).as("n_b"))
       .localCheckpoint(true)
-    val counts = dbl.groupBy(col("lang"), col("b")).agg(sum(col("n_b")).as("c"))
+    val labeled = docs.select(col("doc_id"), col("lang"), splitCol.as("split"))
+    val counts = dbl.filter(col("split") === "train")
+      .groupBy(col("lang"), col("b")).agg(sum(col("n_b")).as("c"))
     val tots = counts.groupBy(col("lang")).agg(sum(col("c")).as("tl"))
-    val langDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("docs_l"))
-    val totalDocs = docs.agg(count(lit(1)).as("total_docs"))
+    val langDocs = labeled.filter(col("split") === "train")
+      .groupBy(col("lang")).agg(count(lit(1)).as("docs_l"))
+    val totalDocs = labeled.filter(col("split") === "train")
+      .agg(count(lit(1)).as("total_docs"))
     val grid = langDocs.select(col("lang"))
       .crossJoin(spark.range(NbBuckets).toDF("b"))
     val model = grid
@@ -268,25 +283,33 @@ object CurationQueries {
     val pred = scores
       .withColumn("rn", row_number().over(wArg)).filter(col("rn") === 1)
       .select(col("doc_id"), col("cand_lang").as("pred_lang"))
-    val conf = docs.select(col("doc_id"), col("lang"))
+    val conf = labeled
       .join(pred, Seq("doc_id"))
-      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n_docs"))
-    val wRow = Window.partitionBy(col("lang"))
+      .groupBy(col("split"), col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val wRow = Window.partitionBy(col("split"), col("lang"))
     conf
-      .select(col("lang"), col("pred_lang"), col("n_docs"),
+      .select(col("split"), col("lang"), col("pred_lang"), col("n_docs"),
         (col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(wRow))
           .as("row_frac"))
-      .orderBy(col("lang"), col("pred_lang"))
+      .orderBy(col("split"), col("lang"), col("pred_lang"))
   }
 
   val q201Sql: String =
-    s"""WITH tok AS (SELECT doc_id, lang, unnest($toksSqlLocal) AS w FROM documents),
-       |tb AS (SELECT doc_id, lang,
-       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $NbBuckets AS b FROM tok),
-       |counts AS (SELECT lang, b, count(*) AS c FROM tb GROUP BY 1, 2),
+    s"""WITH lb AS MATERIALIZED (SELECT doc_id, lang,
+       |    CASE WHEN ('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 = 7
+       |         THEN 'eval' ELSE 'train' END AS split
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest($toksSqlLocal) AS w FROM documents),
+       |tb AS MATERIALIZED (SELECT t.doc_id, t.lang, lb.split,
+       |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $NbBuckets AS b
+       |  FROM tok t JOIN lb ON t.doc_id = lb.doc_id),
+       |counts AS (SELECT lang, b, count(*) AS c FROM tb
+       |           WHERE split = 'train' GROUP BY 1, 2),
        |tots AS (SELECT lang, sum(c) AS tl FROM counts GROUP BY 1),
-       |ld AS (SELECT lang, count(*) AS docs_l FROM documents GROUP BY 1),
-       |td AS (SELECT count(*) AS total_docs FROM documents),
+       |ld AS (SELECT lang, count(*) AS docs_l FROM lb
+       |       WHERE split = 'train' GROUP BY 1),
+       |td AS (SELECT count(*) AS total_docs FROM lb WHERE split = 'train'),
        |grid AS (SELECT ld.lang, g.range AS b FROM ld, range(0, $NbBuckets) g),
        |model AS (SELECT grid.lang AS cand_lang, grid.b,
        |    CAST(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
@@ -308,12 +331,12 @@ object CurationQueries {
        |      row_number() OVER (PARTITION BY doc_id
        |                         ORDER BY score DESC, cand_lang ASC) AS rn
        |    FROM scored) WHERE rn = 1),
-       |conf AS (SELECT d.lang, p.pred_lang, count(*) AS n_docs
-       |         FROM documents d JOIN pred p ON d.doc_id = p.doc_id
-       |         GROUP BY 1, 2)
-       |SELECT lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
-       |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) AS row_frac
-       |FROM conf ORDER BY lang, pred_lang""".stripMargin
+       |conf AS (SELECT lb.split, lb.lang, p.pred_lang, count(*) AS n_docs
+       |         FROM lb JOIN pred p ON lb.doc_id = p.doc_id
+       |         GROUP BY 1, 2, 3)
+       |SELECT split, lang, pred_lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY split, lang) AS row_frac
+       |FROM conf ORDER BY split, lang, pred_lang""".stripMargin
 
   // ---------------------------------------------------------------- q202
   /** Length-bucketed BATCHING plan at a fixed [[BatchBudget]]-token budget:

@@ -71,21 +71,27 @@ class CurationSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------- q201
-  test("q201: confusion matrix matches a driver-side naive-Bayes replay") {
+  test("q201: held-out-split confusion matrices match a driver-side naive-Bayes replay") {
     val b = CurationQueries.NbBuckets
-    val bucketed: Seq[(Long, String, Int)] = docs.flatMap { case (id, text, lang) =>
+    // the 8-fold hash gate (fold 7 = eval) — replayed, never trusted
+    def split(id: Long): String =
+      if (hex60(s"nb:$id") % 8 == 7) "eval" else "train"
+    val trainDocs = docs.filter(d => split(d._1) == "train")
+    assert(trainDocs.size < docs.size, "fixture must actually hold an eval eighth out")
+    val bucketed: Seq[(Long, String, Int)] = trainDocs.flatMap { case (id, text, lang) =>
       toks(text).map(w => (id, lang, (hex60(w) % b).toInt))
     }
     val counts = bucketed.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
-    val langs = docs.map(_._3).distinct.sorted
+    val langs = trainDocs.map(_._3).distinct.sorted
     val totalTok = langs.map(l => l -> (0 until b).map(x => counts.getOrElse((l, x), 0L)).sum).toMap
-    val langDocs = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val langDocs = trainDocs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
     def lnp(l: String, x: Int): BigDecimal =
       BigDecimal(math.log((counts.getOrElse((l, x), 0L) + 1).toDouble /
         (totalTok(l) + b).toDouble)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
     val priors = langs.map(l => l -> BigDecimal(
-      math.log(langDocs(l).toDouble / docs.size.toDouble))
+      math.log(langDocs(l).toDouble / trainDocs.size.toDouble))
       .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+    // the eval eighth is scored too — by the train-only model
     val predicted: Map[Long, String] = docs.flatMap { case (id, text, _) =>
       val t = toks(text)
       if (t.isEmpty) None
@@ -100,16 +106,18 @@ class CurationSpec extends SparkSpec {
       }
     }.toMap
     val expectedConf = docs.filter(d => predicted.contains(d._1))
-      .groupBy(d => (d._3, predicted(d._1))).view.mapValues(_.size.toLong).toMap
+      .groupBy(d => (split(d._1), d._3, predicted(d._1))).view.mapValues(_.size.toLong).toMap
     val rows = CurationQueries.q201NaiveBayesLang(spark, Sf0001).collect()
-    assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang"))).toSet ==
-      expectedConf.keySet)
-    val rowTotals = expectedConf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    assert(rows.map(r => (r.getAs[String]("split"), r.getAs[String]("lang"),
+      r.getAs[String]("pred_lang"))).toSet == expectedConf.keySet)
+    assert(rows.exists(_.getAs[String]("split") == "eval"),
+      "card must report the held-out confusion")
+    val rowTotals = expectedConf.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
     rows.foreach { r =>
-      val key = (r.getAs[String]("lang"), r.getAs[String]("pred_lang"))
+      val key = (r.getAs[String]("split"), r.getAs[String]("lang"), r.getAs[String]("pred_lang"))
       assert(r.getAs[Long]("n_docs") == expectedConf(key), s"conf $key")
       assert(math.abs(r.getAs[Double]("row_frac") -
-        expectedConf(key).toDouble / rowTotals(key._1)) < 1e-12)
+        expectedConf(key).toDouble / rowTotals((key._1, key._2))) < 1e-12)
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == predicted.size)
   }
