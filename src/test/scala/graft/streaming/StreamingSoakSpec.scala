@@ -126,6 +126,45 @@ class StreamingSoakSpec extends SparkSpec {
     assert(spark.table("soak_join").count() >= Batches.toLong * users.size * 2 / 2)
   }
 
+  test("soak: event-time dedup state plateaus at keys-per-horizon as the watermark advances") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val source = MemoryStream[StreamEvtDoc]
+      val q = StreamingDedupEventTime.firstSeen(source.toDS(),
+          java.time.Duration.ofSeconds(60))
+        .writeStream.format("memory").queryName("soak_evtdedup")
+        .outputMode("append").start()
+
+      var nextId = 0L
+      val series = soak(q) { batch =>
+        // 3 FRESH hashes per batch, event time advancing 10s per batch:
+        // 330 keys total over the soak, but only ~6 batches' worth sit
+        // inside the 60s event-time horizon at any watermark position —
+        // the timers must evict the rest or state trends with lifetime
+        val ts = new Timestamp(base + batch * 10000L)
+        source.addData((0 until 3).map { _ =>
+          nextId += 1; StreamEvtDoc(nextId, s"soak-h$nextId", ts)
+        }: _*)
+      }
+      q.stop()
+
+      // bound: keys alive = horizon/step + watermark-lag slack batches,
+      // x 3 keys/batch, x 4 store rows per key (seen + deadline + timer,
+      // provider row accounting varies)
+      assertPlateau(series, (6L + 2L) * 3L * 4L, "event-time dedup state rows")
+      // every fresh hash was admitted exactly once along the way
+      assert(spark.table("soak_evtdedup").count() == nextId)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("soak: tws near-dup bucket state plateaus at buckets x BucketCap under a constant flood") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
