@@ -438,6 +438,7 @@ object PackageIngest {
     joined.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       var cachedKey: String = null
       var cachedMembers: Seq[TarMember] = null
+      var sweptParent: String = null
       rows.foreach { r =>
         val archive = r.getAs[Array[Byte]]("archive")
         val spillPath = r.getAs[String]("archive_path")
@@ -482,11 +483,22 @@ object PackageIngest {
           // directory forever, visible to directory-listing consumers. A
           // live speculative attempt whose tmp we delete fails its rename
           // and retries; listStatus (not glob) so URI-reserved chars in
-          // dest names never act as glob metacharacters.
-          try fs.listStatus(dest.getParent)
-            .filter(_.getPath.getName.startsWith(dest.getName + ".inprogress-"))
-            .foreach(s => fs.delete(s.getPath, false))
-          catch { case _: java.io.IOException => () }
+          // dest names never act as glob metacharacters. One sweep per
+          // PARENT, not per row: a package's asset rows share the uri
+          // directory and arrive consecutively (the member-cache
+          // ordering), so the one-deep parent memo removes 3 of every 4
+          // listStatus round-trips — and the per-dest name filter below
+          // is widened to the whole directory's ".inprogress-" leftovers,
+          // which is exactly the set the per-row sweep would have
+          // collected across the package's rows anyway.
+          val parent = dest.getParent.toString
+          if (sweptParent != parent) {
+            sweptParent = parent
+            try fs.listStatus(dest.getParent)
+              .filter(_.getPath.getName.contains(".inprogress-"))
+              .foreach(s => fs.delete(s.getPath, false))
+            catch { case _: java.io.IOException => () }
+          }
           val tmp = new org.apache.hadoop.fs.Path(s"$dest.inprogress-$attemptId")
           val out = fs.create(tmp, true)
           try writeTo(out) finally out.close()
