@@ -165,6 +165,43 @@ class StreamingSoakSpec extends SparkSpec {
     }
   }
 
+  test("soak: timer-emission sessions hold state at open sessions only as users churn") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val source = MemoryStream[SessionEvent]
+      val q = StreamingSessionTws.sessions(source.toDS(),
+          java.time.Duration.ofSeconds(30))
+        .writeStream.format("memory").queryName("soak_sessions")
+        .outputMode("append").start()
+
+      val series = soak(q) { batch =>
+        // 3 FRESH users per batch, each one event; event time advances
+        // 10s per batch — a session closes 30s (3 batches) after it
+        // opens, so open sessions sit at ~3 batches x 3 users while 330
+        // users churn through over the soak
+        val ts = new Timestamp(base + batch * 10000L)
+        source.addData((0 until 3).map(u =>
+          SessionEvent(batch.toLong * 10 + u, "land", ts)): _*)
+      }
+      q.stop()
+
+      // bound: (gap/step + watermark-lag slack) batches x 3 users x
+      // ~3 store rows per open session (state value + timer accounting)
+      assertPlateau(series, (3L + 2L) * 3L * 3L, "session state rows")
+      // sessions actually closed continuously along the way
+      assert(spark.table("soak_sessions").count() >= (Batches.toLong - 8) * 3,
+        "closed-session emissions must track the churn")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("soak: tws near-dup bucket state plateaus at buckets x BucketCap under a constant flood") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
