@@ -10,8 +10,11 @@ final case class SessionEvent(user_id: Long, event_type: String, ts: Timestamp)
 
 /** A CLOSED session: emitted exactly once, when the watermark passes
   * `last_ts + gap`. `prefix` is the first [[StreamingSessionTws.PrefixCap]]
-  * event types in event-time order — the bounded trace a funnel/UX
-  * analysis reads. */
+  * event types — event-time-sorted within each micro-batch and folded in
+  * batch order, so with the default zero watermark delay (late rows
+  * dropped) the prefix is globally event-time ordered; a nonzero delay
+  * lets an in-allowance straggler append at its ARRIVAL position (the
+  * bounded trace a funnel/UX analysis reads either way). */
 final case class SessionSummary(user_id: Long, start_ts: Timestamp,
     last_ts: Timestamp, n_events: Long, prefix: Seq[String])
 
