@@ -426,51 +426,64 @@ object MlQueries {
     curves.reduce(_ unionByName _).orderBy(col("pct"))
   }
 
+  // ---- shared oracle-SQL generators for the GD-fit + held-out-AUC arm
+  // (q207's spellings, factored for q212 — the ccWalkCtesSql rule: one
+  // spelling, never hand-inlined copies) ----
+  private val gdXCols = (0 until NumFeat)
+    .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(", ")
+  private def gdZSql(wRef: Int => String): String =
+    ((0 until NumFeat).map(i => s"${wRef(i)} * x$i") :+ wRef(NumFeat)).mkString(" + ")
+  private def gdStepSql(tag: String, k: Int, wRef: Int => String, prevJoin: String): String = {
+    val gCols = ((0 until NumFeat).map(i =>
+      s"sum(CAST((CAST(sg AS DOUBLE) - y) * x$i AS DECIMAL(18,9))) AS g$i") :+
+      s"sum(CAST(CAST(sg AS DOUBLE) - y AS DECIMAL(18,9))) AS g$NumFeat").mkString(", ")
+    val wCols = (0 to NumFeat).map(i =>
+      s"CAST(${wRef(i)} - CAST(g$i AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS w$i")
+      .mkString(", ")
+    s"""s$tag$k AS (SELECT x$tag.*, CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(${gdZSql(wRef)}))) AS DECIMAL(18,6)) AS sg
+       |  FROM x$tag$prevJoin),
+       |g$tag$k AS (SELECT $gCols, count(*) AS n FROM s$tag$k),
+       |w$tag$k AS (SELECT $wCols FROM g$tag$k$prevJoin)""".stripMargin
+  }
+  private val gdZero: Int => String = _ => "CAST(0.0 AS DOUBLE)"
+  private def gdFromW(tag: String, c: Int): Int => String =
+    i => s"CAST(w$tag$c.w$i AS DOUBLE)"
+
+  /** One full arm: train-subset CTE (from `trainSelect`), the unrolled
+    * [[GdSteps]] trajectory, scoring over the shared `xe` eval CTE, and
+    * the tie-corrected AUC + train count — CTE names all suffixed `tag`. */
+  private def gdArmSql(tag: String, trainSelect: String): String = {
+    val steps = (1 to GdSteps).map { k =>
+      if (k == 1) gdStepSql(tag, 1, gdZero, "")
+      else gdStepSql(tag, k, gdFromW(tag, k - 1), s" CROSS JOIN w$tag${k - 1}")
+    }.mkString(",\n")
+    val finalZ = ((0 until NumFeat).map(i =>
+      s"CAST(w$tag$GdSteps.w$i AS DOUBLE) * x$i") :+
+      s"CAST(w$tag$GdSteps.w$NumFeat AS DOUBLE)").mkString(" + ")
+    s"""x$tag AS MATERIALIZED ($trainSelect),
+       |$steps,
+       |e$tag AS (SELECT CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-($finalZ))) AS DECIMAL(18,6)) AS s, y
+       |  FROM xe CROSS JOIN w$tag$GdSteps),
+       |c$tag AS (SELECT s,
+       |    count(*) FILTER (WHERE y = 1.0) AS pos,
+       |    count(*) FILTER (WHERE y = 0.0) AS neg
+       |  FROM e$tag GROUP BY 1),
+       |sw$tag AS (SELECT pos, neg,
+       |    coalesce(sum(neg) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+       |  FROM c$tag),
+       |a$tag AS (SELECT
+       |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
+       |      / nullif(2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE), 0.0) AS auc
+       |  FROM sw$tag),
+       |n$tag AS (SELECT count(*) AS n_train FROM x$tag)""".stripMargin
+  }
+
   val q207Sql: String = {
-    val xCols = (0 until NumFeat)
-      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE) AS x$i").mkString(", ")
-    def zSql(wRef: Int => String): String =
-      ((0 until NumFeat).map(i => s"${wRef(i)} * x$i") :+ wRef(NumFeat)).mkString(" + ")
-    def stepSql(tag: String, k: Int, wRef: Int => String, prevJoin: String): String = {
-      val gCols = ((0 until NumFeat).map(i =>
-        s"sum(CAST((CAST(sg AS DOUBLE) - y) * x$i AS DECIMAL(18,9))) AS g$i") :+
-        s"sum(CAST(CAST(sg AS DOUBLE) - y AS DECIMAL(18,9))) AS g$NumFeat").mkString(", ")
-      val wCols = (0 to NumFeat).map(i =>
-        s"CAST(${wRef(i)} - CAST(g$i AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS w$i")
-        .mkString(", ")
-      s"""s$tag$k AS (SELECT x$tag.*, CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(${zSql(wRef)}))) AS DECIMAL(18,6)) AS sg
-         |  FROM x$tag$prevJoin),
-         |g$tag$k AS (SELECT $gCols, count(*) AS n FROM s$tag$k),
-         |w$tag$k AS (SELECT $wCols FROM g$tag$k$prevJoin)""".stripMargin
-    }
-    val zero: Int => String = _ => "CAST(0.0 AS DOUBLE)"
-    def fromW(tag: String, c: Int): Int => String = i => s"CAST(w$tag$c.w$i AS DOUBLE)"
+    val xCols = gdXCols
     val perPct = LcPcts.map { p =>
       val tag = s"_$p"
-      val steps = (1 to GdSteps).map { k =>
-        if (k == 1) stepSql(tag, 1, zero, "")
-        else stepSql(tag, k, fromW(tag, k - 1), s" CROSS JOIN w$tag${k - 1}")
-      }.mkString(",\n")
-      val finalZ = ((0 until NumFeat).map(i =>
-        s"CAST(w$tag$GdSteps.w$i AS DOUBLE) * x$i") :+
-        s"CAST(w$tag$GdSteps.w$NumFeat AS DOUBLE)").mkString(" + ")
-      s"""x$tag AS MATERIALIZED (SELECT * FROM xg WHERE fold != 7 AND u < $p),
-         |$steps,
-         |e$tag AS (SELECT CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-($finalZ))) AS DECIMAL(18,6)) AS s, y
-         |  FROM xe CROSS JOIN w$tag$GdSteps),
-         |c$tag AS (SELECT s,
-         |    count(*) FILTER (WHERE y = 1.0) AS pos,
-         |    count(*) FILTER (WHERE y = 0.0) AS neg
-         |  FROM e$tag GROUP BY 1),
-         |sw$tag AS (SELECT pos, neg,
-         |    coalesce(sum(neg) OVER (ORDER BY s
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
-         |  FROM c$tag),
-         |a$tag AS (SELECT
-         |    CAST(sum(CAST(2 * pos * neg_below + pos * neg AS DECIMAL(38,0))) AS DOUBLE)
-         |      / nullif(2.0 * CAST(sum(pos) AS DOUBLE) * CAST(sum(neg) AS DOUBLE), 0.0) AS auc
-         |  FROM sw$tag),
-         |n$tag AS (SELECT count(*) AS n_train FROM x$tag)""".stripMargin
+      gdArmSql(tag, s"SELECT * FROM xg WHERE fold != 7 AND u < $p")
     }.mkString(",\n")
     val sel = LcPcts.map { p =>
       val tag = s"_$p"
@@ -489,15 +502,143 @@ object MlQueries {
        |ORDER BY pct""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q212
+  /** SOURCE-GROUP ABLATION — training-data VALUATION, the q169
+    * removal-effect pattern applied to the training corpus itself: the
+    * 20 sources hash into [[SaGroups]] groups (q201's deterministic
+    * md5 device, seed tag `sa:`), q147's classifier re-fits with each
+    * group REMOVED from training, and every fit is evaluated by q154's
+    * tie-corrected AUC on THE SAME fixed held-out eighth q207 uses
+    * (fold 7 of the `lc:` split — never trained on, so ablation deltas
+    * and learning-curve points are directly comparable). Per arm:
+    * the ablated group, sources/docs removed, training rows, AUC, and
+    * `delta_auc` = base − ablated (positive = the group HELPS) — the
+    * "which data should we buy more of / drop" card that completes the
+    * training-data lifecycle (q207 prices volume, q212 prices
+    * composition; DoReMi q180 reweights, this measures removal).
+    * Its verdict here is honestly ~0 at every arm — the synthetic
+    * features carry no signal (q150's rule, q207's flat curve) — the
+    * card is the machinery and its exactness.
+    *
+    * 100 TB shape: ([[SaGroups]]+1) fits × [[GdSteps]] corpus scans,
+    * each folding map-side to a (d+1)-term gradient (q147's schedule);
+    * the group gate is a scan-stage hash projection over the one
+    * doc-keyed source join (broadcast dimension at any real source
+    * cardinality); each eval scans the 1/8 slice + q154's
+    * value-cardinality rank sweep. Parity: identical decimal
+    * trajectories; `delta_auc` subtracts two identically-computed
+    * doubles, so it is bit-stable wherever they are. */
+  private val SaGroups = 4
+
+  private def sourcedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val feats = (0 until NumFeat).map(i =>
+      element_at(col("embedding"), i + 1).cast(DoubleType).as(s"x$i"))
+    val y = when(col("label") < 5, lit(1.0)).otherwise(lit(0.0)).as("y")
+    val fold = (graft.text.TextOps.hex60(
+      concat(lit("lc:"), col("vec_id").cast("string"))) % 8).as("fold")
+    val grp = (graft.text.TextOps.hex60(
+      concat(lit("sa:"), col("source"))) % SaGroups).as("grp")
+    val src = Tables(spark, dir).documents
+      .select(col("doc_id").as("vec_id"), col("source"))
+    Tables(spark, dir).embeddings
+      .join(broadcast(src), Seq("vec_id"))
+      .select(feats ++ Seq(y, fold, grp, col("source")): _*)
+  }
+
+  def q212SourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val g = sourcedFrame(spark, dir).localCheckpoint(true)
+    val eval = g.filter(col("fold") === 7)
+    val nEval = eval.count()
+    def arm(label: String, train: DataFrame, nSrc: Long, nRemoved: Long): DataFrame = {
+      val (_, w) = fitFrame(train)
+      val scored = eval.select(sigmoid6(w).as("s"), col("y"))
+      val grp2 = scored.groupBy(col("s"))
+        .agg(count(when(col("y") === 1.0, 1)).as("pos"),
+          count(when(col("y") === 0.0, 1)).as("neg"))
+      val wBelow = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val swept = grp2.withColumn("neg_below",
+        coalesce(sum(col("neg")).over(wBelow), lit(0L)))
+      val nTrain = train.count()
+      swept.agg(
+        sum((col("pos").cast(DecimalType(19, 0)) *
+          (lit(2L) * col("neg_below") + col("neg")))
+          .cast(DecimalType(38, 0))).as("num2"),
+        sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+        .select(lit(label).as("ablated_group"),
+          lit(nSrc).as("n_sources_removed"), lit(nRemoved).as("n_docs_removed"),
+          lit(nTrain).as("n_train"), lit(nEval).as("n_eval"),
+          (col("num2").cast(DoubleType) /
+            nullif(lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType),
+              lit(0.0)))
+            .as("auc"))
+    }
+    val full = g.filter(col("fold") =!= 7)
+    // per-group removal ledger (bounded: SaGroups rows, driver-ferried)
+    val ledger = full.groupBy(col("grp"))
+      .agg(countDistinct(col("source")).as("ns"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getAs[Long]("grp") ->
+        (r.getAs[Long]("ns"), r.getAs[Long]("nd"))).toMap
+    val arms = arm("none", full, 0L, 0L) +:
+      (0 until SaGroups).map { k =>
+        val (ns, nd) = ledger.getOrElse(k.toLong, (0L, 0L))
+        arm(s"g$k", full.filter(col("grp") =!= k), ns, nd)
+      }
+    val rows = arms.reduce(_ unionByName _).localCheckpoint(true)
+    val base = rows.filter(col("ablated_group") === "none")
+      .select(col("auc").as("base_auc"))
+    rows.crossJoin(broadcast(base))
+      .select(col("ablated_group"), col("n_sources_removed"), col("n_docs_removed"),
+        col("n_train"), col("n_eval"), col("auc"),
+        (col("base_auc") - col("auc")).as("delta_auc"))
+      .orderBy(col("ablated_group"))
+  }
+
+  val q212Sql: String = {
+    val armTags = "none" +: (0 until SaGroups).map(k => s"g$k")
+    val perArm = armTags.map { t =>
+      val pred = if (t == "none") "" else s" AND grp != ${t.drop(1)}"
+      gdArmSql(s"_$t", s"SELECT * FROM xg WHERE fold != 7$pred")
+    }.mkString(",\n")
+    val led = (0 until SaGroups).map(k =>
+      s"""l_g$k AS (SELECT count(DISTINCT source) AS ns, count(*) AS nd
+         |  FROM xg WHERE fold != 7 AND grp = $k)""".stripMargin).mkString(",\n")
+    val sel = armTags.map { t =>
+      val (nsSel, joinL) =
+        if (t == "none") ("CAST(0 AS BIGINT) AS n_sources_removed, CAST(0 AS BIGINT) AS n_docs_removed", "")
+        else (s"CAST(ns AS BIGINT) AS n_sources_removed, CAST(nd AS BIGINT) AS n_docs_removed", s", l_$t")
+      s"""SELECT '$t' AS ablated_group, $nsSel,
+         |  CAST(n_train AS BIGINT) AS n_train,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM xe) AS n_eval, auc
+         |FROM n_$t, a_$t$joinL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH xg AS MATERIALIZED (SELECT $gdXCols,
+       |  CASE WHEN label < 5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+       |  ('0x' || substr(md5('lc:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS fold,
+       |  ('0x' || substr(md5('sa:' || d.source), 1, 15))::BIGINT % $SaGroups AS grp,
+       |  d.source AS source
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |xe AS MATERIALIZED (SELECT * FROM xg WHERE fold = 7),
+       |$perArm,
+       |$led,
+       |res AS ($sel)
+       |SELECT r.ablated_group, r.n_sources_removed, r.n_docs_removed,
+       |  r.n_train, r.n_eval, r.auc,
+       |  (SELECT auc FROM a_none) - r.auc AS delta_auc
+       |FROM res r ORDER BY r.ablated_group""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q147_logistic_gd" -> (q147LogisticGd _),
       "q154_model_eval" -> (q154ModelEval _),
       "q159_woe_iv" -> (q159WoeIv _),
-      "q207_learning_curve" -> (q207LearningCurve _))
+      "q207_learning_curve" -> (q207LearningCurve _),
+      "q212_source_ablation" -> (q212SourceAblation _))
 
   val oracleSql: Map[String, String] =
     Map("q147_logistic_gd" -> q147Sql,
       "q154_model_eval" -> q154Sql,
       "q159_woe_iv" -> q159Sql,
-      "q207_learning_curve" -> q207Sql)
+      "q207_learning_curve" -> q207Sql,
+      "q212_source_ablation" -> q212Sql)
 }
