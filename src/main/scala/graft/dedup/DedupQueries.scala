@@ -1647,6 +1647,121 @@ object DedupQueries {
        |FROM c JOIN ns na ON c.src_a = na.source JOIN ns nb ON c.src_b = nb.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** KMV-sketch pairwise source overlap — q92 restated in the shape that
+    * ships at 100 TB (the q60→q94 move, applied to the overlap matrix).
+    * q92 materializes the cross-source shared-shingle set, so its cost is
+    * the full distinct-shingle profile of every source PLUS a pair
+    * explosion on the shared hashes; this card touches the raw rows ONCE:
+    * per source, a [[graft.sketch.KmvSketch]] state of the shingle hashes
+    * ([[OverlapK]] minimum values — the shuffle carries ≤ k longs per
+    * source, never the profile), then every pair statistic is arithmetic
+    * on the source-cardinality sketch frame: the merged pair sketch is the
+    * k smallest of the two min-sets' union (KMV merge = capped sorted-set
+    * union), ρ = |merged ∩ A ∩ B| / |merged| estimates Jaccard (Beyer et
+    * al., SIGMOD'07), the union size comes from the merged kth minimum
+    * (Bar-Yossef et al.), and intersection = ρ · union. S² pairs of
+    * k-arrays is driver-trivial for any bounded source count, and the
+    * sketches persist/re-merge incrementally like q77's rollup — the
+    * update path q92 fundamentally lacks.
+    *
+    * Parity: the estimator is DETERMINISTIC given the hash set, so the
+    * oracle mirrors it — per-source k-minimum rows via one ranked window,
+    * pair unions ranked the same way, and the exact-below-k vs
+    * kth-minimum branches spelled with the SAME division order as
+    * [[graft.sketch.KmvSketch.KmvAggregator.finish]]; jaccard and the
+    * product est columns are single fixed-shape IEEE ops on those exact
+    * inputs. A source whose every doc is shorter than the shingle width
+    * has no profile and drops from the matrix in both engines (explode/
+    * unnest of an empty list). `KmvOverlapSpec` pins the estimates
+    * against q92's exact profile Jaccard at gate scale. */
+  private val OverlapK = 1024
+
+  def q213KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hs = (1L << 60).toDouble
+    // one corpus pass → one ≤k-long sketch per source (tiny; materialized
+    // so the self-join's two sides don't re-run the shingle kernel)
+    val sk = Tables(spark, dir).documents
+      .select(col("source"), explode(shingleHashes(tokens(normText(col("text"))))).as("h"))
+      .groupBy(col("source"))
+      .agg(graft.sketch.KmvSketch.sketchState(col("h"), OverlapK).getField("mins").as("mins"))
+      .localCheckpoint(true)
+    def est(mins: Column, kth: Column): Column =
+      when(size(mins) < OverlapK, size(mins).cast(DoubleType))
+        .otherwise(lit((OverlapK - 1).toDouble) / (kth.cast(DoubleType) / lit(hs)))
+    val a = sk.select(col("source").as("src_a"), col("mins").as("ma"))
+    val b = sk.select(col("source").as("src_b"), col("mins").as("mb"))
+    // source-cardinality pair frame: S(S−1)/2 rows of two k-arrays each
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("u", array_sort(array_union(col("ma"), col("mb"))))
+      .withColumn("merged", slice(col("u"), 1, OverlapK))
+      .withColumn("n_merged", size(col("merged")))
+      .withColumn("n_shared", size(filter(col("merged"),
+        h => array_contains(col("ma"), h) && array_contains(col("mb"), h))))
+      .withColumn("est_a", est(col("ma"), element_at(col("ma"), OverlapK)))
+      .withColumn("est_b", est(col("mb"), element_at(col("mb"), OverlapK)))
+      .withColumn("union_est",
+        when(size(col("u")) < OverlapK, size(col("u")).cast(DoubleType))
+          .otherwise(lit((OverlapK - 1).toDouble) /
+            (element_at(col("u"), OverlapK).cast(DoubleType) / lit(hs))))
+      .withColumn("jaccard_est",
+        col("n_shared").cast(DoubleType) / nullif(col("n_merged"), lit(0)).cast(DoubleType))
+      .withColumn("intersect_est", col("jaccard_est") * col("union_est"))
+      .select(col("src_a"), col("src_b"),
+        size(col("ma")).as("sk_a"), size(col("mb")).as("sk_b"),
+        col("n_merged"), col("n_shared"), col("est_a"), col("est_b"),
+        col("union_est"), col("jaccard_est"), col("intersect_est"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q213Sql: String = {
+    val k = OverlapK
+    // exact-below-k vs kth-minimum branch, spelled with KmvAggregator.
+    // finish's division order so the doubles are bit-identical
+    def estSql(n: String, kth: String): String =
+      s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE ${(k - 1).toDouble} / (CAST($kth AS DOUBLE) / 1152921504606846976.0) END"
+    s"""WITH tk AS (SELECT source, $toksSql AS t FROM documents),
+       |shs AS (SELECT source,
+       |  list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sh
+       |  FROM tk),
+       |ss AS (SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+       |       FROM (SELECT source, unnest(sh) AS s FROM shs)),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |      FROM ss),
+       |sk AS MATERIALIZED (SELECT source, h, rn FROM r WHERE rn <= $k),
+       |ksz AS (SELECT source, count(*) AS n_sk,
+       |               max(CASE WHEN rn = $k THEN h END) AS kth
+       |        FROM sk GROUP BY 1),
+       |p AS (SELECT a.source AS src_a, a.n_sk AS sk_a, a.kth AS kth_a,
+       |             b.source AS src_b, b.n_sk AS sk_b, b.kth AS kth_b
+       |      FROM ksz a JOIN ksz b ON a.source < b.source),
+       |uh AS (SELECT p.src_a, p.src_b, sk.h,
+       |         bool_or(sk.source = p.src_a) AS in_a,
+       |         bool_or(sk.source = p.src_b) AS in_b
+       |       FROM p JOIN sk ON sk.source IN (p.src_a, p.src_b)
+       |       GROUP BY 1, 2, 3),
+       |ur AS (SELECT src_a, src_b, h, in_a, in_b,
+       |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY src_a, src_b) AS nu
+       |       FROM uh),
+       |pu AS (SELECT src_a, src_b, max(nu) AS nu,
+       |         count(*) FILTER (WHERE rn <= $k) AS n_merged,
+       |         count(*) FILTER (WHERE rn <= $k AND in_a AND in_b) AS n_shared,
+       |         max(CASE WHEN rn = $k THEN h END) AS kth_u
+       |       FROM ur GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b,
+       |  CAST(p.sk_a AS INT) AS sk_a, CAST(p.sk_b AS INT) AS sk_b,
+       |  CAST(pu.n_merged AS INT) AS n_merged, CAST(pu.n_shared AS INT) AS n_shared,
+       |  ${estSql("p.sk_a", "p.kth_a")} AS est_a,
+       |  ${estSql("p.sk_b", "p.kth_b")} AS est_b,
+       |  ${estSql("pu.nu", "pu.kth_u")} AS union_est,
+       |  CAST(pu.n_shared AS DOUBLE) / CAST(nullif(pu.n_merged, 0) AS DOUBLE) AS jaccard_est,
+       |  (CAST(pu.n_shared AS DOUBLE) / CAST(nullif(pu.n_merged, 0) AS DOUBLE))
+       |    * (${estSql("pu.nu", "pu.kth_u")}) AS intersect_est
+       |FROM p JOIN pu USING (src_a, src_b)
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q94
   /** Bloom-prefiltered decontamination — q60's scrub restated in the shape
     * that actually ships at 100 TB. q60 semi-joins every corpus shingle
@@ -1923,6 +2038,7 @@ object DedupQueries {
     "q69_substring_dedup"     -> (q69SubstringDedup _),
     "q72_winnow_pairs"        -> (q72WinnowPairs _),
     "q92_source_overlap"      -> (q92SourceOverlap _),
+    "q213_kmv_overlap"        -> (q213KmvOverlap _),
     "q94_bloom_decontaminate" -> (q94BloomDecontaminate _))
 
   val oracleSql: Map[String, String] = Map(
@@ -1954,5 +2070,6 @@ object DedupQueries {
     "q69_substring_dedup"     -> q69Sql,
     "q72_winnow_pairs"        -> q72Sql,
     "q92_source_overlap"      -> q92Sql,
+    "q213_kmv_overlap"        -> q213Sql,
     "q94_bloom_decontaminate" -> q94Sql)
 }

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Sequential CUSUM on transformWithState: planted level shifts alert at
+  * the exact Page-statistic crossing (stat and n pinned by hand), the
+  * detector re-arms after each alert, a steady key stays silent, and the
+  * streaming alert set equals [[StreamingCusum.batchAlerts]] when the
+  * same points replay as one batch dataset — state carried across
+  * micro-batch boundaries under the RocksDB provider. */
+class StreamingCusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def pt(key: String, i: Int, v: Long) =
+    CusumPoint(key, new Timestamp(1700000000000L + i * 60000L), v)
+
+  // mu0=100, slack=10, threshold=200:
+  //  - "up": 20 on-target points, then a +30 shift — each shifted point
+  //    adds 130-100-10=20 to S⁺, first EXCEEDS 200 at the 11th (220)
+  //  - "down": 10 on-target, then a -40 shift — each adds 100-60-10=30
+  //    to S⁻, crosses at the 7th shifted point (210); the re-armed
+  //    detector re-accumulates and crosses AGAIN 7 points later (210)
+  //  - "steady": alternates ±10 around mu0 (inside the slack), no alert
+  private val Mu0 = 100L; private val Slack = 10L; private val H = 200L
+  private val upPts = (1 to 20).map(pt("up", _, 100L)) ++
+    (21 to 35).map(pt("up", _, 130L))
+  private val downPts = (1 to 10).map(pt("down", _, 100L)) ++
+    (11 to 25).map(pt("down", _, 60L))
+  private val steadyPts = (1 to 30).map(i => pt("steady", i, if (i % 2 == 0) 110L else 90L))
+  private val allPts = (upPts ++ downPts ++ steadyPts).sortBy(_.ts.getTime)
+
+  test("batch reference: planted shifts alert at the exact crossing, re-arm, steady silent") {
+    val alerts = StreamingCusum.batchAlerts(
+      allPts.toDS(), Mu0, Slack, H).collect().sortBy(a => (a.key, a.ts.getTime))
+    val up = alerts.filter(_.key == "up")
+    assert(up.length == 1 && up.head.direction == "up" &&
+      up.head.stat == 220L && up.head.n_since_reset == 31L,
+      s"up: expected one alert (stat 220, n 31), got ${up.toSeq}")
+    val down = alerts.filter(_.key == "down")
+    assert(down.length == 2 && down.forall(_.direction == "down"),
+      s"down: expected the re-armed second alert, got ${down.toSeq}")
+    assert(down(0).stat == 210L && down(0).n_since_reset == 17L)
+    assert(down(1).stat == 210L && down(1).n_since_reset == 7L,
+      "n counts from the reset, not from the stream start")
+    assert(!alerts.exists(_.key == "steady"), "inside-slack noise must stay silent")
+  }
+
+  test("streaming alerts across 3 micro-batches == batch reference (append, exactly once)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // in-order feed split mid-accumulation: the up-shift crossing sits
+      // in batch 3 while its S⁺ run-up starts in batch 2
+      val batches = Seq(
+        allPts.filter(_.ts.getTime < 1700000000000L + 15 * 60000L),
+        allPts.filter(p => p.ts.getTime >= 1700000000000L + 15 * 60000L &&
+          p.ts.getTime < 1700000000000L + 28 * 60000L),
+        allPts.filter(_.ts.getTime >= 1700000000000L + 28 * 60000L))
+      assert(batches.forall(_.nonEmpty))
+      val src = MemoryStream[CusumPoint]
+      val q = StreamingCusum.alerts(src.toDS(), Mu0, Slack, H)
+        .writeStream.format("memory").queryName("cusum_alerts")
+        .outputMode("append").start()
+      val streamed = try {
+        batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        spark.table("cusum_alerts").as[CusumAlert].collect()
+      } finally q.stop()
+      val reference = StreamingCusum.batchAlerts(allPts.toDS(), Mu0, Slack, H).collect()
+      assert(streamed.sortBy(a => (a.key, a.ts.getTime)).toSeq ==
+        reference.sortBy(a => (a.key, a.ts.getTime)).toSeq,
+        "streaming fold must equal the batch fold under in-order delivery")
+      assert(streamed.length == streamed.distinct.length, "append = each alert exactly once")
+    }
+  }
+}
