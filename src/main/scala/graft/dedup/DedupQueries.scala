@@ -1696,8 +1696,10 @@ object DedupQueries {
       .withColumn("u", array_sort(array_union(col("ma"), col("mb"))))
       .withColumn("merged", slice(col("u"), 1, OverlapK))
       .withColumn("n_merged", size(col("merged")))
-      .withColumn("n_shared", size(filter(col("merged"),
-        h => array_contains(col("ma"), h) && array_contains(col("mb"), h))))
+      // hash-set intersections (array_intersect), never a per-element
+      // array_contains scan: O(k) per pair instead of O(k²)
+      .withColumn("n_shared",
+        size(array_intersect(array_intersect(col("merged"), col("ma")), col("mb"))))
       .withColumn("est_a", est(col("ma"), element_at(col("ma"), OverlapK)))
       .withColumn("est_b", est(col("mb"), element_at(col("mb"), OverlapK)))
       .withColumn("union_est",

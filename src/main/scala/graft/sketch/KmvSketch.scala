@@ -33,6 +33,134 @@ object KmvSketch {
   /** Sorted ascending, distinct, length ≤ k. */
   final case class State(mins: Array[Long])
 
+  /** The one estimator definition every surface shares (classic and
+    * buffered aggregators, q213's SQL mirror): exact below k, else
+    * (k−1) / (kth-smallest / 2⁶⁰) — division order is part of the
+    * cross-engine parity contract. */
+  private def estimateOf(mins: Array[Long], used: Int, k: Int): Double =
+    if (used < k) used.toDouble
+    else (k - 1).toDouble / (mins(k - 1).toDouble / HashSpace)
+
+  /** Mutable accumulation buffer for the UDAF surface: an APPEND log of
+    * capacity 2k with deferred sort-dedup-truncate compaction. The classic
+    * [[KmvAggregator]] keeps its state canonical by a binary-search insert
+    * — optimal per ROW in the streaming operators' small-batch folds, but
+    * each admission arraycopies the ≤k-long state, and during a scan-side
+    * partial aggregation the fill phase admits ~k·ln(n/k) times per
+    * (partition × group): at q213's scale that was gigabytes of memcpy
+    * (6.5 s → 1.3 s at sf0.1 from this buffer alone). Here admission is
+    * an O(1) append; a full buffer sorts, dedups, truncates to the k
+    * minima and sets `thr` (the current kth minimum) as the steady-state
+    * O(1) reject — ≥ k appends between compactions, so the amortized cost
+    * is O(log k) per row. Outputs are IDENTICAL k-min sets by
+    * construction ([[KmvBufSpec]] pins buffered ≡ classic, dups, merges
+    * and all). `var` fields + Array encode fine through the product
+    * encoder (fields are read at serialization points only). */
+  final case class Buf(var arr: Array[Long], var used: Int, var thr: Long)
+
+  private def newBuf(): Buf = Buf(Array.emptyLongArray, 0, Long.MaxValue)
+
+  /** Sort-dedup-truncate `b` to its ≤k minima in place; sets the reject
+    * threshold once k distincts exist. */
+  private def compact(b: Buf, k: Int): Unit = {
+    java.util.Arrays.sort(b.arr, 0, b.used)
+    var m = 0
+    var i = 0
+    while (i < b.used && m < k) {
+      if (m == 0 || b.arr(i) != b.arr(m - 1)) { b.arr(m) = b.arr(i); m += 1 }
+      i += 1
+    }
+    b.used = m
+    if (m == k) b.thr = b.arr(k - 1)
+  }
+
+  private def insertBuf(b: Buf, h: Long, k: Int): Buf = {
+    // thr is the CURRENT kth minimum once known: h > thr can never be a
+    // k-min; h == thr is a duplicate of the kth value — both reject O(1)
+    if (h >= b.thr) return b
+    if (b.used == b.arr.length) {
+      if (b.arr.length < 2 * k) {
+        val n = math.min(math.max(b.arr.length * 2, 64), 2 * k)
+        b.arr = java.util.Arrays.copyOf(b.arr, n)
+      } else {
+        compact(b, k)
+        if (h >= b.thr) return b // compaction may have set the threshold
+      }
+    }
+    b.arr(b.used) = h
+    b.used += 1
+    b
+  }
+
+  /** Merge a canonical sorted-distinct array into `a` (two-pointer merge,
+    * capped at k) — shared by buffer-buffer and state-buffer merges. */
+  private def mergeSorted(a: Buf, mins: Array[Long], mlen: Int, k: Int): Buf = {
+    compact(a, k)
+    val out = new Array[Long](2 * k)
+    var i = 0; var j = 0; var m = 0
+    while (m < k && (i < a.used || j < mlen)) {
+      val takeA = j >= mlen || (i < a.used && a.arr(i) <= mins(j))
+      val next = if (takeA) { val v = a.arr(i); i += 1; v }
+                 else { val v = mins(j); j += 1; v }
+      // cross-input duplicates surface adjacent in merge order — the
+      // last-written check dedups them
+      if (m == 0 || out(m - 1) != next) { out(m) = next; m += 1 }
+    }
+    Buf(out, m, if (m == k) out(k - 1) else Long.MaxValue)
+  }
+
+  private def mergeBufs(a: Buf, b: Buf, k: Int): Buf = {
+    if (b.used == 0) { compact(a, k); return a }
+    if (a.used == 0) { compact(b, k); return b }
+    compact(b, k)
+    mergeSorted(a, b.arr, b.used, k)
+  }
+
+  private def stateOfBuf(b: Buf, k: Int): State = {
+    compact(b, k)
+    State(java.util.Arrays.copyOf(b.arr, b.used))
+  }
+
+  /** Buffered-compaction KMV for the UDAF surface — identical k-min set
+    * and estimator as [[KmvAggregator]], amortized O(log k) per row. */
+  class KmvBufAggregator(k: Int) extends Aggregator[java.lang.Long, Buf, Double] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: Buf = newBuf()
+    override def reduce(b: Buf, h: java.lang.Long): Buf =
+      if (h == null) b else insertBuf(b, h.longValue(), k)
+    override def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, k)
+    override def finish(b: Buf): Double = {
+      compact(b, k); estimateOf(b.arr, b.used, k)
+    }
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Buffered state-output variant (the q77/q213 shard-sketch path). */
+  class KmvBufStateAggregator(k: Int) extends Aggregator[java.lang.Long, Buf, State] {
+    private val inner = new KmvBufAggregator(k)
+    override def zero: Buf = inner.zero
+    override def reduce(b: Buf, h: java.lang.Long): Buf = inner.reduce(b, h)
+    override def merge(a: Buf, b: Buf): Buf = inner.merge(a, b)
+    override def finish(b: Buf): State = stateOfBuf(b, k)
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[State] = Encoders.product[State]
+  }
+
+  /** Buffered merge-only re-aggregator (stored [[State]]s → estimate). */
+  class KmvBufMergeAggregator(k: Int) extends Aggregator[State, Buf, Double] {
+    override def zero: Buf = newBuf()
+    override def reduce(b: Buf, in: State): Buf =
+      if (in == null || in.mins.isEmpty) b
+      else mergeSorted(b, in.mins, in.mins.length, k)
+    override def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, k)
+    override def finish(b: Buf): Double = {
+      compact(b, k); estimateOf(b.arr, b.used, k)
+    }
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   class KmvAggregator(k: Int) extends Aggregator[java.lang.Long, State, Double] {
     require(k >= 2, s"k must be >= 2, got $k")
 
@@ -62,8 +190,7 @@ object KmvSketch {
       else b.mins.foldLeft(a)((s, h) => insert(s, h))
 
     override def finish(s: State): Double =
-      if (s.mins.length < k) s.mins.length.toDouble // exact below k distincts
-      else (k - 1).toDouble / (s.mins(k - 1).toDouble / HashSpace)
+      estimateOf(s.mins, s.mins.length, k) // exact below k distincts
 
     override def bufferEncoder: Encoder[State] = Encoders.product[State]
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -72,7 +199,7 @@ object KmvSketch {
   /** Column-level KMV estimator over a pre-hashed 60-bit long column
     * (nullable — nulls are ignored). */
   def approxDistinct(hashed: Column, k: Int = 256): Column =
-    udaf(new KmvAggregator(k), Encoders.LONG).apply(hashed)
+    udaf(new KmvBufAggregator(k), Encoders.LONG).apply(hashed)
 
   /** State-output variant: emits the sketch itself (a `mins` struct) so a
     * shard/source-level aggregation can be PERSISTED and re-aggregated
@@ -104,17 +231,17 @@ object KmvSketch {
 
   /** Shard sketch state of a pre-hashed long column. */
   def sketchState(hashed: Column, k: Int = 256): Column =
-    udaf(new KmvStateAggregator(k), Encoders.LONG).apply(hashed)
+    udaf(new KmvBufStateAggregator(k), Encoders.LONG).apply(hashed)
 
   /** Distinct estimate from stored sketch states ([[sketchState]] output).
     * The single-field `State` input encoder flattens to a bare
     * `ARRAY<BIGINT>`, so the struct's `mins` field is what feeds it. */
   def mergeDistinct(state: Column, k: Int = 256): Column =
-    udaf(new KmvMergeAggregator(k), Encoders.product[State]).apply(state.getField("mins"))
+    udaf(new KmvBufMergeAggregator(k), Encoders.product[State]).apply(state.getField("mins"))
 
   /** SQL surface: `kmv_distinct(hashed_long)` with the default k=256
     * (UDAFs can't take the sketch size as a per-row argument, so the SQL
     * name pins it). Idempotent per session, like the XmlOps UDFs. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.udf.register("kmv_distinct", udaf(new KmvAggregator(256), Encoders.LONG))
+    spark.udf.register("kmv_distinct", udaf(new KmvBufAggregator(256), Encoders.LONG))
 }
