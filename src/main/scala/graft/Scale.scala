@@ -337,7 +337,11 @@ object Scale {
     // round 12: the substring-span family — dirty-gram mass is
     // within-replica only (disjoint shingles), so the honest decade is the
     // full 10×: pair fan-out grows with the replica count, never across it
-    "q200_substring_spans", "q204_excise_audit")
+    "q200_substring_spans", "q204_excise_audit",
+    // round 13: the sketch-overlap card — the decade SHOULD be ~flat past
+    // the scan (per-source state is k longs at every corpus size); a
+    // super-linear exponent here means the buffered aggregator regressed
+    "q213_kmv_overlap")
 
   private def buildDedupReplica(spark: SparkSession, src: String, out: String,
       reps: Int): Unit = {
