@@ -85,4 +85,35 @@ class StreamingCusumSpec extends SparkSpec {
       assert(streamed.length == streamed.distinct.length, "append = each alert exactly once")
     }
   }
+
+  test("accumulated S+ survives a stop/restart: the crossing proves recovered state") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cusum-ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-cusum-out").toString
+      val src = MemoryStream[CusumPoint]
+      def start() = StreamingCusum.alerts(src.toDS(), Mu0, Slack, H)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      val q1 = start()
+      // 20 on-target + 5 shifted points: S+ = 5*20 = 100, under h — all
+      // the evidence lives in state when we kill the query
+      src.addData((1 to 20).map(pt("r", _, 100L)) ++ (21 to 25).map(pt("r", _, 130L)): _*)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      // 6 more shifted points: 6*20 = 120 alone stays under h=200 — the
+      // crossing at 220 can ONLY happen if the 100 recovered
+      src.addData((26 to 31).map(pt("r", _, 130L)): _*)
+      q2.processAllAvailable()
+      val alerts = spark.read.parquet(outDir).as[CusumAlert].collect()
+      assert(alerts.length == 1, s"exactly one alert, got ${alerts.toSeq}")
+      assert(alerts.head.direction == "up" && alerts.head.stat == 220L &&
+        alerts.head.n_since_reset == 31L,
+        "stat/n must continue from the pre-restart accumulation")
+      q2.stop()
+    }
+  }
 }
