@@ -460,17 +460,144 @@ object TimeSeriesQueries {
        |  CAST(sign(CAST(d AS DOUBLE)) AS BIGINT) AS direction
        |FROM cp ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** SEQUENTIAL CUSUM alert ledger — the online half of q209, oracle-
+    * gated: where q209 finds the single retrospective argmax changepoint,
+    * this card runs the deployed monitor's exact fold
+    * ([[graft.streaming.StreamingCusum.batchAlerts]], the SAME shared
+    * Page step the `transformWithState` operator executes per batch) over
+    * the zero-filled hourly series and emits every threshold crossing
+    * with its re-arm semantics. The DuckDB oracle walks the identical
+    * recursion as a RECURSIVE CTE stepping one hour per level — depth is
+    * bounded by the TIME RANGE, never the corpus — so the streaming
+    * operator's per-row semantics (two-sided accumulate, ≥ tie to "up",
+    * report-then-reset, n counted from the reset) are pinned CROSS-ENGINE,
+    * not merely self-consistent with the batch reference.
+    *
+    * Rates are STANDARDIZED per type so the monitor's parameters are
+    * scalar across heterogeneous-rate keys, the way a fleet monitor
+    * deploys: first to per-mille of a first-24-hour baseline mean
+    * (`v = (x·1000) div μ₀,t`), then to hundredths of the type's OWN
+    * first-day noise scale (`w = ((v − 1000)·100) div sad_t`, where
+    * `sad_t` is the mean absolute successive difference over hours
+    * 2..24) — slack = [[CusumSlackStd]] is then 0.5 noise units per
+    * observation and threshold = [[CusumThresholdStd]] is 5 cumulative
+    * units, meaningful at EVERY corpus scale (a fixed per-mille slack
+    * either drowns in sf0.01's quantization noise or never fires at
+    * sf0.1's tighter relative noise — measured both before this form).
+    * Integer division end to end in both engines; state is Long.
+    *
+    * Scale gates: the workload is HOUR-cardinality (q209's rule — the
+    * series length is bounded by the time range, never the corpus), so
+    * the honest corpus decade is sf0.01 → sf0.1: the same hours get 10×
+    * denser, both oracle-gated (24 and 9 alerts). The standard 10×
+    * replica additionally stresses the SERIES-LENGTH axis — its replicas
+    * offset timestamps by years, stretching the spine to ~87k hours with
+    * long zero-filled gaps — and the fold is hash-exact there too at
+    * 239,850 alert rows (the oracle's recursive CTE needs ~25 min for
+    * the 87k-level walk; the Spark fold, seconds). */
+  private val CusumSlackStd = 50L
+  private val CusumThresholdStd = 500L
+
+  def q214CusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"), col("h0"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), (col("h") - col("h0") + 1).as("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val base = spine.groupBy(col("event_type"))
+      .agg(greatest(expr("sum(CASE WHEN t <= 24 THEN x ELSE 0 END) div 24"),
+        lit(1L)).as("mu0"))
+    val nv = spine.join(base, Seq("event_type"))
+      .select(col("event_type"), col("h"), col("t"), expr("(x * 1000) div mu0").as("v"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val noise = nv.withColumn("pv", lag(col("v"), 1).over(wLag))
+      .filter(col("t").between(2, 24))
+      .groupBy(col("event_type"))
+      .agg(greatest(expr("sum(abs(v - pv)) div 23"), lit(1L)).as("sad"))
+    // sign split before the div: trunc-vs-floor semantics on NEGATIVE
+    // integral division are not guaranteed to agree cross-engine, so the
+    // division only ever sees a non-negative dividend
+    val pts = nv.join(noise, Seq("event_type"))
+      .select(col("event_type").as("key"),
+        timestamp_seconds(col("h") * 3600).as("ts"),
+        expr("CASE WHEN v >= 1000 THEN ((v - 1000) * 100) div sad " +
+          "ELSE -(((1000 - v) * 100) div sad) END").as("value"))
+      .as[graft.streaming.CusumPoint]
+    graft.streaming.StreamingCusum
+      .batchAlerts(pts, 0L, CusumSlackStd, CusumThresholdStd)
+      .select(col("key").as("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("alert_h"),
+        col("direction"), col("stat"), col("n_since_reset"))
+      .orderBy(col("event_type"), col("alert_h"))
+  }
+
+  val q214Sql: String = {
+    val sl = CusumSlackStd
+    val th = CusumThresholdStd
+    s"""WITH RECURSIVE hourly AS (SELECT event_type,
+       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |rng AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+       |spx AS (SELECT r.event_type, r.h0, u.h
+       |  FROM rng r, unnest(generate_series(r.h0, r.h1)) AS u(h)),
+       |spine AS MATERIALIZED (SELECT spx.event_type, spx.h, spx.h - spx.h0 + 1 AS t,
+       |    coalesce(cnt, 0) AS x
+       |  FROM spx LEFT JOIN hourly ON hourly.event_type = spx.event_type AND hourly.h = spx.h),
+       |base AS (SELECT event_type,
+       |    greatest(sum(CASE WHEN t <= 24 THEN x ELSE 0 END) // 24, 1) AS mu0
+       |  FROM spine GROUP BY 1),
+       |nv AS MATERIALIZED (SELECT s.event_type, s.h, s.t, (s.x * 1000) // b.mu0 AS v
+       |  FROM spine s JOIN base b USING (event_type)),
+       |noise AS (SELECT a.event_type, greatest(sum(abs(a.v - b.v)) // 23, 1) AS sad
+       |  FROM nv a JOIN nv b ON a.event_type = b.event_type AND b.t = a.t - 1
+       |  WHERE a.t BETWEEN 2 AND 24 GROUP BY 1),
+       |pts AS MATERIALIZED (SELECT n.event_type, n.h, n.t,
+       |    CASE WHEN n.v >= 1000 THEN ((n.v - 1000) * 100) // s.sad
+       |         ELSE -(((1000 - n.v) * 100) // s.sad) END AS w
+       |  FROM nv n JOIN noise s USING (event_type)),
+       |walk AS (
+       |  SELECT event_type, h, t,
+       |    greatest(0, w - $sl) AS spos1,
+       |    greatest(0, -w - $sl) AS sneg1,
+       |    1 AS n1,
+       |    (greatest(0, w - $sl) > $th OR greatest(0, -w - $sl) > $th) AS crossed
+       |  FROM pts WHERE t = 1
+       |  UNION ALL
+       |  SELECT p.event_type, p.h, p.t,
+       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + p.w - $sl),
+       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - p.w - $sl),
+       |    (CASE WHEN w.crossed THEN 0 ELSE w.n1 END) + 1,
+       |    (greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + p.w - $sl) > $th OR
+       |     greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - p.w - $sl) > $th)
+       |  FROM walk w JOIN pts p ON p.event_type = w.event_type AND p.t = w.t + 1)
+       |SELECT event_type, CAST(h AS BIGINT) AS alert_h,
+       |  CASE WHEN spos1 >= sneg1 THEN 'up' ELSE 'down' END AS direction,
+       |  CAST(greatest(spos1, sneg1) AS BIGINT) AS stat,
+       |  CAST(n1 AS BIGINT) AS n_since_reset
+       |FROM walk WHERE crossed
+       |ORDER BY event_type, alert_h""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q146_ewma_spikes" -> (q146EwmaSpikes _),
       "q153_forecast_eval" -> (q153ForecastEval _),
       "q158_acf" -> (q158Acf _),
       "q166_seasonal_index" -> (q166SeasonalIndex _),
-      "q209_cusum_changepoint" -> (q209CusumChangepoint _))
+      "q209_cusum_changepoint" -> (q209CusumChangepoint _),
+      "q214_cusum_alerts" -> (q214CusumAlerts _))
 
   val oracleSql: Map[String, String] =
     Map("q146_ewma_spikes" -> q146Sql,
       "q153_forecast_eval" -> q153Sql,
       "q158_acf" -> q158Sql,
       "q166_seasonal_index" -> q166Sql,
-      "q209_cusum_changepoint" -> q209Sql)
+      "q209_cusum_changepoint" -> q209Sql,
+      "q214_cusum_alerts" -> q214Sql)
 }
