@@ -515,12 +515,23 @@ object MediaQueries {
     * of video length. */
   def q179VideoFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    spreadIds(Tables(spark, dir).documents.select(col("doc_id")).as[Long])
       .map(id => VideoRow(id, encodeAvi(id)))
       .mapPartitions(AviKernel.featurize _)
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** Codec kernels are CPU work, not scan work — and a gate-scale corpus
+    * arrives as ONE parquet split, which runs the whole encode/demux
+    * section single-threaded (the ingest fetchParallelism lesson, batch
+    * form: measured 4.4 s → sub-second on q179 at sf0.1). Spread the
+    * 8-byte id frame across the executors ONLY when the source's own
+    * partitioning is below the machine's parallelism; a many-split
+    * production scan pays no shuffle at all. */
+  private def spreadIds(ds: org.apache.spark.sql.Dataset[Long]): org.apache.spark.sql.Dataset[Long] = {
+    val cores = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < cores) ds.repartition(cores) else ds
   }
 
   val q179Sql: String =
@@ -598,6 +609,10 @@ object MediaQueries {
     * stage, the decode kernel is a narrow partition-batched pass (I/O
     * bound, no shuffle), and only the fixed-width feature columns leave
     * the executor. */
+  // no spreadIds here: q178's PCM kernel is ~0.3 s of CPU at gate scale —
+  // measured, the repartition's extra stage costs more than the
+  // parallelism buys (0.79 s → 1.68 s); q179's AVI kernel is 15× heavier
+  // and flips the trade (4.4 s → 0.76 s)
   def q178AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
