@@ -791,7 +791,7 @@ class PlanAuditSpec extends SparkSpec {
       s"q176: docs scan must prune to the token kernel's columns\n$plan")
   }
 
-  test("q179 video kernel: doc_id-only scan, narrow map, the sort is the only exchange") {
+  test("q179 video kernel: doc_id-only scan, id-spread BELOW the codec map, no payload shuffle") {
     val plan = physical("q179_video_features")
     // payload synthesis + demux + codec all live in the map stage — a
     // hash exchange here would mean the binary column started shuffling
@@ -799,8 +799,16 @@ class PlanAuditSpec extends SparkSpec {
       s"q179: docs scan must prune to doc_id\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"q179: media payloads must not shuffle\n$plan")
-    assert(countOccurrences(plan, "Exchange ") == 1,
-      s"q179: expected only the presentation-sort exchange\n$plan")
+    // two exchanges, both cheap by construction: the spreadIds round-robin
+    // of the 8-byte id frame (BELOW the map stage, so the codec section
+    // runs on every core even when the source is one gate-scale split)
+    // and the presentation-sort range exchange of fixed-width features
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"q179: the id frame must spread before the codec map\n$plan")
+    assert(plan.indexOf("RoundRobinPartitioning") > plan.indexOf("MapPartitions"),
+      s"q179: the spread must sit below (upstream of) the codec map, not above it\n$plan")
+    assert(countOccurrences(plan, "Exchange ") == 2,
+      s"q179: expected exactly the id-spread + the presentation-sort exchanges\n$plan")
   }
 
   test("q180 DoReMi: the published weight arithmetic reads the materialized 20-row domain frame") {
