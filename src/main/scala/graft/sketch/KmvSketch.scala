@@ -55,7 +55,16 @@ object KmvSketch {
     * is O(log k) per row. Outputs are IDENTICAL k-min sets by
     * construction ([[KmvBufSpec]] pins buffered ≡ classic, dups, merges
     * and all). `var` fields + Array encode fine through the product
-    * encoder (fields are read at serialization points only). */
+    * encoder (fields are read at serialization points only). Trade-off the
+    * encoder can't avoid: it serializes the FULL capacity array, stale
+    * slots past `used` included (≤ 2k longs of dead bytes per group at a
+    * shuffle/spill boundary, and content-nondeterministic across task
+    * retries). Harmless — every reader touches only [0, used) — and not
+    * hookable: `Encoders.product` exposes no pre-serialize callback, and
+    * trimming inside `reduce` would reintroduce the per-row arraycopy this
+    * buffer exists to amortize (serialization points are not observable
+    * from the aggregator). The classic [[KmvAggregator]] remains the
+    * canonical-bytes choice where shuffle-byte determinism matters. */
   final case class Buf(var arr: Array[Long], var used: Int, var thr: Long)
 
   private def newBuf(): Buf = Buf(Array.emptyLongArray, 0, Long.MaxValue)

@@ -31,38 +31,41 @@ class InventoryPlanAuditSpec extends SparkSpec {
     * below anything corpus-proportional. */
   private val BoundedSide = 100000L
 
-  /** name -> why a nested loop over a statically unprovable side is still
-    * bounded (or intended). Every entry was hand-verified against the
-    * plan: the broadcast side is a domain-bounded group-by, a filter-
-    * derived sample, or a parameter grid the [[boundOf]] prover can't see
-    * through (Generate of a literal array, modulo sampling). */
-  private val BoundedByDomain: Map[String, String] = Map(
-    "q213_kmv_overlap" ->
-      "source-pair sketch matrix: group-by source is bounded by the source DOMAIN, not the corpus",
-    "q134_chi_square" ->
-      "contingency margins: nation x brand domain cross (~25 x ~25 cells at any corpus size)",
-    "q143_rrf_fusion" ->
-      "query-vector frame: the bounded retrieval query set crossed into per-doc scoring",
-    "q150_truncation_recall" ->
-      "modulo-sampled query set broadcast against the corpus (bounded by the sampling rate)",
-    "q170_bpe_compression" ->
-      "per-lang baseline frame: group-by lang is bounded by the language DOMAIN",
-    "q171_shapley_attribution" ->
-      "event-type state grid crossed into the transition ledger (bounded state domain)",
-    "q185_ivf_recall_curve" ->
-      "query sample + literal nprobe grid (Generate of a literal array defeats the prover)",
-    "q193_packing_curve" ->
-      "literal context-budget grid crossed into per-doc offsets",
-    "q195_centroid_distances" ->
-      "centroid pair matrix: k x k with k a query constant",
-    "q197_filter_funnel" ->
-      "literal gate-threshold grid crossed into per-doc quality facts",
-    "q212_source_ablation" ->
-      "source-arm grid: group-by source is bounded by the source DOMAIN",
-    "q24_sim_cosine_topk" ->
-      "modulo-sampled query embeddings broadcast against the corpus (bounded by the sampling rate)",
-    "q26_sim_embedding_neardup" ->
-      "INTENDED quadratic brute-force baseline; the scale path is q25's LSH / q96's semdedup")
+  /** name -> (expected count of statically unprovable non-equi joins, why
+    * each is still bounded or intended). Every entry was hand-verified
+    * against the plan: the broadcast side is a domain-bounded group-by, a
+    * filter-derived sample, or a parameter grid the [[boundOf]] prover
+    * can't see through (Generate of a literal array, modulo sampling).
+    * Whitelisted queries are NOT skipped — the sweep still runs and pins
+    * the offending join count to the documented one, so a card that later
+    * gains a SECOND, genuinely unbounded non-equi join trips the net. */
+  private val BoundedByDomain: Map[String, (Int, String)] = Map(
+    "q213_kmv_overlap" -> (1,
+      "source-pair sketch matrix: group-by source is bounded by the source DOMAIN, not the corpus"),
+    "q134_chi_square" -> (2,
+      "contingency margins: nation x brand domain cross (~25 x ~25 cells at any corpus size); both the margin cross and the expected-counts cross are domain-sided"),
+    "q143_rrf_fusion" -> (1,
+      "query-vector frame: the bounded retrieval query set crossed into per-doc scoring"),
+    "q150_truncation_recall" -> (2,
+      "modulo-sampled query set broadcast against the corpus (bounded by the sampling rate)"),
+    "q170_bpe_compression" -> (1,
+      "per-lang baseline frame: group-by lang is bounded by the language DOMAIN"),
+    "q171_shapley_attribution" -> (2,
+      "event-type state grid crossed into the transition ledger (bounded state domain)"),
+    "q185_ivf_recall_curve" -> (3,
+      "query sample + literal nprobe grid (Generate of a literal array defeats the prover)"),
+    "q193_packing_curve" -> (1,
+      "literal context-budget grid crossed into per-doc offsets"),
+    "q195_centroid_distances" -> (1,
+      "centroid pair matrix: k x k with k a query constant"),
+    "q197_filter_funnel" -> (1,
+      "literal gate-threshold grid crossed into per-doc quality facts"),
+    "q212_source_ablation" -> (1,
+      "source-arm grid: group-by source is bounded by the source DOMAIN"),
+    "q24_sim_cosine_topk" -> (1,
+      "modulo-sampled query embeddings broadcast against the corpus (bounded by the sampling rate)"),
+    "q26_sim_embedding_neardup" -> (1,
+      "INTENDED quadratic brute-force baseline; the scale path is q25's LSH / q96's semdedup"))
 
   /** Conservative static row bound of an optimized logical plan: None =
     * can't prove. Only shapes that cannot scale with the corpus return
@@ -107,7 +110,6 @@ class InventoryPlanAuditSpec extends SparkSpec {
 
   test("every non-equi join in the inventory has a provably bounded side") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if BoundedByDomain.contains(name) => None
       case (name, fn) =>
         try {
           val lp = fn(spark, Sf0001).queryExecution.optimizedPlan
@@ -115,9 +117,19 @@ class InventoryPlanAuditSpec extends SparkSpec {
             case j: Join if !hasEquiKey(j) &&
                 !Seq(j.left, j.right).flatMap(boundOf).exists(_ <= BoundedSide) => j
           }
-          if (bad.nonEmpty)
-            Some(s"$name: ${bad.length} unbounded nested-loop join(s), e.g.\n${bad.head.simpleString(3)}")
-          else None
+          BoundedByDomain.get(name) match {
+            case Some((expected, reason)) =>
+              // whitelisted: the documented joins are legal, but the COUNT is
+              // pinned — a new unproven non-equi join on this card still trips
+              if (bad.length == expected) None
+              else Some(s"$name: whitelisted for $expected unproven non-equi join(s) " +
+                s"($reason) but the plan now has ${bad.length}" +
+                (if (bad.nonEmpty) s", e.g.\n${bad.head.simpleString(3)}" else ""))
+            case None =>
+              if (bad.nonEmpty)
+                Some(s"$name: ${bad.length} unbounded nested-loop join(s), e.g.\n${bad.head.simpleString(3)}")
+              else None
+          }
         } catch { case e: Throwable => Some(s"$name: BUILD FAILED: $e") }
     }
     assert(offenders.isEmpty,

@@ -799,16 +799,32 @@ class PlanAuditSpec extends SparkSpec {
       s"q179: docs scan must prune to doc_id\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"q179: media payloads must not shuffle\n$plan")
-    // two exchanges, both cheap by construction: the spreadIds round-robin
-    // of the 8-byte id frame (BELOW the map stage, so the codec section
-    // runs on every core even when the source is one gate-scale split)
-    // and the presentation-sort range exchange of fixed-width features
-    assert(plan.contains("RoundRobinPartitioning"),
-      s"q179: the id frame must spread before the codec map\n$plan")
-    assert(plan.indexOf("RoundRobinPartitioning") > plan.indexOf("MapPartitions"),
-      s"q179: the spread must sit below (upstream of) the codec map, not above it\n$plan")
-    assert(countOccurrences(plan, "Exchange ") == 2,
-      s"q179: expected exactly the id-spread + the presentation-sort exchanges\n$plan")
+    // spreadIds is conditional BY DESIGN (only when the scan's splits are
+    // below the machine's parallelism) — re-derive its condition here so
+    // the assertion is a plan PROPERTY, not an environment assumption: on
+    // a single-core host, or with a many-split fixture, the correct plan
+    // has no round-robin and one exchange (the presentation sort)
+    val docIds = graft.sql.Tables(spark, Sf0001).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    val spreadApplies =
+      docIds.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
+    if (spreadApplies) {
+      // two exchanges, both cheap by construction: the spreadIds
+      // round-robin of the 8-byte id frame (BELOW the map stage, so the
+      // codec section runs on every core even when the source is one
+      // gate-scale split) and the presentation-sort range exchange
+      assert(plan.contains("RoundRobinPartitioning"),
+        s"q179: the id frame must spread before the codec map\n$plan")
+      assert(plan.indexOf("RoundRobinPartitioning") > plan.indexOf("MapPartitions"),
+        s"q179: the spread must sit below (upstream of) the codec map, not above it\n$plan")
+      assert(countOccurrences(plan, "Exchange ") == 2,
+        s"q179: expected exactly the id-spread + the presentation-sort exchanges\n$plan")
+    } else {
+      assert(!plan.contains("RoundRobinPartitioning"),
+        s"q179: a well-partitioned source must not pay a spread shuffle\n$plan")
+      assert(countOccurrences(plan, "Exchange ") == 1,
+        s"q179: expected only the presentation-sort exchange\n$plan")
+    }
   }
 
   test("q180 DoReMi: the published weight arithmetic reads the materialized 20-row domain frame") {
