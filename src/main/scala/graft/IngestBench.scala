@@ -52,6 +52,12 @@ object IngestBench {
       try body finally timings.merge(op, (System.nanoTime() - t0) / 1e9, _ + _)
     }
     def spark: SparkSession = inner.spark
+    // delegate the ROUND to the inner store so its overlapped apply is
+    // measured as deployed (per-op walls overlap, so the round is timed
+    // as one unit — the individual entries below only tick for ops
+    // called outside a round, e.g. appendFailures)
+    override def applyEffects(b: graft.store.EffectBatch): Unit =
+      timed("applyEffects(round)")(inner.applyEffects(b))
     def read(t: String): Option[DataFrame] = timed(s"read($t)")(inner.read(t))
     def upsertDocuments(u: DataFrame): Unit = timed("upsertDocuments")(inner.upsertDocuments(u))
     def setPublished(d: DataFrame): Unit = timed("setPublished")(inner.setPublished(d))
@@ -106,33 +112,81 @@ object IngestBench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(2000)
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Stage `n` tarballs (refs prefixed `REF-$tag`) under the shared
+    * file: bucket and write their SQS messages as one JSON-lines file;
+    * returns the events dir. */
+  private def stage(spark: SparkSession, bucketStr: String, n: Int, tag: String): String = {
     import spark.implicits._
-
-    // stage N real tarballs under the file: bucket, generated in parallel
-    val bucket = Files.createTempDirectory("graft-ingest-bench-bucket")
-    Files.createDirectories(bucket.resolve("b/k"))
-    val bucketStr = bucket.toString
     spark.range(n.toLong).repartition(32).as[Long].foreach { i =>
-      val ref = f"REF-B$i%06d"
+      val ref = f"REF-$tag$i%06d"
       Files.write(Paths.get(s"$bucketStr/b/k/$ref.tar.gz"), archive(ref))
       ()
     }
-    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
-
-    // one JSON-lines file of N SQS messages for the file streaming source
-    val eventsDir = Files.createTempDirectory("graft-ingest-bench-events").toString
+    val eventsDir = Files.createTempDirectory(s"graft-ingest-bench-events-$tag").toString
     val sb = new StringBuilder
     (0 until n).foreach { i =>
-      sb.append(sqsLine(f"msg-$i%06d", f"REF-B$i%06d")).append('\n')
+      sb.append(sqsLine(f"msg-$tag$i%06d", f"REF-$tag$i%06d")).append('\n')
     }
     Files.writeString(Paths.get(s"$eventsDir/events.jsonl"), sb.toString)
+    eventsDir
+  }
+
+  /** `concurrent` mode (BASELINE.md's multi-writer row): TWO streaming
+    * queries, each over its own half of the packages, both writing
+    * through the WIRE protocol into ONE [[graft.store.DocStoreServer]] —
+    * the deployment shape where several ingest fleets share a document
+    * store. Reports combined docs/s; `MultiWriterStoreSpec` pins the
+    * correctness half (here the interest is throughput under commit
+    * contention: the server serializes commits behind its write lock). */
+  private def concurrentRun(spark: SparkSession, bucketStr: String, n: Int): Unit = {
+    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+    val dirs = Seq(stage(spark, bucketStr, n / 2, "C"), stage(spark, bucketStr, n - n / 2, "D"))
+    val inner = LocalStore(spark,
+      Files.createTempDirectory("graft-ingest-bench-wire-store").toString)
+    val server = new graft.store.DocStoreServer(inner)
+    try {
+      val t0 = System.nanoTime()
+      val qs = dirs.map { d =>
+        val events = spark.readStream
+          .schema(StructType(Seq(StructField("kind", StringType),
+            StructField("record_json", StringType))))
+          .option("maxFilesPerTrigger", "1000000")
+          .json(d)
+        IngestStream.start(events, graft.store.HttpStore(spark, server.endpoint),
+          Files.createTempDirectory("graft-ingest-bench-wire-ckpt").toString,
+          packageUri = resolver)
+      }
+      qs.foreach(_.awaitTermination())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val docs = inner.documents.count()
+      require(docs == n.toLong, s"expected $n documents, got $docs")
+      println(f"""{"metric":"ingest_docs_per_sec_concurrent","value":${n / sec}%.1f,""" +
+        f""""docs":$n,"streams":2,"full_sec":$sec%.1f,"store":"wire(DocStoreServer)"}""")
+    } finally server.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val concurrent = args.lift(1).contains("concurrent")
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bucket = Files.createTempDirectory("graft-ingest-bench-bucket")
+    Files.createDirectories(bucket.resolve("b/k"))
+    val bucketStr = bucket.toString
 
     // warm the session (codegen, FS init) outside the timed runs
     spark.range(1000).write.mode("overwrite").format("noop").save()
+
+    if (concurrent) {
+      concurrentRun(spark, bucketStr, n)
+      spark.stop()
+      return
+    }
+
+    // stage N real tarballs under the file: bucket, generated in parallel
+    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+    val eventsDir = stage(spark, bucketStr, n, "B")
 
     val inner = LocalStore(spark,
       Files.createTempDirectory("graft-ingest-bench-store").toString)

@@ -290,7 +290,7 @@ object PackageIngest {
       //    write — every decision reads pre-batch state, so one rewrite
       //    realizes the same post-batch state as MERGE-then-setPublished
       //    (see LocalStore.upsertDocuments), halving store-rewrite volume.
-      store.upsertDocuments(ok.select(
+      val docFrame = (ok.select(
         col("uri"), col("best_xml").as("xml"), col("doc_type"),
         IngestQueries.annotationMessage(col("is_tdr"), col("exists_in_db")).as("annotation_message"),
         ScalarOps.versionPayload(col("metadata_json"), col("is_tdr"),
@@ -313,14 +313,14 @@ object PackageIngest {
             .as("id_type"))
       val slugRows = ok.select(col("uri").as("document_uri"), lit("slug").as("id_kind"),
         col("uri").as("id_value"), lit(null).cast("string").as("id_type"))
-      store.appendIdentifiers(ncnRows.unionByName(slugRows))
+      val idFrame = ncnRows.unionByName(slugRows)
 
       // 3. notifications (W9): `delivered` records whether the reference's
       //    sender would actually send — false outside prod (the ROLLBAR_ENV
       //    log-instead-of-send gate, ingester.py:290-295,308-310) and false
       //    for `bulk` (send_bulk_judgment_notification is an explicit no-op,
       //    ingester.py:323-325); the decision row is kept either way
-      store.appendNotifications(ok
+      val notifFrame = (ok
         .withColumn("action",
           IngestQueries.emailAction(col("originator"), col("auto_publish"), col("exists_in_db")))
         .filter(col("action").isNotNull && col("action") =!= "none")
@@ -328,14 +328,14 @@ object PackageIngest {
           IngestQueries.emailDelivered(col("action"), lit(environment == "prod")).as("delivered")))
 
       // 4. properties (W3/W4)
-      store.upsertProperties(IngestQueries.propertyRows(ok.select(
+      val propFrame = IngestQueries.propertyRows(ok.select(
         col("uri"), col("is_tdr"),
         col("params.TDR")("Source-Organization").as("tdr_source_organization"),
         col("params.TDR")("Contact-Name").as("tdr_contact_name"),
         col("params.TDR")("Contact-Email").as("tdr_contact_email"),
         col("params.TDR")("Internal-Sender-Identifier").as("tdr_internal_sender_identifier"),
         col("params.TDR")("Consignment-Completed-Datetime").as("tdr_consignment_completed_datetime"),
-        col("params.PARSER.parser_run_id").as("parser_run_id"))))
+        col("params.PARSER.parser_run_id").as("parser_run_id")))
 
       // 5. asset copies (W5–W8): tarball (+_nodocx), source doc (flattened
       //    uri + preserved extension), parser.log, images. Member SOURCE
@@ -367,8 +367,26 @@ object PackageIngest {
           concat(col("original_ref"), lit("/"), col("dest_filename")).as("src_member") +:
           planKey: _*)
       val assetPlan = tarRow.unionByName(srcRow).unionByName(logRow).unionByName(imgRows)
-      store.appendAssets(assetPlan.drop("original_ref", "tar_name"))
-      copyAssetBytes(spark, deduped, assetPlan, store.assetRoot)
+
+      // Steps 1–5 apply as ONE overlapped effect round: five disjoint
+      // tables, every decision derived from the pre-batch state pinned in
+      // `resolved`, so order among them is immaterial (EffectBatch's
+      // contract) — the round's wall is max(table op), not the Σ that was
+      // 49% of ingest wall. The asset BYTE copies (a filesystem job,
+      // touching no store table) overlap the same round. A crash
+      // mid-round is the trait's documented redelivery exposure.
+      val byteCopy = java.util.concurrent.CompletableFuture.runAsync(() =>
+        copyAssetBytes(spark, deduped, assetPlan, store.assetRoot))
+      try
+        store.applyEffects(graft.store.EffectBatch(
+          documents = Some(docFrame),
+          identifiers = Some(idFrame),
+          notifications = Some(notifFrame),
+          properties = Some(propFrame),
+          assets = Some(assetPlan.drop("original_ref", "tar_name"))))
+      finally
+        try byteCopy.join()
+        catch { case e: java.util.concurrent.CompletionException => throw e.getCause }
 
       // 6. publish/unpublish effect (W10): folded into the step-1 write
       //    (see above) — kept as its own numbered slot to mirror the

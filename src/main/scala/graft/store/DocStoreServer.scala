@@ -117,6 +117,7 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
 
   private val TxnId = "[A-Za-z0-9-]{1,64}".r
   private val TableName = "[a-z_]{1,64}".r
+  private val OpName = "[A-Za-z]{1,64}".r
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
@@ -186,12 +187,67 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     (ex.getRequestMethod, segs) match {
 
       case ("POST", "txn" :: id :: Nil) if TxnId.matches(id) =>
-        val dir = staging.resolve(id)
+        // an `?op=` tag routes the part into a per-op sub-dir for the
+        // multi-table commitBatch; untagged parts stage flat for the
+        // single-op commit
+        val dir = params.get("op") match {
+          case Some(op) if OpName.matches(op) => staging.resolve(id).resolve(op)
+          case Some(op) => throw new IllegalArgumentException(s"bad op tag: $op")
+          case None => staging.resolve(id)
+        }
         Files.createDirectories(dir)
         val part = dir.resolve(s"part-${java.util.UUID.randomUUID()}.jsonl")
         val in = ex.getRequestBody
         try Files.write(part, in.readAllBytes()) finally in.close()
         respond(ex, 200, "staged")
+
+      case ("POST", "txn" :: id :: "commitBatch" :: Nil) if TxnId.matches(id) =>
+        // ONE wire transaction for a whole act round: body lines are
+        // `op<TAB>schemaJson`, staged rows live under `{txn}/{op}/`.
+        // Applied through the inner store's own applyEffects (overlapped
+        // disjoint-table writes) under one lock and ONE ledger entry —
+        // the replay unit (and thus the exactly-once unit) is the round.
+        val dir = staging.resolve(id)
+        if (committed.contains(id)) {
+          deleteRecursively(dir)
+          respond(ex, 200, "already-committed")
+        } else {
+          val body = {
+            val in = ex.getRequestBody
+            try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          }
+          val spark = inner.spark
+          def frame(op: String, schemaJson: String) = {
+            val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+            val opDir = dir.resolve(op)
+            if (Files.exists(opDir)) spark.read.schema(schema).json(opDir.toString)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
+          val batch = body.linesIterator.filter(_.nonEmpty).foldLeft(EffectBatch()) {
+            (acc, line) =>
+              val Array(op, schemaJson) = line.split("\t", 2)
+              op match {
+                case "upsertDocuments"     => acc.copy(documents = Some(frame(op, schemaJson)))
+                case "appendIdentifiers"   => acc.copy(identifiers = Some(frame(op, schemaJson)))
+                case "appendNotifications" => acc.copy(notifications = Some(frame(op, schemaJson)))
+                case "upsertProperties"    => acc.copy(properties = Some(frame(op, schemaJson)))
+                case "appendAssets"        => acc.copy(assets = Some(frame(op, schemaJson)))
+                case other => throw new IllegalArgumentException(s"unknown batch op: $other")
+              }
+          }
+          txnIsolation.writeLock().lock()
+          try {
+            inner.applyEffects(batch)
+            Files.createFile(ledgerDir.resolve(id))
+          } finally txnIsolation.writeLock().unlock()
+          committed.add(id)
+          deleteRecursively(dir)
+          if (dropNextCommitAck) {
+            dropNextCommitAck = false
+            respond(ex, 500, "injected crash: commit applied, ack lost")
+          } else respond(ex, 200, "committed")
+        }
 
       case ("POST", "txn" :: id :: "commit" :: Nil) if TxnId.matches(id) =>
         val op = params.getOrElse("op",

@@ -50,6 +50,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merges converge, at-least-once appends are deduplicated by the
   * implementation), so retry semantics are preserved across stores.
   */
+/** One act-phase write round: the document MERGE plus the four independent
+  * side-table writes ([[graft.ingest.PackageIngest.ingestDs]] steps 1–5).
+  * The five frames target five DISJOINT tables and every decision in them
+  * derives from PRE-batch store state (the act phase checkpoints its
+  * resolution before any effect runs), so implementations are free to
+  * apply them in ANY order — including concurrently, or as one wire
+  * commit — and a completed round realizes the same post-batch state as
+  * the numbered sequential order. A crash MID-round can land any subset;
+  * that is the trait's already-documented exposure (redelivery replays
+  * the batch, every effect is idempotent, replay converges). */
+final case class EffectBatch(
+    documents: Option[DataFrame] = None,      // upsertDocuments
+    identifiers: Option[DataFrame] = None,    // appendIdentifiers
+    notifications: Option[DataFrame] = None,  // appendNotifications
+    properties: Option[DataFrame] = None,     // upsertProperties
+    assets: Option[DataFrame] = None)         // appendAssets
+
 trait DocumentStore {
   def spark: SparkSession
 
@@ -64,6 +81,22 @@ trait DocumentStore {
     * itself (stores whose writes are not transactionally deduplicated
     * keep the trait's documented at-least-once convergence). */
   def withBatchScope(scope: String): DocumentStore = this
+
+  /** Apply one [[EffectBatch]] round. Default: sequential delegation in
+    * the act phase's numbered order — semantically sufficient for any
+    * store. Implementations override to OVERLAP the five disjoint-table
+    * writes ([[LocalStore]]: one concurrent Spark job per table) or to
+    * collapse them into one wire commit ([[HttpStore]]: a single
+    * multi-table transaction, one ledger entry, one round trip) — the
+    * fix for the measured ingest bottleneck (BASELINE.md: 7 sequential
+    * table commits were 49% of ingest wall). */
+  def applyEffects(b: EffectBatch): Unit = {
+    b.documents.foreach(upsertDocuments)
+    b.identifiers.foreach(appendIdentifiers)
+    b.notifications.foreach(appendNotifications)
+    b.properties.foreach(upsertProperties)
+    b.assets.foreach(appendAssets)
+  }
 
   def read(t: String): Option[DataFrame]
   def upsertDocuments(updates: DataFrame): Unit

@@ -107,11 +107,22 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
         s"$s|$op|${txnSeq.getAndIncrement()}".getBytes("UTF-8")).toString
       case None => java.util.UUID.randomUUID().toString
     }
-    val ep = endpoint
+    stage(endpoint, txn, None, df)
+    val (c, b) = HttpStore.post(s"$endpoint/txn/$txn/commit?op=$op", df.schema.json.getBytes("UTF-8"))
+    if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
+  }
+
+  /** Executor-side JSON-lines staging of one frame under `txn`; with an
+    * `op`, parts land tagged for the multi-table commitBatch. */
+  private def stage(ep: String, txn: String, op: Option[String], df: DataFrame): Unit = {
+    val url = op match {
+      case Some(o) => s"$ep/txn/$txn?op=$o"
+      case None => s"$ep/txn/$txn"
+    }
     df.toJSON.foreachPartition { (lines: Iterator[String]) =>
       val buf = new StringBuilder
       def flush(): Unit = if (buf.nonEmpty) {
-        val (c, b) = HttpStore.post(s"$ep/txn/$txn", buf.toString.getBytes("UTF-8"))
+        val (c, b) = HttpStore.post(url, buf.toString.getBytes("UTF-8"))
         if (c != 200) throw new RuntimeException(s"HttpStore stage: HTTP $c $b")
         buf.clear()
       }
@@ -121,8 +132,49 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
       }
       flush()
     }
-    val (c, b) = HttpStore.post(s"$ep/txn/$txn/commit?op=$op", df.schema.json.getBytes("UTF-8"))
-    if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
+  }
+
+  /** Multi-table batch commit — ONE wire transaction for the whole act
+    * round. Each frame stages executor-side under the same txn id with an
+    * `?op=` tag (the five staging jobs run concurrently — disjoint
+    * frames, disjoint server part files), then a single
+    * `POST /txn/{id}/commitBatch` whose body lists `op<TAB>schemaJson`
+    * lines applies every table server-side under one lock and ONE ledger
+    * entry. Against the sequential per-op path this replaces 5 commit
+    * round-trips + 5 ledger entries with 1 of each, and the server's own
+    * [[LocalStore.applyEffects]] overlaps the disjoint table writes. A
+    * replayed batch re-issues the same txn id and the ledger acks the
+    * WHOLE round without re-applying — the exactly-once unit becomes the
+    * round, strictly stronger than per-op dedup. */
+  override def applyEffects(b: EffectBatch): Unit = {
+    val frames: Seq[(String, DataFrame)] = Seq(
+      b.documents.map("upsertDocuments" -> _),
+      b.identifiers.map("appendIdentifiers" -> _),
+      b.notifications.map("appendNotifications" -> _),
+      b.properties.map("upsertProperties" -> _),
+      b.assets.map("appendAssets" -> _)).flatten
+    if (frames.isEmpty) return
+    val txn = txnScope match {
+      case Some(s) => java.util.UUID.nameUUIDFromBytes(
+        s"$s|applyEffects|${txnSeq.getAndIncrement()}".getBytes("UTF-8")).toString
+      case None => java.util.UUID.randomUUID().toString
+    }
+    val ep = endpoint
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(frames.size)
+    try {
+      val staged = frames.map { case (op, df) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = stage(ep, txn, Some(op), df)
+        })
+      }
+      staged.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
+    val body = frames.map { case (op, df) => s"$op\t${df.schema.json}" }.mkString("\n")
+    val (c, bdy) = HttpStore.post(s"$ep/txn/$txn/commitBatch", body.getBytes("UTF-8"))
+    if (c != 200) throw new RuntimeException(s"HttpStore applyEffects: HTTP $c $bdy")
   }
 
   def upsertDocuments(updates: DataFrame): Unit = send("upsertDocuments", updates)
