@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One keyed observation of a monitored metric (a per-interval event
   * count, a quality-gate pass rate ×10⁶ — any integer-scaled series). */
@@ -40,7 +40,10 @@ final case class CusumAlert(key: String, ts: Timestamp, direction: String,
   * [[StreamingSessionTws]]'s prefix documents — with in-order feeds
   * (or any single-batch replay) the alert set equals the batch reference
   * [[StreamingCusum.batchAlerts]], pinned by `StreamingCusumSpec` along
-  * with RocksDB restart stability.
+  * with RocksDB restart stability. [[StreamingCusum.orderedAlerts]] is
+  * the watermark-ordered form: it buffers inside the watermark horizon
+  * and matches the batch reference under ANY cross-batch delivery order
+  * within its delay — the variant a backfill-heavy deployment runs.
   *
   * 100 TB shape: state is three longs per key regardless of history —
   * proportional to MONITORED KEYS, never to the stream; a non-NONE TTL
@@ -92,6 +95,110 @@ object StreamingCusum {
     }
   }
 
+  /** WATERMARK-ORDERED online detector — closes [[alerts]]'s documented
+    * arrival-order contract: that processor folds cross-batch in arrival
+    * order, so a backfill-heavy stream delivering out of order across
+    * micro-batches can diverge from [[batchAlerts]]. This variant buffers
+    * points in keyed ListState and folds them ONLY once the watermark has
+    * sealed them (the [[StreamingDedupEventTime]] event-time-timer
+    * machinery applied to the accumulator shape): any delivery order
+    * within the watermark delay produces exactly the batch reference's
+    * alert set, because the fold consumes points in global (ts, value)
+    * order — every sealed chunk precedes everything still buffered or
+    * still admissible (a row older than the watermark is dropped by the
+    * watermark operator before it reaches the processor, never
+    * mis-ordered).
+    *
+    * Timer discipline: ONE live timer per key at `min(buffered ts) + 1` —
+    * it fires as soon as the watermark seals the OLDEST buffered point,
+    * the firing folds every sealed point, and the next timer re-arms at
+    * the new oldest. Keying the timer to the minimum (not the newest
+    * sighting, as dedup eviction does) matters: a continuously active key
+    * keeps pushing its newest ts forward, and a newest-keyed timer would
+    * chase the watermark forever, never folding while the key stays hot.
+    *
+    * 100 TB shape: per-key state is the O(1) [[Arm]] plus only the points
+    * inside the watermark horizon (bounded by delay × per-key rate, never
+    * by history); alert latency is the watermark delay — the price of
+    * order. `StreamingCusumSpec` pins cross-batch-shuffled delivery ≡
+    * [[batchAlerts]] and in-order parity with [[alerts]]. */
+  class OrderedCusumProcessor(mu0: Long, slack: Long, threshold: Long)
+      extends StatefulProcessor[String, CusumPoint, CusumAlert] {
+    @transient private var arm: ValueState[Arm] = _
+    @transient private var buf: ListState[CusumPoint] = _
+    @transient private var deadline: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      arm = getHandle.getValueState[Arm]("arm", Encoders.product[Arm], TTLConfig.NONE)
+      buf = getHandle.getListState[CusumPoint]("buf",
+        Encoders.product[CusumPoint], TTLConfig.NONE)
+      deadline = getHandle.getValueState[Long]("deadline", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CusumPoint],
+        timerValues: TimerValues): Iterator[CusumAlert] = {
+      var minTs = Long.MaxValue
+      rows.foreach { p =>
+        buf.appendValue(p)
+        if (p.ts.getTime < minTs) minTs = p.ts.getTime
+      }
+      if (minTs != Long.MaxValue) {
+        val cand = minTs + 1
+        val prev = if (deadline.exists()) deadline.get() else Long.MaxValue
+        if (cand < prev) { // lower-only: fire at the oldest sealed point
+          if (prev != Long.MaxValue) getHandle.deleteTimer(prev)
+          getHandle.registerTimer(cand)
+          deadline.update(cand)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CusumAlert] = {
+      // maintain the ≤1-live-timer invariant even under a stale fire that
+      // raced its own deletion: drop the tracked timer if it isn't this one
+      val tracked = if (deadline.exists()) deadline.get() else Long.MinValue
+      if (tracked != Long.MinValue && tracked != expiredTimerInfo.getExpiryTimeInMs())
+        getHandle.deleteTimer(tracked)
+      deadline.clear()
+      val w = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toArray
+      // sealed = no admissible future row can precede them (late rows are
+      // dropped upstream); folding them now in (ts, value) order extends
+      // the same global order batchAlerts uses
+      val (ready, pending) = all.partition(_.ts.getTime < w)
+      buf.clear()
+      if (pending.nonEmpty) {
+        buf.appendList(pending)
+        val next = pending.iterator.map(_.ts.getTime).min + 1
+        getHandle.registerTimer(next)
+        deadline.update(next)
+      }
+      if (ready.isEmpty) Iterator.empty
+      else {
+        val sorted = ready.sortBy(p => (p.ts.getTime, p.value))
+        val st0 = if (arm.exists()) arm.get() else Arm(0L, 0L, 0L)
+        val (st, out) = fold(st0, sorted, mu0, slack, threshold)
+        arm.update(st)
+        out.iterator
+      }
+    }
+  }
+
+  /** Append-mode alerts folded in WATERMARK order — [[batchAlerts]]-exact
+    * under any delivery order within `watermarkDelay` (see
+    * [[OrderedCusumProcessor]]). */
+  def orderedAlerts(points: Dataset[CusumPoint], mu0: Long, slack: Long,
+      threshold: Long, watermarkDelay: String = "0 seconds"): Dataset[CusumAlert] = {
+    import points.sparkSession.implicits._
+    points
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(new OrderedCusumProcessor(mu0, slack, threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Append-mode alerts; μ₀/κ/h in the caller's integer scale. */
   def alerts(points: Dataset[CusumPoint], mu0: Long, slack: Long,
       threshold: Long, ttl: TTLConfig = TTLConfig.NONE): Dataset[CusumAlert] = {
@@ -105,8 +212,11 @@ object StreamingCusum {
 
   /** Batch reference: the same per-key fold in strict (ts, value) order —
     * what the streaming operator converges to under in-order delivery.
-    * Per key one sort inside `flatMapGroups`; state is O(1), the group
-    * iterator streams. */
+    * Per key the group is materialized and sorted inside `flatMapGroups`,
+    * so executor memory is O(series length) per key — bounded by the
+    * monitored TIME RANGE (hour-cardinality series: ~9k points per year,
+    * ~87k on the year-offset 10× replica), never by the corpus. The fold
+    * itself keeps O(1) state. */
   def batchAlerts(points: Dataset[CusumPoint], mu0: Long, slack: Long,
       threshold: Long): Dataset[CusumAlert] = {
     import points.sparkSession.implicits._

@@ -86,6 +86,66 @@ class StreamingCusumSpec extends SparkSpec {
     }
   }
 
+  test("orderedAlerts: rows shuffled ACROSS micro-batches still equal the batch reference") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // adversarial cross-batch order: batch 1 carries the LATE half of
+      // every series, batch 2 the early half, batch 3 a shuffled remainder
+      // — arrival order shares nothing with event order, so the
+      // arrival-order processor would diverge; the watermark-ordered one
+      // must not. Delay 2h > the 35-minute series span, so nothing is late.
+      val scrambled = allPts.zipWithIndex
+      val b1 = scrambled.collect { case (p, i) if i % 3 == 2 => p }.reverse
+      val b2 = scrambled.collect { case (p, i) if i % 3 == 0 => p }.sortBy(-_.value)
+      val b3 = scrambled.collect { case (p, i) if i % 3 == 1 => p }.sortBy(_.value)
+      // far-future on-target sentinel advances the watermark past every
+      // real point so the final timers fire (watermark moves at batch
+      // boundaries: sentinel lands in batch 4, timers fire in batch 5)
+      val sentinel = CusumPoint("flush", new Timestamp(1700000000000L + 365L * 86400000L), Mu0)
+      val src = MemoryStream[CusumPoint]
+      val q = StreamingCusum.orderedAlerts(src.toDS(), Mu0, Slack, H, "2 hours")
+        .writeStream.format("memory").queryName("cusum_ordered")
+        .outputMode("append").start()
+      val streamed = try {
+        Seq(b1, b2, b3).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+        src.addData(sentinel); q.processAllAvailable()
+        src.addData(sentinel); q.processAllAvailable() // timer fires a boundary later
+        spark.table("cusum_ordered").as[CusumAlert].collect().filter(_.key != "flush")
+      } finally q.stop()
+      val reference = StreamingCusum.batchAlerts(allPts.toDS(), Mu0, Slack, H).collect()
+      assert(streamed.sortBy(a => (a.key, a.ts.getTime)).toSeq ==
+        reference.sortBy(a => (a.key, a.ts.getTime)).toSeq,
+        "watermark-ordered fold must equal the batch fold under shuffled delivery")
+      assert(streamed.length == streamed.distinct.length, "append = each alert exactly once")
+    }
+  }
+
+  test("orderedAlerts folds incrementally as the watermark advances (not only at flush)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // zero delay + in-order batches: after batch 2's boundary the
+      // watermark has passed batch 1's points, so batch 1's crossing must
+      // already be out BEFORE any sentinel — proves chunked folding, and
+      // that a hot key (new rows every batch) still folds because the
+      // timer keys to the OLDEST buffered point, not the newest
+      val cut = 1700000000000L + 28 * 60000L
+      val early = allPts.filter(_.ts.getTime < cut)   // down-shift crossing at min 17
+      val late = allPts.filter(_.ts.getTime >= cut)
+      val src = MemoryStream[CusumPoint]
+      val q = StreamingCusum.orderedAlerts(src.toDS(), Mu0, Slack, H)
+        .writeStream.format("memory").queryName("cusum_incr")
+        .outputMode("append").start()
+      try {
+        src.addData(early: _*); q.processAllAvailable()
+        src.addData(late: _*); q.processAllAvailable()  // watermark passes `early`
+        src.addData(late.last.copy(key = "flush")); q.processAllAvailable()
+        val mid = spark.table("cusum_incr").as[CusumAlert].collect()
+        assert(mid.exists(a => a.key == "down" && a.stat == 210L && a.n_since_reset == 17L),
+          s"the sealed down-crossing must emit before any flush, got ${mid.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("accumulated S+ survives a stop/restart: the crossing proves recovered state") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
