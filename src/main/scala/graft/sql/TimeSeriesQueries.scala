@@ -562,26 +562,29 @@ object TimeSeriesQueries {
        |    CASE WHEN n.v >= 1000 THEN ((n.v - 1000) * 100) // s.sad
        |         ELSE -(((1000 - n.v) * 100) // s.sad) END AS w
        |  FROM nv n JOIN noise s USING (event_type)),
+       |series AS MATERIALIZED (SELECT event_type, min(h) AS h0, count(*) AS n,
+       |    list(w ORDER BY t) AS ws
+       |  FROM pts GROUP BY 1),
        |walk AS (
-       |  SELECT event_type, h, t,
-       |    greatest(0, w - $sl) AS spos1,
-       |    greatest(0, -w - $sl) AS sneg1,
+       |  SELECT event_type, 1 AS t,
+       |    greatest(0, ws[1] - $sl) AS spos1,
+       |    greatest(0, -ws[1] - $sl) AS sneg1,
        |    1 AS n1,
-       |    (greatest(0, w - $sl) > $th OR greatest(0, -w - $sl) > $th) AS crossed
-       |  FROM pts WHERE t = 1
+       |    (greatest(0, ws[1] - $sl) > $th OR greatest(0, -ws[1] - $sl) > $th) AS crossed
+       |  FROM series
        |  UNION ALL
-       |  SELECT p.event_type, p.h, p.t,
-       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + p.w - $sl),
-       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - p.w - $sl),
+       |  SELECT w.event_type, w.t + 1,
+       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + s.ws[w.t + 1] - $sl),
+       |    greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - s.ws[w.t + 1] - $sl),
        |    (CASE WHEN w.crossed THEN 0 ELSE w.n1 END) + 1,
-       |    (greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + p.w - $sl) > $th OR
-       |     greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - p.w - $sl) > $th)
-       |  FROM walk w JOIN pts p ON p.event_type = w.event_type AND p.t = w.t + 1)
-       |SELECT event_type, CAST(h AS BIGINT) AS alert_h,
-       |  CASE WHEN spos1 >= sneg1 THEN 'up' ELSE 'down' END AS direction,
-       |  CAST(greatest(spos1, sneg1) AS BIGINT) AS stat,
-       |  CAST(n1 AS BIGINT) AS n_since_reset
-       |FROM walk WHERE crossed
+       |    (greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.spos1 END) + s.ws[w.t + 1] - $sl) > $th OR
+       |     greatest(0, (CASE WHEN w.crossed THEN 0 ELSE w.sneg1 END) - s.ws[w.t + 1] - $sl) > $th)
+       |  FROM walk w JOIN series s USING (event_type) WHERE w.t < s.n)
+       |SELECT w.event_type, CAST(s.h0 + w.t - 1 AS BIGINT) AS alert_h,
+       |  CASE WHEN w.spos1 >= w.sneg1 THEN 'up' ELSE 'down' END AS direction,
+       |  CAST(greatest(w.spos1, w.sneg1) AS BIGINT) AS stat,
+       |  CAST(w.n1 AS BIGINT) AS n_since_reset
+       |FROM walk w JOIN series s USING (event_type) WHERE w.crossed
        |ORDER BY event_type, alert_h""".stripMargin
   }
 
