@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descendi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.util.LongAccumulator
 
 /** Group top-k as a WHOLE-OPERATOR custom plan — the §7.4 escalation
   * point past custom expressions: a `LogicalPlan` node, a
@@ -49,7 +50,8 @@ case class TopKPerKey(
     ordering: Seq[SortOrder],
     k: Int,
     child: LogicalPlan,
-    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys) extends UnaryNode {
+    maxPartialKeys: Int = TopKPerKey.DefaultMaxPartialKeys,
+    fingerprint: Option[Long] = None) extends UnaryNode {
   require(k >= 1, s"k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -64,13 +66,52 @@ object TopKPerKey {
   val DefaultMaxPartialKeys: Int = 1 << 17
 }
 
+/** Runtime cardinality feedback for [[TopKWindowRewrite]]'s veto on
+  * un-ANALYZEd tables — the observed half of the statistics ladder. The
+  * partial exec OBSERVES what no catalog statistic could promise: the
+  * per-partition distinct-key population its heaps actually held (plus
+  * every overflow row that shipped unreduced past the key cap), summed
+  * across partitions through a [[LongAccumulator]]. The sum upper-bounds
+  * global distinct keys but is exactly the operator's own cost driver
+  * (heap-insertion population), so it is the honest veto signal. The
+  * NEXT planning of the same canonical query consults the record: past
+  * the bound, the rewrite keeps the native window — the 1M-key regime
+  * self-corrects after one execution, no ANALYZE required. First-run
+  * exposure is the operator's documented cap-bounded 0.9× worst case.
+  * Keyed by the canonicalized (partition keys, window child) fingerprint,
+  * so the map is bounded by distinct query shapes per JVM. */
+object TopKRuntimeFeedback {
+  private val records =
+    new java.util.concurrent.ConcurrentHashMap[Long, LongAccumulator]()
+
+  /** Fresh accumulator for one execution of `fp`'s partial pass; replaces
+    * any prior record (latest observation wins). */
+  def tracker(sc: org.apache.spark.SparkContext, fp: Long): LongAccumulator = {
+    val acc = sc.longAccumulator(s"graft.topk.partialKeys.$fp")
+    records.put(fp, acc)
+    acc
+  }
+
+  /** Driver-side read of the latest completed observation (0 while the
+    * first execution is still running — planning then proceeds
+    * unvetoed, which is the correct no-evidence default). */
+  def observedKeys(fp: Long): Option[Long] = Option(records.get(fp)).map(_.value)
+
+  /** Test seams. */
+  private[plans] def clear(): Unit = records.clear()
+  private[plans] def snapshot(): Map[Long, Long] = {
+    import scala.jdk.CollectionConverters._
+    records.asScala.map { case (k, v) => (k, v.value.longValue()) }.toMap
+  }
+}
+
 /** Plans [[TopKPerKey]] as partial-over-final [[TopKPerKeyExec]]s. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, ordering, k, child, maxPartial) =>
-      TopKPerKeyExec(keys, ordering, k, partial = false, maxPartial,
-        TopKPerKeyExec(keys, ordering, k, partial = true, maxPartial,
-          planLater(child))) :: Nil
+    case t: TopKPerKey =>
+      TopKPerKeyExec(t.keys, t.ordering, t.k, partial = false, t.maxPartialKeys,
+        TopKPerKeyExec(t.keys, t.ordering, t.k, partial = true, t.maxPartialKeys,
+          planLater(t.child), t.fingerprint)) :: Nil
     case _ => Nil
   }
 }
@@ -86,7 +127,8 @@ case class TopKPerKeyExec(
     k: Int,
     partial: Boolean,
     maxPartialKeys: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    fingerprint: Option[Long] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -104,6 +146,12 @@ case class TopKPerKeyExec(
     // The FINAL side never caps: post-shuffle its state IS the operator
     // output, keys-on-this-reducer × k rows.
     val keyCap = if (partial) maxPartialKeys else Int.MaxValue
+    // runtime cardinality feedback (partial side only): observed key
+    // population reports to the driver through the accumulator so the
+    // NEXT planning of this canonical query can veto the rewrite
+    val keysAcc: Option[LongAccumulator] =
+      if (partial) fingerprint.map(TopKRuntimeFeedback.tracker(sparkContext, _))
+      else None
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // codegen'd comparator over the bound sort order: "smaller" = earlier
@@ -111,6 +159,7 @@ case class TopKPerKeyExec(
       // (= current worst) at the head, which is what bounded top-k evicts
       val cmp = RowOrdering.create(order, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
+      var overflowRows = 0L
       val passThrough = iter.flatMap { row =>
         val probe = keyProj(row)
         var heap = heaps.get(probe)
@@ -118,7 +167,7 @@ case class TopKPerKeyExec(
           heap = mutable.PriorityQueue.empty[InternalRow](cmp)
           heaps.put(probe.copy(), heap)
         }
-        if (heap == null) Iterator.single(row) // overflow key: unreduced
+        if (heap == null) { overflowRows += 1; Iterator.single(row) } // overflow key: unreduced
         else {
           if (heap.size < limit) heap.enqueue(row.copy())
           else if (cmp.compare(row, heap.head) < 0) {
@@ -127,8 +176,14 @@ case class TopKPerKeyExec(
           Iterator.empty
         }
       }
-      // lazy ++: heap contents emit only after the input is exhausted
-      passThrough ++ heaps.values().iterator().asScala.flatMap(_.iterator)
+      // lazy ++: heap contents emit only after the input is exhausted;
+      // the feedback record lands at the same boundary (per-partition
+      // heap population + every unreduced overflow row — the cost the
+      // veto bound is calibrated against)
+      passThrough ++ heaps.values().iterator().asScala.flatMap(_.iterator) ++ {
+        keysAcc.foreach(_.add(heaps.size().toLong + overflowRows))
+        Iterator.empty
+      }
     }, preservesPartitioning = true)
   }
 

@@ -99,6 +99,45 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
   }
 
+  test("runtime feedback: an executed high-cardinality run vetoes the NEXT planning, no ANALYZE") {
+    // raw-parquet read, no column stats anywhere: the first planning
+    // rewrites (cap-bounded downside), its execution OBSERVES the key
+    // population through TopKRuntimeFeedback, and the second planning of
+    // the SAME query keeps the native window — the 1M-key regime
+    // self-corrects after one run
+    TopKRuntimeFeedback.clear()
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "50")
+    try {
+      def q: DataFrame = {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+        Tables(spark, Sf0001).lineitem
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 1).drop("rn")
+      }
+      val first = q
+      assert(physical(first).contains("TopKPerKey ["),
+        "first planning must rewrite (no evidence yet)")
+      first.write.format("noop").mode("overwrite").save() // records observed keys
+      info(s"feedback snapshot: ${TopKRuntimeFeedback.snapshot()}")
+      val second = physical(q)
+      assert(!second.contains("TopKPerKey ["),
+        s"second planning must keep the window after observed-cardinality evidence:\n$second")
+      assert(second.contains("Window"), s"second plan lost its window:\n$second")
+      // an unrelated low-cardinality query is NOT vetoed by that record
+      val w2 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+      val lo = Tables(spark, Sf0001).lineitem
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 1).drop("rn")
+      assert(physical(lo).contains("TopKPerKey ["),
+        "feedback for one query shape must not veto another")
+    } finally {
+      spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+      TopKRuntimeFeedback.clear()
+    }
+  }
+
   test("a surviving rank column blocks the rewrite (operator cannot emit it)") {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
