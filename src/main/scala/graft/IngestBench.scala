@@ -171,6 +171,21 @@ object IngestBench {
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (System.getProperty("graft.store.debugRound") != null)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = j.stageInfos.map(s => s"${s.name.takeWhile(_ != '\n').take(40)}x${s.numTasks}")
+            .mkString("|")
+          starts.put(j.jobId, (System.nanoTime(), desc)); ()
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(j.jobId, (System.nanoTime(), "?"))
+          val dur = (System.nanoTime() - t0) / 1e9
+          if (dur > 0.3) System.err.println(f"[job] id=${j.jobId} ${dur}%.2f s $desc")
+        }
+      })
+
     val bucket = Files.createTempDirectory("graft-ingest-bench-bucket")
     Files.createDirectories(bucket.resolve("b/k"))
     val bucketStr = bucket.toString

@@ -483,7 +483,16 @@ object PackageIngest {
         payload.foreach { writeTo =>
           val dest = new org.apache.hadoop.fs.Path(
             s"$assetRoot/${r.getAs[String]("uri")}/${r.getAs[String]("dest_filename")}")
-          val fs = dest.getFileSystem(conf.value)
+          // asset bytes skip the checksummed local wrapper: LocalFileSystem
+          // doubles every small-file op with a .crc sibling (create + two
+          // renames per asset — measured as a material slice of the byte
+          // copy's 32-core wall at bench scale). Durability here comes
+          // from the tmp+rename commit, not Hadoop CRCs; on a real object
+          // store (s3a/HDFS) this match is a no-op.
+          val fs = dest.getFileSystem(conf.value) match {
+            case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+            case other => other
+          }
           // commit via tmp + rename: on local/HDFS a crashed create() leaves
           // a PARTIAL dest visible to readers; staging leaves either the old
           // bytes, nothing (redelivery heals), or the new bytes — never a

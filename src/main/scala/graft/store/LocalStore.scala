@@ -149,10 +149,17 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
     * those buckets. Untouched buckets are never read or written. */
   private def mergeBuckets(t: String, batch: DataFrame, keyCol: String)(
       merge: (Option[DataFrame], DataFrame) => DataFrame): Unit = {
+    val dbg = System.getProperty("graft.store.debugRound") != null
+    var t0 = System.nanoTime()
+    def lap(phase: String): Unit = if (dbg) {
+      System.err.println(f"[merge:$t] $phase ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     recover(t)
     val n = bucketCountFor(t)
     val touched = batch.select(bucketOf(col(keyCol), n).as("_b"))
       .distinct().collect().map(_.getLong(0)).sorted
+    lap("touched-collect")
     if (touched.isEmpty) return
     if (Files.exists(Paths.get(path(t))) && !hasBucketDirs(t))
       migrateToBuckets(t, keyCol, n)
@@ -166,8 +173,16 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
 
     val next = Paths.get(s"$base/.next_$t")
     if (Files.exists(next)) delete(next)
+    // repartition ON the bucket column before the partitioned write: an
+    // unshuffled partitionBy writes (tasks × touched buckets) files —
+    // measured 2000+ sub-KB parquet files per MERGE at bench scale, and
+    // the file-commit churn was most of the merge wall. One shuffle of
+    // the merged rows buys one file per bucket; bucket size (table/N) is
+    // exactly the file granularity this layout wants.
     merged.withColumn("bucket", bucketOf(col(keyCol), n))
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(next.toString)
+    lap("staged-write")
     Files.createDirectories(live)
     for (b <- touched) {
       val nextB = next.resolve(s"bucket=$b")
@@ -209,12 +224,20 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
     * feeds the error taxonomy); a partial round is the trait's documented
     * crash exposure, converged by redelivery. */
   override def applyEffects(b: EffectBatch): Unit = {
+    val debug = System.getProperty("graft.store.debugRound") != null
+    def traced(name: String, op: () => Unit): () => Unit =
+      if (!debug) op
+      else () => {
+        val t0 = System.nanoTime()
+        try op() finally System.err.println(
+          f"[round] $name start+0 took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     val ops: Seq[() => Unit] = Seq(
-      b.documents.map(df => () => upsertDocuments(df)),
-      b.identifiers.map(df => () => appendIdentifiers(df)),
-      b.notifications.map(df => () => appendNotifications(df)),
-      b.properties.map(df => () => upsertProperties(df)),
-      b.assets.map(df => () => appendAssets(df))).flatten
+      b.documents.map(df => traced("upsertDocuments", () => upsertDocuments(df))),
+      b.identifiers.map(df => traced("appendIdentifiers", () => appendIdentifiers(df))),
+      b.notifications.map(df => traced("appendNotifications", () => appendNotifications(df))),
+      b.properties.map(df => traced("upsertProperties", () => upsertProperties(df))),
+      b.assets.map(df => traced("appendAssets", () => appendAssets(df)))).flatten
     if (ops.sizeIs <= 1) ops.foreach(_.apply())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(ops.size)
