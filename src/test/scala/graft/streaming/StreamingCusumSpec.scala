@@ -146,6 +146,42 @@ class StreamingCusumSpec extends SparkSpec {
     }
   }
 
+  test("orderedAlerts: buffered points and the pending timer survive a stop/restart") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ocusum-ck").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-ocusum-out").toString
+      val src = MemoryStream[CusumPoint]
+      def start() = StreamingCusum.orderedAlerts(src.toDS(), Mu0, Slack, H, "2 hours")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+      // phase 1: the whole shifted series lands SHUFFLED, but the 2h
+      // delay keeps the watermark below it — everything is still in the
+      // ListState buffer (nothing folded) when the query dies
+      val q1 = start()
+      src.addData(((1 to 20).map(pt("r", _, 100L)) ++
+        (21 to 31).map(pt("r", _, 130L))).reverse: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      assert(spark.read.schema("key STRING, ts TIMESTAMP, direction STRING, stat LONG, n_since_reset LONG")
+        .parquet(outDir).count() == 0, "nothing folds inside the watermark horizon")
+
+      // phase 2: only a far-future sentinel arrives — the crossing can
+      // ONLY appear if the 31 buffered points AND the registered timer
+      // were recovered from the checkpoint
+      val q2 = start()
+      val sentinel = CusumPoint("flush", new Timestamp(1700000000000L + 365L * 86400000L), Mu0)
+      src.addData(sentinel); q2.processAllAvailable()
+      src.addData(sentinel); q2.processAllAvailable()
+      val alerts = spark.read.parquet(outDir).as[CusumAlert].collect().filter(_.key == "r")
+      assert(alerts.length == 1 && alerts.head.direction == "up" &&
+        alerts.head.stat == 220L && alerts.head.n_since_reset == 31L,
+        s"recovered buffer must fold to the exact planted crossing, got ${alerts.toSeq}")
+      q2.stop()
+    }
+  }
+
   test("accumulated S+ survives a stop/restart: the crossing proves recovered state") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
