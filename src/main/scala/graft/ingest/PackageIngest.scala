@@ -377,16 +377,29 @@ object PackageIngest {
       // mid-round is the trait's documented redelivery exposure.
       val byteCopy = java.util.concurrent.CompletableFuture.runAsync(() =>
         copyAssetBytes(spark, deduped, assetPlan, store.assetRoot))
-      try
+      try {
         store.applyEffects(graft.store.EffectBatch(
           documents = Some(docFrame),
           identifiers = Some(idFrame),
           notifications = Some(notifFrame),
           properties = Some(propFrame),
           assets = Some(assetPlan.drop("original_ref", "tar_name"))))
-      finally
-        try byteCopy.join()
-        catch { case e: java.util.concurrent.CompletionException => throw e.getCause }
+        byteCopy.join()
+      } catch {
+        // byte-copy failure on an otherwise-clean round: surface its cause
+        case e: java.util.concurrent.CompletionException => throw e.getCause
+        // store-round failure is the PRIMARY the error taxonomy must see;
+        // a byte-copy failure that also happened must not replace it (the
+        // old rethrow-from-finally did exactly that) — it rides along as
+        // a suppressed exception instead
+        case primary: Throwable =>
+          try byteCopy.join()
+          catch {
+            case e: java.util.concurrent.CompletionException =>
+              primary.addSuppressed(e.getCause)
+          }
+          throw primary
+      }
 
       // 6. publish/unpublish effect (W10): folded into the step-1 write
       //    (see above) — kept as its own numbered slot to mirror the
@@ -490,7 +503,17 @@ object PackageIngest {
           // from the tmp+rename commit, not Hadoop CRCs; on a real object
           // store (s3a/HDFS) this match is a no-op.
           val fs = dest.getFileSystem(conf.value) match {
-            case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+            case l: org.apache.hadoop.fs.LocalFileSystem =>
+              val raw = l.getRawFileSystem
+              // a store written through the CHECKSUMMED wrapper (builds
+              // predating the raw-FS switch) left `.name.crc` siblings;
+              // overwriting dest through the raw FS would leave them stale
+              // and a later checksummed read throws ChecksumException —
+              // drop the sibling best-effort before the overwrite
+              try raw.delete(new org.apache.hadoop.fs.Path(
+                dest.getParent, s".${dest.getName}.crc"), false)
+              catch { case _: java.io.IOException => () }
+              raw
             case other => other
           }
           // commit via tmp + rename: on local/HDFS a crashed create() leaves

@@ -160,6 +160,18 @@ case class TopKPerKeyExec(
       val cmp = RowOrdering.create(order, childOutput)
       val heaps = new java.util.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
       var overflowRows = 0L
+      // feedback records at TASK COMPLETION, not in the iterator's lazy
+      // tail: a consumer that stops pulling early (limit above the
+      // exchange) would otherwise record nothing — leaving exactly the
+      // high-cardinality regime the veto exists for unobserved. The
+      // listener fires before accumulator collection, so partial
+      // populations still report (an under-count is conservative: it can
+      // only delay the veto, never mis-fire it).
+      keysAcc.foreach { acc =>
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            acc.add(heaps.size().toLong + overflowRows)))
+      }
       val passThrough = iter.flatMap { row =>
         val probe = keyProj(row)
         var heap = heaps.get(probe)
@@ -176,14 +188,11 @@ case class TopKPerKeyExec(
           Iterator.empty
         }
       }
-      // lazy ++: heap contents emit only after the input is exhausted;
-      // the feedback record lands at the same boundary (per-partition
-      // heap population + every unreduced overflow row — the cost the
-      // veto bound is calibrated against)
-      passThrough ++ heaps.values().iterator().asScala.flatMap(_.iterator) ++ {
-        keysAcc.foreach(_.add(heaps.size().toLong + overflowRows))
-        Iterator.empty
-      }
+      // lazy ++: heap contents emit only after the input is exhausted
+      // (the feedback record fires from the completion listener above —
+      // per-partition heap population + every unreduced overflow row,
+      // the cost the veto bound is calibrated against)
+      passThrough ++ heaps.values().iterator().asScala.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 

@@ -236,17 +236,27 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
                 case other => throw new IllegalArgumentException(s"unknown batch op: $other")
               }
           }
+          // check-then-act closed: the fast-path `committed` check above is
+          // advisory only — two concurrent commits with the same txn id
+          // could both pass it and double-apply (double-bumping versions,
+          // then 500ing on the ledger createFile). The authoritative check
+          // re-runs INSIDE the write lock, and an existing ledger marker
+          // counts as already-committed.
           txnIsolation.writeLock().lock()
-          try {
-            inner.applyEffects(batch)
-            Files.createFile(ledgerDir.resolve(id))
+          val already = try {
+            if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
+            else {
+              inner.applyEffects(batch)
+              Files.createFile(ledgerDir.resolve(id))
+              false
+            }
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)
           deleteRecursively(dir)
-          if (dropNextCommitAck) {
+          if (!already && dropNextCommitAck) {
             dropNextCommitAck = false
             respond(ex, 500, "injected crash: commit applied, ack lost")
-          } else respond(ex, 200, "committed")
+          } else respond(ex, 200, if (already) "already-committed" else "committed")
         }
 
       case ("POST", "txn" :: id :: "commit" :: Nil) if TxnId.matches(id) =>
@@ -269,28 +279,35 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
             if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          // same check-then-act closure as commitBatch: authoritative
+          // re-check inside the write lock; an existing ledger marker is
+          // already-committed
           txnIsolation.writeLock().lock()
-          try {
-            op match {
-              case "upsertDocuments"     => inner.upsertDocuments(batch)
-              case "setPublished"        => inner.setPublished(batch)
-              case "appendIdentifiers"   => inner.appendIdentifiers(batch)
-              case "upsertProperties"    => inner.upsertProperties(batch)
-              case "appendAssets"        => inner.appendAssets(batch)
-              case "appendNotifications" => inner.appendNotifications(batch)
-              case "appendFailures"      => inner.appendFailures(batch)
-              case other => throw new IllegalArgumentException(s"unknown op: $other")
+          val already = try {
+            if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
+            else {
+              op match {
+                case "upsertDocuments"     => inner.upsertDocuments(batch)
+                case "setPublished"        => inner.setPublished(batch)
+                case "appendIdentifiers"   => inner.appendIdentifiers(batch)
+                case "upsertProperties"    => inner.upsertProperties(batch)
+                case "appendAssets"        => inner.appendAssets(batch)
+                case "appendNotifications" => inner.appendNotifications(batch)
+                case "appendFailures"      => inner.appendFailures(batch)
+                case other => throw new IllegalArgumentException(s"unknown op: $other")
+              }
+              // applied → ledger marker (durable under the store root) →
+              // ack; see the ledger scaladoc for the apply→marker window
+              Files.createFile(ledgerDir.resolve(id))
+              false
             }
-            // applied → ledger marker (durable under the store root) →
-            // ack; see the ledger scaladoc for the apply→marker window
-            Files.createFile(ledgerDir.resolve(id))
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)
           deleteRecursively(dir)
-          if (dropNextCommitAck) {
+          if (!already && dropNextCommitAck) {
             dropNextCommitAck = false
             respond(ex, 500, "injected crash: commit applied, ack lost")
-          } else respond(ex, 200, "committed")
+          } else respond(ex, 200, if (already) "already-committed" else "committed")
         }
 
       case ("GET", "tables" :: t :: "schema" :: Nil) if TableName.matches(t) =>
