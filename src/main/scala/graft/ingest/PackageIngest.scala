@@ -23,7 +23,8 @@ final case class RawPackage(
     originator: String,
     tar_name: String,
     archive: Array[Byte],
-    archive_path: String = null)
+    archive_path: String = null,
+    digest: String = null)
 
 /** Per-package gather output: everything `Ingest.__init__` extracts
   * (`/root/reference/src/ds_caselaw_ingester/ingester.py:178-210`). */
@@ -54,59 +55,96 @@ final case class GatheredPackage(
   */
 object PackageIngest {
 
-  /** JVM-side gather kernel for one package: explode once, look up the
-    * metadata / xml / parser.log members, record docx presence (the
-    * missing-key-vs-null distinction of `file_helpers.py:118-124`).
+  /** JVM-side gather kernel for one package — SINGLE-PASS: explode once,
+    * look up the metadata / xml / parser.log members, record docx
+    * presence (the missing-key-vs-null distinction of
+    * `file_helpers.py:118-124`), AND park the asset members the act
+    * phase's byte-copy pass will need ([[graft.tar.MemberCache]], keyed
+    * by [[RawPackage.digest]]) so the archive is decompressed exactly
+    * once per package — the reference re-walks the tar per lookup
+    * (`file_helpers.py:27,79,87`); pre-kernel this engine exploded once
+    * for gather and once more for the asset copies.
+    *
     * Spilled packages ([[RawPackage.archive_path]]) run the same
-    * decisions off streaming walks — two passes over local disk (names +
-    * metadata/parser.log, then the metadata-named XML member) instead of
-    * an exploded in-memory member list, so a multi-GiB archive costs
-    * heap only for those three members. */
+    * decisions off TWO streaming walks of local disk (names +
+    * metadata/parser.log, then one combined walk for the metadata-named
+    * XML member AND the asset members), so a multi-GiB archive costs
+    * heap only for those members — and the asset pass no longer re-walks
+    * the spill file per member. */
   def gather(p: RawPackage): GatheredPackage = {
     def failed(err: String) = GatheredPackage(p.consignment_ref, p.originator,
       p.tar_name, null, null, null, null, null,
       source_filename_present = false, Seq.empty, err)
     def text(m: TarMember) = new String(m.bytes, UTF_8)
 
-    // (names, metadata, parser.log, xml-by-name lookup) — the in-memory
-    // path answers the lookup from the exploded member list; the spilled
-    // path answers it with a second streaming walk of the local file
-    val gathered: (Seq[String], Option[String], Option[String], String => Option[String]) =
+    // walk 1 (in-memory: the ONLY walk): names + metadata + parser.log;
+    // the xml/asset lookup runs from the exploded list (in-memory) or a
+    // second combined streaming walk (spilled), once metadata names them
+    val gathered: (Seq[String], Option[String], Option[String],
+        (Option[String], Seq[String]) => (Option[String], Map[String, Array[Byte]])) =
       try {
         if (p.archive_path != null) {
           def open() = new java.io.FileInputStream(p.archive_path)
           val (ns, found) = TarOps.streamFind(open _, Seq("-metadata.json", "parser.log"))
           (ns, found.get("-metadata.json").map(text), found.get("parser.log").map(text),
-            (n: String) => TarOps.streamFind(open _, Seq(n))._2.get(n).map(text))
+            (xmlName: Option[String], assetNeedles: Seq[String]) => {
+              val (byContains, byExact) =
+                TarOps.streamResolve(open _, xmlName.toSeq, assetNeedles)
+              (xmlName.flatMap(byContains.get).map(text),
+                byExact.map { case (nd, m) => nd -> m.bytes })
+            })
         } else {
           val members = TarOps.explode(p.archive)
           (members.map(_.name),
             TarOps.findMember(members, "-metadata.json").map(text),
             TarOps.findMember(members, "parser.log").map(text),
-            (n: String) => TarOps.findMember(members, n).map(text))
+            (xmlName: Option[String], assetNeedles: Seq[String]) =>
+              (xmlName.flatMap(n => TarOps.findMember(members, n)).map(text),
+                assetNeedles.flatMap(nd =>
+                  resolveAsset(members, nd).map(m => nd -> m.bytes)).toMap))
         }
       } catch {
         case e: Exception =>
           return failed(s"InvalidXMLException: unreadable archive: ${e.getMessage}")
       }
-    val (names, metadataJsonOpt, parserLogOpt, xmlLookup) = gathered
+    val (names, metadataJsonOpt, parserLogOpt, resolve) = gathered
 
     metadataJsonOpt match {
       case None => failed("FileNotFoundException: metadata file not found").copy(member_names = names)
       case Some(metadataJson) =>
         val xmlName = jsonField(metadataJson, Seq("parameters", "TRE", "payload", "xml")).flatten
         val fname = jsonField(metadataJson, Seq("parameters", "TRE", "payload", "filename"))
+        // the asset plan's src_member needles, derived HERE exactly as the
+        // act phase derives them (original_ref prefix — the tar's internal
+        // folder predates the S4 rewrite): parser.log, the source doc, and
+        // each image. Parked under the package digest for the byte-copy
+        // pass; a cache miss there falls back to re-exploding, so this is
+        // purely the fast path.
+        val assetNeedles: Seq[String] =
+          if (p.digest == null) Seq.empty
+          else Seq(s"${p.consignment_ref}/parser.log") ++
+            fname.flatten.map(f => s"${p.consignment_ref}/$f") ++
+            jsonArray(metadataJson, Seq("parameters", "TRE", "payload", "images"))
+              .map(i => s"${p.consignment_ref}/$i")
+        val (xmlContent, assetMembers) = resolve(xmlName, assetNeedles)
+        if (p.digest != null) graft.tar.MemberCache.put(p.digest, assetMembers)
         GatheredPackage(
           p.consignment_ref, p.originator, p.tar_name,
           metadataJson,
           xmlName.orNull,
-          xmlName.flatMap(xmlLookup).orNull,
+          xmlContent.orNull,
           parserLogOpt.orNull,
           fname.flatten.orNull,
           source_filename_present = fname.isDefined,
           names, null)
     }
   }
+
+  /** The asset pass's member lookup contract: exact name first, then the
+    * reference's last-substring match — shared by the gather-side cache
+    * population and the byte-copy fallback so they can never diverge. */
+  private def resolveAsset(members: Seq[TarMember], needle: String): Option[TarMember] =
+    members.find(_.name == needle).orElse(TarOps.findMember(members, needle))
 
   /** Streamed md5 of an executor-local spill file — the spilled analogue
     * of `md5(archive)` for the duplicate-delivery winner key. A Scala UDF
@@ -139,6 +177,23 @@ object PackageIngest {
     else {
       val v = node.get(path.last)
       if (v.isNull) Some(None) else Some(Some(v.asText()))
+    }
+  }
+
+  /** String-array JSON path lookup (missing/non-array → empty) — the
+    * gather-side twin of the act phase's `params.TRE.payload.images`
+    * projection. */
+  private def jsonArray(json: String, path: Seq[String]): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var node = mapper.readTree(json)
+    for (p <- path) {
+      node = if (node == null) null else node.get(p)
+      if (node == null) return Seq.empty
+    }
+    if (!node.isArray) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      node.elements().asScala.filter(e => !e.isNull).map(_.asText()).toSeq
     }
   }
 
@@ -215,16 +270,28 @@ object PackageIngest {
     // document MERGE picked by xml). Only the small (ref, tar, digest)
     // projection shuffles; archives stay put and the winner set broadcasts
     // back. Byte-identical redeliveries share a digest and both rows
-    // survive — benign duplicate effects, as before.
+    // survive — benign duplicate effects, as before. A digest already
+    // computed at fetch time (the streaming path reads every byte anyway)
+    // is reused; only digest-less packages (spec-constructed batches) pay
+    // the md5 pass here.
     val keyed = packages.toDF().withColumn("pkg_digest",
-      when(col("archive").isNotNull, md5(col("archive")))
-        .otherwise(fileMd5(col("archive_path"))))
+      coalesce(col("digest"),
+        when(col("archive").isNotNull, md5(col("archive")))
+          .otherwise(fileMd5(col("archive_path")))))
     val dupWinners = keyed.select("consignment_ref", "tar_name", "pkg_digest")
       .groupBy("consignment_ref", "tar_name").agg(max("pkg_digest").as("pkg_digest"))
+    // the winner digest rides ON as RawPackage.digest: it keys the gather
+    // kernel's single-pass asset handoff (MemberCache) for the byte-copy
+    // pass below
     val deduped = keyed
       .join(broadcast(dupWinners), Seq("consignment_ref", "tar_name", "pkg_digest"))
+      .withColumn("digest", col("pkg_digest"))
       .drop("pkg_digest").as[RawPackage]
-    val gathered = gatherAllDs(spark, deduped)
+    // eager checkpoint: THREE consumers read the gathered projection (the
+    // resolution lineage, the failed-gather outcome rows, and — through
+    // `resolved` — every effect frame); without the pin the gather map
+    // (one tar decompression per package) re-runs per consumer
+    val gathered = gatherAllDs(spark, deduped).localCheckpoint(true)
     val identifiers = store.read("identifiers").getOrElse {
       import spark.implicits._
       Seq.empty[(String, String, String, Option[String])]
@@ -429,7 +496,11 @@ object PackageIngest {
             .otherwise(col("error")).as("error"))
         .unionByName(failedGather)
         .localCheckpoint(true)
-    } finally resolved.unpersist() // drop the checkpoint blocks once the outcome is pinned
+    } finally {
+      // drop the checkpoint blocks once the outcome is pinned
+      resolved.unpersist()
+      gathered.unpersist()
+    }
   }
 
   /** W5–W8 byte writes: perform the asset plan against the archive bytes
@@ -463,16 +534,25 @@ object PackageIngest {
       .join(broadcast(specs),
         col("consignment_ref") === col("p_ref") && col("tar_name") === col("p_tar"))
       .select(col("consignment_ref"), col("tar_name"), col("archive"), col("archive_path"),
-        col("uri"), col("dest_filename"), col("src_member"))
+        col("digest"), col("uri"), col("dest_filename"), col("src_member"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     joined.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       var cachedKey: String = null
       var cachedMembers: Seq[TarMember] = null
       var sweptParent: String = null
+      var prevDigest: String = null
       rows.foreach { r =>
         val archive = r.getAs[Array[Byte]]("archive")
         val spillPath = r.getAs[String]("archive_path")
+        val digest = r.getAs[String]("digest")
+        // a package's rows arrive consecutively (the broadcast join is
+        // narrow): once the key moves on, its gather-parked members are
+        // done — release them so steady-state cache occupancy is
+        // in-flight packages, not the batch
+        if (prevDigest != null && prevDigest != digest)
+          graft.tar.MemberCache.remove(prevDigest)
+        prevDigest = digest
         // a payload writer, not a byte array: spilled tarball copies
         // stream disk→FS without ever materializing the archive on heap
         val payload: Option[java.io.OutputStream => Unit] = r.getAs[String]("src_member") match {
@@ -482,6 +562,15 @@ object PackageIngest {
               try in.transferTo(out) finally in.close()
             }
           case null => Some(out => out.write(archive))
+          // member rows consult the gather walk's parked members first
+          // (content-addressed — see MemberCache): the common path never
+          // re-opens the archive. A member absent from a parked entry
+          // falls through to the archive walk below, so the handoff can
+          // only ever be a fast path, never a behavior change.
+          case m if digest != null &&
+              graft.tar.MemberCache.get(digest).exists(_.contains(m)) =>
+            graft.tar.MemberCache.get(digest).flatMap(_.get(m))
+              .map(bytes => (out: java.io.OutputStream) => out.write(bytes))
           case m if spillPath != null =>
             // member lookup = one streaming walk of the local spill file;
             // members are small against the archive, so no cache needed
@@ -557,6 +646,8 @@ object PackageIngest {
             throw new java.io.IOException(s"asset commit failed: rename $tmp -> $dest")
         }
       }
+      // release the partition's last package too
+      if (prevDigest != null) graft.tar.MemberCache.remove(prevDigest)
     }
   }
 }

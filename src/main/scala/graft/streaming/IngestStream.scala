@@ -50,7 +50,7 @@ object IngestStream {
     * eligible for redelivery). */
   final case class Fetched(msg_id: String, consignment_ref: String,
       originator: String, tar_name: String, archive: Array[Byte],
-      archive_path: String, error: String)
+      archive_path: String, digest: String, error: String)
 
   /** Session conf key for the in-memory fetch threshold (bytes; default
     * 256 MiB, clamped to Int.MaxValue). LOCALITY CONTRACT for spilled
@@ -176,11 +176,16 @@ object IngestStream {
           val p = new org.apache.hadoop.fs.Path(resolveUri(bucket, key))
           val fs = p.getFileSystem(conf.value)
           val len = fs.getFileStatus(p).getLen
+          // md5 rides the fetch (the bytes are in hand anyway): the act
+          // phase's dedup winner key and the gather kernel's member-cache
+          // key reuse it instead of re-reading every archive
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(d: Array[Byte]) = d.map("%02x".format(_)).mkString
           if (len <= spillLimit) {
             val buf = new Array[Byte](len.toInt)
             val in = fs.open(p)
             try in.readFully(0, buf) finally in.close()
-            Fetched(msgId, ref, orig, tarName, buf, null, null)
+            Fetched(msgId, ref, orig, tarName, buf, null, hex(md.digest(buf)), null)
           } else {
             // above the in-memory threshold: stream to executor-local
             // disk (the reference's /tmp save, messages.py:59-69) —
@@ -189,14 +194,15 @@ object IngestStream {
             tmp.deleteOnExit()
             val in = fs.open(p)
             try {
-              val out = new java.io.FileOutputStream(tmp)
+              val out = new java.security.DigestOutputStream(
+                new java.io.FileOutputStream(tmp), md)
               try in.transferTo(out) finally out.close()
             } finally in.close()
-            Fetched(msgId, ref, orig, tarName, null, tmp.getPath, null)
+            Fetched(msgId, ref, orig, tarName, null, tmp.getPath, hex(md.digest()), null)
           }
         } catch {
           case e: Exception =>
-            Fetched(msgId, ref, orig, tarName, null, null,
+            Fetched(msgId, ref, orig, tarName, null, null, null,
               s"ClientError: package fetch failed: ${e.getMessage}")
         }
       }
@@ -206,7 +212,7 @@ object IngestStream {
       // ---- gather + act (O1/O2): the REAL batch pipeline ----
       val packages = fetched.filter(col("error").isNull).as[Fetched]
         .map(f => RawPackage(f.consignment_ref, f.originator, f.tar_name,
-          f.archive, f.archive_path))
+          f.archive, f.archive_path, f.digest))
       val outcome =
         if (packages.isEmpty) None
         else Some(PackageIngest.ingestDs(spark, packages, scoped, requestId, environment))

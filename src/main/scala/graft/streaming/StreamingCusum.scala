@@ -49,7 +49,10 @@ final case class CusumAlert(key: String, ts: Timestamp, direction: String,
   * proportional to MONITORED KEYS, never to the stream; a non-NONE TTL
   * (ProcessingTime mode, [[StreamingDistinctTws]]'s dispatch) lets a
   * key silent past the window re-arm from zero, the retention knob for
-  * unbounded key churn. */
+  * unbounded key churn. The ordered variant carries the same knob as
+  * EVENT-TIME retention (`retentionMs` on [[orderedAlerts]]) because
+  * TTLConfig cannot compose with its EventTime mode — see
+  * [[OrderedCusumProcessor]]. */
 object StreamingCusum {
 
   /** (S⁺, S⁻, observations since last reset). */
@@ -121,26 +124,48 @@ object StreamingCusum {
     * inside the watermark horizon (bounded by delay × per-key rate, never
     * by history); alert latency is the watermark delay — the price of
     * order. `StreamingCusumSpec` pins cross-batch-shuffled delivery ≡
-    * [[batchAlerts]] and in-order parity with [[alerts]]. */
-  class OrderedCusumProcessor(mu0: Long, slack: Long, threshold: Long)
+    * [[batchAlerts]] and in-order parity with [[alerts]].
+    *
+    * RETENTION (`retentionMs`): the churn knob for unbounded key spaces.
+    * `TTLConfig` CANNOT compose here — Spark's handle rejects TTL state
+    * outside `TimeMode.ProcessingTime` (`StatefulProcessorHandleImpl.
+    * validateTTLConfig` throws `STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_
+    * TIME_MODE`), and this processor needs `TimeMode.EventTime` for its
+    * ordering timers — so retention is implemented ON the event-time
+    * timer machinery instead: one eviction timer per key at
+    * `max(seen ts) + retentionMs`; when it fires (watermark past the
+    * horizon with nothing new seen), the key's [[Arm]] is dropped and a
+    * returning key re-arms from zero. Event-time retention is also the
+    * RIGHT clock for the backfill-heavy deployment this variant targets:
+    * a wall-clock TTL would evict live state mid-backfill merely because
+    * old data takes long to replay. No retention (the default) keeps a
+    * silent key's arm forever — monitored-key-bounded, the dashboard
+    * regime. */
+  class OrderedCusumProcessor(mu0: Long, slack: Long, threshold: Long,
+      retentionMs: Option[Long] = None)
       extends StatefulProcessor[String, CusumPoint, CusumAlert] {
+    require(retentionMs.forall(_ > 0), s"retentionMs must be positive: $retentionMs")
     @transient private var arm: ValueState[Arm] = _
     @transient private var buf: ListState[CusumPoint] = _
     @transient private var deadline: ValueState[Long] = _
+    @transient private var evictAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       arm = getHandle.getValueState[Arm]("arm", Encoders.product[Arm], TTLConfig.NONE)
       buf = getHandle.getListState[CusumPoint]("buf",
         Encoders.product[CusumPoint], TTLConfig.NONE)
       deadline = getHandle.getValueState[Long]("deadline", Encoders.scalaLong, TTLConfig.NONE)
+      evictAt = getHandle.getValueState[Long]("evictAt", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: String, rows: Iterator[CusumPoint],
         timerValues: TimerValues): Iterator[CusumAlert] = {
       var minTs = Long.MaxValue
+      var maxTs = Long.MinValue
       rows.foreach { p =>
         buf.appendValue(p)
         if (p.ts.getTime < minTs) minTs = p.ts.getTime
+        if (p.ts.getTime > maxTs) maxTs = p.ts.getTime
       }
       if (minTs != Long.MaxValue) {
         val cand = minTs + 1
@@ -150,14 +175,28 @@ object StreamingCusum {
           getHandle.registerTimer(cand)
           deadline.update(cand)
         }
+        // retention: push the eviction horizon forward with the newest
+        // sighting (higher-only — the mirror of the fold timer's
+        // lower-only discipline; ≤1 live eviction timer per key)
+        retentionMs.foreach { r =>
+          val evictCand = maxTs + r
+          val prevEvict = if (evictAt.exists()) evictAt.get() else Long.MinValue
+          if (evictCand > prevEvict) {
+            if (prevEvict != Long.MinValue) getHandle.deleteTimer(prevEvict)
+            getHandle.registerTimer(evictCand)
+            evictAt.update(evictCand)
+          }
+        }
       }
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[CusumAlert] = {
-      // maintain the ≤1-live-timer invariant even under a stale fire that
-      // raced its own deletion: drop the tracked timer if it isn't this one
+      // fold maintenance runs on EVERY fire (folding what the watermark
+      // sealed is always correct, and an eviction fire implies everything
+      // buffered is sealed): maintain the ≤1-live-fold-timer invariant
+      // even under a stale fire that raced its own deletion
       val tracked = if (deadline.exists()) deadline.get() else Long.MinValue
       if (tracked != Long.MinValue && tracked != expiredTimerInfo.getExpiryTimeInMs())
         getHandle.deleteTimer(tracked)
@@ -175,27 +214,42 @@ object StreamingCusum {
         getHandle.registerTimer(next)
         deadline.update(next)
       }
-      if (ready.isEmpty) Iterator.empty
-      else {
+      val out = if (ready.isEmpty) Iterator.empty else {
         val sorted = ready.sortBy(p => (p.ts.getTime, p.value))
         val st0 = if (arm.exists()) arm.get() else Arm(0L, 0L, 0L)
-        val (st, out) = fold(st0, sorted, mu0, slack, threshold)
+        val (st, alerts) = fold(st0, sorted, mu0, slack, threshold)
         arm.update(st)
-        out.iterator
+        alerts.iterator
       }
+      // eviction check AFTER the fold: a key silent past the horizon
+      // (watermark ≥ last sighting + retention) drops its arm and re-arms
+      // from zero on return. `pending` is provably empty here — every
+      // buffered ts ≤ the horizon's base sighting < w — so the fold above
+      // already flushed the key's whole history before the drop.
+      if (retentionMs.isDefined && evictAt.exists() && w >= evictAt.get()) {
+        if (evictAt.get() != expiredTimerInfo.getExpiryTimeInMs())
+          getHandle.deleteTimer(evictAt.get())
+        evictAt.clear()
+        if (pending.isEmpty) arm.clear()
+      }
+      out
     }
   }
 
   /** Append-mode alerts folded in WATERMARK order — [[batchAlerts]]-exact
     * under any delivery order within `watermarkDelay` (see
-    * [[OrderedCusumProcessor]]). */
+    * [[OrderedCusumProcessor]]). `retentionMs` (event-time) evicts a
+    * silent key's arm once the watermark passes its last sighting by
+    * that much — the churn knob for unbounded key spaces; None (default)
+    * retains forever. */
   def orderedAlerts(points: Dataset[CusumPoint], mu0: Long, slack: Long,
-      threshold: Long, watermarkDelay: String = "0 seconds"): Dataset[CusumAlert] = {
+      threshold: Long, watermarkDelay: String = "0 seconds",
+      retentionMs: Option[Long] = None): Dataset[CusumAlert] = {
     import points.sparkSession.implicits._
     points
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
-      .transformWithState(new OrderedCusumProcessor(mu0, slack, threshold),
+      .transformWithState(new OrderedCusumProcessor(mu0, slack, threshold, retentionMs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

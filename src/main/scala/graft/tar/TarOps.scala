@@ -169,6 +169,49 @@ object TarOps {
     } finally tar.close()
   }
 
+  /** ONE streaming walk resolving two needle families at once — the
+    * spilled-archive half of the single-pass gather kernel:
+    *
+    *   - `containsNeedles` resolve like [[streamFind]]/[[findMember]]
+    *     (LAST member whose name contains the needle) — the metadata/XML
+    *     lookup contract;
+    *   - `exactFirstNeedles` resolve like the asset pass's
+    *     [[streamLookup]] (exact-name match pins FIRST; otherwise the
+    *     last substring match).
+    *
+    * Memory is bounded by the matched members; non-matching payloads are
+    * skipped, never buffered. */
+  def streamResolve(open: () => InputStream, containsNeedles: Seq[String],
+      exactFirstNeedles: Seq[String]): (Map[String, TarMember], Map[String, TarMember]) = {
+    val cn = containsNeedles.filter(nd => nd != null && nd.nonEmpty)
+    val en = exactFirstNeedles.filter(nd => nd != null && nd.nonEmpty)
+    if (cn.isEmpty && en.isEmpty) return (Map.empty, Map.empty)
+    val tar = openStream(open())
+    try {
+      var contains = Map.empty[String, TarMember]
+      var exact = Map.empty[String, TarMember]
+      var pinned = Set.empty[String] // exact-name hits stop updating
+      var entry = tar.getNextEntry
+      while (entry != null) {
+        if (entry.isFile) {
+          val name = entry.getName
+          val cHits = cn.filter(name.contains(_))
+          val eHits = en.filter(nd => !pinned(nd) && (nd == name || name.contains(nd)))
+          if (cHits.nonEmpty || eHits.nonEmpty) {
+            val m = TarMember(name, entry.getSize, tar.readAllBytes())
+            cHits.foreach(nd => contains += nd -> m) // later matches win
+            eHits.foreach { nd =>
+              exact += nd -> m
+              if (nd == name) pinned += nd
+            }
+          }
+        }
+        entry = tar.getNextEntry
+      }
+      (contains, exact)
+    } finally tar.close()
+  }
+
   /** Streaming analogue of the asset pass's member lookup: FIRST
     * exact-name match wins; otherwise the last substring match. One walk,
     * memory bounded by the matched member. */

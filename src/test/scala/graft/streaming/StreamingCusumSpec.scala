@@ -182,6 +182,44 @@ class StreamingCusumSpec extends SparkSpec {
     }
   }
 
+  test("orderedAlerts retention: a silent key's arm evicts and re-arms from zero") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // key "r": 20 on-target + 8 shifted points → S⁺ = 160, under h=200.
+      // Then silence. Key "other" keeps the stream alive and pushes the
+      // watermark past r's last sighting + retention (30 min). When "r"
+      // returns with 3 more shifted points (3×20 = 60):
+      //   - arm retained (no retention):   160 + 60 = 220 > 200 → alert
+      //   - arm evicted  (with retention): 60 alone stays silent
+      val rEarly = (1 to 20).map(pt("r", _, 100L)) ++ (21 to 28).map(pt("r", _, 130L))
+      val keepAlive = (29 to 120).map(pt("other", _, 100L)) // spans ~90 min past r
+      val rLate = (121 to 123).map(pt("r", _, 130L))
+      val flush = (124 to 130).map(pt("flush", _, 100L))
+      val retention = Some(30L * 60000L) // 30 minutes event-time
+
+      def run(name: String, ret: Option[Long]): Seq[CusumAlert] = {
+        val src = MemoryStream[CusumPoint]
+        val q = StreamingCusum.orderedAlerts(src.toDS(), Mu0, Slack, H,
+            retentionMs = ret)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          Seq(rEarly, keepAlive, rLate, flush, flush).foreach { b =>
+            src.addData(b: _*); q.processAllAvailable()
+          }
+          spark.table(name).as[CusumAlert].collect().toSeq.filter(_.key == "r")
+        } finally q.stop()
+      }
+
+      val withRetention = run("cusum_ttl_on", retention)
+      assert(withRetention.isEmpty,
+        s"evicted arm must re-accumulate from zero, got $withRetention")
+      val without = run("cusum_ttl_off", None)
+      assert(without.length == 1 && without.head.stat == 220L,
+        s"control: the retained arm must cross at 220, got $without")
+    }
+  }
+
   test("accumulated S+ survives a stop/restart: the crossing proves recovered state") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
