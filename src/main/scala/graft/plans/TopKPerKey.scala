@@ -79,23 +79,136 @@ object TopKPerKey {
   * self-corrects after one execution, no ANALYZE required. First-run
   * exposure is the operator's documented cap-bounded 0.9× worst case.
   * Keyed by the canonicalized (partition keys, window child) fingerprint,
-  * so the map is bounded by distinct query shapes per JVM. */
+  * so the map is bounded by distinct query shapes per JVM.
+  *
+  * PERSISTENCE (round 15): the in-JVM map alone meant every fresh
+  * session re-paid one bad planning per un-ANALYZEd high-cardinality
+  * site. Observations now also persist to a LEDGER under the session's
+  * warehouse dir (`_graft_meta/topk_feedback.tsv`, one
+  * `fp \t keys \t epochMillis` line per site): a job-end listener
+  * flushes any record whose value changed, and [[ensureLoaded]] (called
+  * from the rewrite's veto before it consults evidence) reads the file
+  * once per path per JVM — so the veto survives a session restart.
+  * Staleness rule: entries older than
+  * `spark.graft.topkRewrite.ledgerMaxAgeHours` (default 168 h) are
+  * dropped at load AND at write — data distributions drift, and a veto
+  * grounded in last-quarter's cardinality should eventually re-earn
+  * itself. The file is bounded ([[MaxLedgerEntries]] newest entries)
+  * and rewritten whole through a tmp+rename, so concurrent sessions
+  * last-writer-win a complete file rather than interleaving lines.
+  * Disable with `spark.graft.topkRewrite.ledgerEnabled=false` (the
+  * in-memory half keeps working). */
 object TopKRuntimeFeedback {
+  val LedgerEnabledKey = "spark.graft.topkRewrite.ledgerEnabled"
+  val LedgerMaxAgeHoursKey = "spark.graft.topkRewrite.ledgerMaxAgeHours"
+  val DefaultLedgerMaxAgeHours = 168L
+  val MaxLedgerEntries = 4096
+  private val LedgerName = "_graft_meta/topk_feedback.tsv"
+
   private val records =
     new java.util.concurrent.ConcurrentHashMap[Long, LongAccumulator]()
+  // fp -> (observed keys, stamp) loaded from / flushed to the ledger
+  private val persisted =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+  private val lastFlushed =
+    new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  @volatile private var loadedPath: String = null
+  @volatile private var armedCtx: org.apache.spark.SparkContext = null
+  @volatile private var armedListener: org.apache.spark.scheduler.SparkListener = null
+
+  private def ledgerFile(warehouse: String) =
+    new org.apache.hadoop.fs.Path(warehouse, LedgerName)
 
   /** Fresh accumulator for one execution of `fp`'s partial pass; replaces
-    * any prior record (latest observation wins). */
+    * any prior record (latest observation wins). Arms the flush listener
+    * on this context the first time through. */
   def tracker(sc: org.apache.spark.SparkContext, fp: Long): LongAccumulator = {
     val acc = sc.longAccumulator(s"graft.topk.partialKeys.$fp")
     records.put(fp, acc)
+    synchronized {
+      if ((armedCtx ne sc) && loadedPath != null) {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = flush(sc)
+        }
+        sc.addSparkListener(l)
+        armedCtx = sc; armedListener = l
+      }
+    }
     acc
   }
 
-  /** Driver-side read of the latest completed observation (0 while the
+  /** Driver-side read of the latest completed observation — this JVM's
+    * live records first (freshest), else the loaded ledger (0 while the
     * first execution is still running — planning then proceeds
     * unvetoed, which is the correct no-evidence default). */
-  def observedKeys(fp: Long): Option[Long] = Option(records.get(fp)).map(_.value)
+  def observedKeys(fp: Long): Option[Long] =
+    Option(records.get(fp)).map(_.value.longValue())
+      .orElse(Option(persisted.get(fp)).map(_._1))
+
+  /** Loads the warehouse ledger once per path per JVM, dropping entries
+    * older than `maxAgeMs`. Called from the rewrite's veto, so it runs
+    * before the first planning that could use the evidence. Read
+    * failures degrade to the in-memory-only behavior. */
+  def ensureLoaded(warehouse: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration, maxAgeMs: Long): Unit = {
+    if (loadedPath == warehouse) return
+    synchronized {
+      if (loadedPath == warehouse) return
+      try {
+        val f = ledgerFile(warehouse)
+        val fs = f.getFileSystem(hadoopConf)
+        if (fs.exists(f)) {
+          val in = fs.open(f)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          val floor = System.currentTimeMillis() - maxAgeMs
+          txt.linesIterator.foreach { line =>
+            line.split('\t') match {
+              case Array(fp, keys, stamp) if stamp.toLong >= floor =>
+                persisted.put(fp.toLong, (keys.toLong, stamp.toLong))
+              case _ => // stale or malformed: skip
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+      loadedPath = warehouse
+    }
+  }
+
+  /** Merges changed live records into `persisted` and rewrites the
+    * ledger (newest [[MaxLedgerEntries]], stale dropped). Job-end-driven;
+    * write failures are swallowed (the ledger is an optimization). */
+  private def flush(sc: org.apache.spark.SparkContext): Unit = synchronized {
+    val warehouse = loadedPath
+    if (warehouse == null) return
+    val now = System.currentTimeMillis()
+    var changed = false
+    records.forEach { (fp, acc) =>
+      val v = acc.value.longValue()
+      if (v > 0 && lastFlushed.getOrDefault(fp, -1L) != v) {
+        persisted.put(fp, (v, now)); lastFlushed.put(fp, v); changed = true
+      }
+    }
+    if (!changed) return
+    try {
+      val maxAgeMs = 3600000L * sc.getConf.getLong(LedgerMaxAgeHoursKey,
+        DefaultLedgerMaxAgeHours)
+      val floor = now - maxAgeMs
+      val keep = persisted.asScala.toSeq
+        .filter(_._2._2 >= floor).sortBy(-_._2._2).take(MaxLedgerEntries)
+      val dest = ledgerFile(warehouse)
+      val fs = dest.getFileSystem(sc.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+        s".${dest.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(keep.map { case (fp, (k, s)) => s"$fp\t$k\t$s\n" }
+        .mkString.getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(dest, false)
+      fs.rename(tmp, dest)
+    } catch { case scala.util.control.NonFatal(_) => }
+  }
 
   /** Test seams. */
   private[plans] def clear(): Unit = records.clear()
@@ -103,6 +216,18 @@ object TopKRuntimeFeedback {
     import scala.jdk.CollectionConverters._
     records.asScala.map { case (k, v) => (k, v.value.longValue()) }.toMap
   }
+  /** Simulates a fresh JVM: forgets live records, loaded ledger, flush
+    * watermarks, and the armed listener (removed from its context). */
+  private[plans] def resetForTest(): Unit = synchronized {
+    records.clear(); persisted.clear(); lastFlushed.clear()
+    loadedPath = null
+    if (armedCtx != null && armedListener != null)
+      try armedCtx.removeSparkListener(armedListener)
+      catch { case scala.util.control.NonFatal(_) => }
+    armedCtx = null; armedListener = null
+  }
+  /** Deterministic flush for specs (listener events are async). */
+  private[plans] def flushNow(sc: org.apache.spark.SparkContext): Unit = flush(sc)
 }
 
 /** Plans [[TopKPerKey]] as partial-over-final [[TopKPerKeyExec]]s. */

@@ -84,6 +84,18 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
       fp: Long): Boolean = {
     val bound = BigInt(conf.getConfString(MaxKeysConfKey,
       TopKPerKey.DefaultMaxPartialKeys.toString))
+    // observed evidence persists across sessions: load the warehouse
+    // ledger (once per JVM) before consulting it, unless disabled
+    if (conf.getConfString(TopKRuntimeFeedback.LedgerEnabledKey, "true").toBoolean)
+      try {
+        val maxAgeMs = 3600000L * conf.getConfString(
+          TopKRuntimeFeedback.LedgerMaxAgeHoursKey,
+          TopKRuntimeFeedback.DefaultLedgerMaxAgeHours.toString).toLong
+        val hc = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf())
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        TopKRuntimeFeedback.ensureLoaded(conf.warehousePath, hc, maxAgeMs)
+      } catch { case scala.util.control.NonFatal(_) => }
     val known = part.flatMap {
       case a: Attribute => child.stats.attributeStats.get(a).flatMap(_.distinctCount)
       case _ => None

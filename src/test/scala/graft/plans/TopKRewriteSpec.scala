@@ -105,7 +105,10 @@ class TopKRewriteSpec extends SparkSpec {
     // population through TopKRuntimeFeedback, and the second planning of
     // the SAME query keeps the native window — the 1M-key regime
     // self-corrects after one run
-    TopKRuntimeFeedback.clear()
+    // full reset (not just the in-memory map): a ledger file left by a
+    // PREVIOUS test run would otherwise veto the first planning here
+    TopKRuntimeFeedback.resetForTest()
+    java.nio.file.Files.deleteIfExists(ledgerLocalPath)
     spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "50")
     try {
       def q: DataFrame = {
@@ -134,7 +137,101 @@ class TopKRewriteSpec extends SparkSpec {
         "feedback for one query shape must not veto another")
     } finally {
       spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
-      TopKRuntimeFeedback.clear()
+      TopKRuntimeFeedback.resetForTest()
+      java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    }
+  }
+
+  // ------------------------------------------------- persisted ledger
+  private def ledgerLocalPath: java.nio.file.Path = {
+    val wh = spark.sessionState.conf.warehousePath
+    val dir = if (wh.contains(":")) java.nio.file.Paths.get(new java.net.URI(wh))
+              else java.nio.file.Paths.get(wh)
+    dir.resolve("_graft_meta").resolve("topk_feedback.tsv")
+  }
+
+  private def highCardTopK: DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    Tables(spark, Sf0001).lineitem
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1).drop("rn")
+  }
+
+  test("the observed veto persists to the warehouse ledger and survives a session restart") {
+    TopKRuntimeFeedback.resetForTest()
+    java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "50")
+    try {
+      val first = highCardTopK
+      assert(physical(first).contains("TopKPerKey ["),
+        "first planning must rewrite (no evidence on disk or in memory)")
+      first.write.format("noop").mode("overwrite").save()
+      TopKRuntimeFeedback.flushNow(spark.sparkContext)
+      assert(java.nio.file.Files.exists(ledgerLocalPath),
+        "flush must write the warehouse ledger")
+      val lines = java.nio.file.Files.readAllLines(ledgerLocalPath)
+      assert(lines.size == 1 && lines.get(0).split('\t').length == 3,
+        s"ledger format fp\\tkeys\\tstamp expected, got: $lines")
+      // fresh "session": the JVM forgets everything it learned
+      TopKRuntimeFeedback.resetForTest()
+      val replanned = physical(highCardTopK)
+      assert(!replanned.contains("TopKPerKey ["),
+        s"ledger evidence must veto the FIRST planning of a fresh session:\n$replanned")
+      assert(replanned.contains("Window"), s"fresh-session plan lost its window:\n$replanned")
+    } finally {
+      spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+      TopKRuntimeFeedback.resetForTest()
+      java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    }
+  }
+
+  test("a stale ledger entry is ignored: the veto must re-earn itself after max age") {
+    TopKRuntimeFeedback.resetForTest()
+    java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "50")
+    try {
+      val first = highCardTopK
+      first.write.format("noop").mode("overwrite").save()
+      TopKRuntimeFeedback.flushNow(spark.sparkContext)
+      // age the entry past the default 168 h window
+      val aged = java.nio.file.Files.readAllLines(ledgerLocalPath).get(0)
+        .split('\t') match {
+          case Array(fp, keys, _) =>
+            s"$fp\t$keys\t${System.currentTimeMillis() - 200L * 3600000L}\n"
+        }
+      java.nio.file.Files.writeString(ledgerLocalPath, aged)
+      TopKRuntimeFeedback.resetForTest()
+      val replanned = physical(highCardTopK)
+      assert(replanned.contains("TopKPerKey ["),
+        s"a stale observation must not veto (distributions drift):\n$replanned")
+    } finally {
+      spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+      TopKRuntimeFeedback.resetForTest()
+      java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    }
+  }
+
+  test("ledgerEnabled=false keeps the feedback in-memory only") {
+    TopKRuntimeFeedback.resetForTest()
+    java.nio.file.Files.deleteIfExists(ledgerLocalPath)
+    spark.conf.set(TopKWindowRewrite.MaxKeysConfKey, "50")
+    spark.conf.set(TopKRuntimeFeedback.LedgerEnabledKey, "false")
+    try {
+      val first = highCardTopK
+      assert(physical(first).contains("TopKPerKey ["))
+      first.write.format("noop").mode("overwrite").save()
+      TopKRuntimeFeedback.flushNow(spark.sparkContext) // no-op: ledger never loaded
+      assert(!java.nio.file.Files.exists(ledgerLocalPath),
+        "disabled ledger must write nothing")
+      // the SAME session still self-corrects from the in-memory record
+      assert(!physical(highCardTopK).contains("TopKPerKey ["),
+        "in-memory feedback must keep working with the ledger disabled")
+    } finally {
+      spark.conf.unset(TopKWindowRewrite.MaxKeysConfKey)
+      spark.conf.unset(TopKRuntimeFeedback.LedgerEnabledKey)
+      TopKRuntimeFeedback.resetForTest()
+      java.nio.file.Files.deleteIfExists(ledgerLocalPath)
     }
   }
 
