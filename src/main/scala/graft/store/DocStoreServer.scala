@@ -89,6 +89,14 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     * as if the server died after the apply. Self-clears. */
   @volatile var dropNextCommitAck: Boolean = false
 
+  /** TEST-ONLY fault injection: the next commitBatch applies ONLY the
+    * documents MERGE, then dies — before the remaining four tables and
+    * before the ledger marker. This is the publish-fold crash window
+    * (LocalStore.upsertDocuments scaladoc): a published document briefly
+    * visible without its identifier/asset effects. Self-clears;
+    * `RedeliveryConvergenceSpec` proves redelivery converges. */
+  @volatile var dieAfterDocumentsMerge: Boolean = false
+
   /** Commits (exclusive) vs snapshot materialization (shared): the
     * point-in-time snapshot must not observe a commit mid-bucket-swap —
     * the isolation a real connector's read transaction provides, here a
@@ -201,6 +209,19 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
         try Files.write(part, in.readAllBytes()) finally in.close()
         respond(ex, 200, "staged")
 
+      case ("POST", "txn" :: id :: "abort" :: Nil) if TxnId.matches(id) =>
+        // clears any staged parts left by a previous FAILED attempt of the
+        // same deterministic txn (a crash between staging and commit, or a
+        // commit whose apply died): the replaying client aborts before it
+        // re-stages, so the committed frame never doubles. Never touches
+        // the ledger — a committed txn's marker stays authoritative. Takes
+        // the write lock so an abort can't yank staging out from under a
+        // concurrent commit's frame build.
+        txnIsolation.writeLock().lock()
+        try deleteRecursively(staging.resolve(id))
+        finally txnIsolation.writeLock().unlock()
+        respond(ex, 200, "aborted")
+
       case ("POST", "txn" :: id :: "commitBatch" :: Nil) if TxnId.matches(id) =>
         // ONE wire transaction for a whole act round: body lines are
         // `op<TAB>schemaJson`, staged rows live under `{txn}/{op}/`.
@@ -224,32 +245,48 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           }
-          val batch = body.linesIterator.filter(_.nonEmpty).foldLeft(EffectBatch()) {
-            (acc, line) =>
-              val Array(op, schemaJson) = line.split("\t", 2)
-              op match {
-                case "upsertDocuments"     => acc.copy(documents = Some(frame(op, schemaJson)))
-                case "appendIdentifiers"   => acc.copy(identifiers = Some(frame(op, schemaJson)))
-                case "appendNotifications" => acc.copy(notifications = Some(frame(op, schemaJson)))
-                case "upsertProperties"    => acc.copy(properties = Some(frame(op, schemaJson)))
-                case "appendAssets"        => acc.copy(assets = Some(frame(op, schemaJson)))
-                case other => throw new IllegalArgumentException(s"unknown batch op: $other")
-              }
-          }
           // check-then-act closed: the fast-path `committed` check above is
           // advisory only — two concurrent commits with the same txn id
           // could both pass it and double-apply (double-bumping versions,
           // then 500ing on the ledger createFile). The authoritative check
           // re-runs INSIDE the write lock, and an existing ledger marker
-          // counts as already-committed.
+          // counts as already-committed. The FRAMES build inside the lock
+          // too, after that check: a concurrent winner of this txn deletes
+          // the staging dir right after its own commit, and a frame built
+          // outside the lock races that delete (file listing resolves at
+          // DataFrame construction).
           txnIsolation.writeLock().lock()
           val already = try {
             if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
             else {
+              val batch = body.linesIterator.filter(_.nonEmpty).foldLeft(EffectBatch()) {
+                (acc, line) =>
+                  val Array(op, schemaJson) = line.split("\t", 2)
+                  op match {
+                    case "upsertDocuments"     => acc.copy(documents = Some(frame(op, schemaJson)))
+                    case "appendIdentifiers"   => acc.copy(identifiers = Some(frame(op, schemaJson)))
+                    case "appendNotifications" => acc.copy(notifications = Some(frame(op, schemaJson)))
+                    case "upsertProperties"    => acc.copy(properties = Some(frame(op, schemaJson)))
+                    case "appendAssets"        => acc.copy(assets = Some(frame(op, schemaJson)))
+                    case other => throw new IllegalArgumentException(s"unknown batch op: $other")
+                  }
+              }
+              if (dieAfterDocumentsMerge) {
+                dieAfterDocumentsMerge = false
+                batch.documents.foreach(inner.upsertDocuments)
+                throw new RuntimeException(
+                  "injected crash: died after the documents MERGE, mid effect round")
+              }
               inner.applyEffects(batch)
               Files.createFile(ledgerDir.resolve(id))
               false
             }
+          } catch {
+            // a FAILED commit's staged parts must not survive: the client
+            // replays the whole applyEffects (abort → re-stage → commit),
+            // and leftovers would double every frame — append-only ledgers
+            // (notifications) would keep the duplicates
+            case e: Throwable => deleteRecursively(dir); throw e
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)
           deleteRecursively(dir)
@@ -275,17 +312,19 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
           }
           val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
           val spark = inner.spark
-          val batch =
-            if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
-            else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           // same check-then-act closure as commitBatch: authoritative
           // re-check inside the write lock; an existing ledger marker is
-          // already-committed
+          // already-committed. Same failed-commit staging cleanup, and the
+          // same frame-inside-lock rule (a concurrent winner's post-commit
+          // staging delete races a frame built outside).
           txnIsolation.writeLock().lock()
           val already = try {
             if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
-            else {
+            else try {
+              val batch =
+                if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
               op match {
                 case "upsertDocuments"     => inner.upsertDocuments(batch)
                 case "setPublished"        => inner.setPublished(batch)
@@ -300,6 +339,8 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
               // ack; see the ledger scaladoc for the apply→marker window
               Files.createFile(ledgerDir.resolve(id))
               false
+            } catch {
+              case e: Throwable => deleteRecursively(dir); throw e
             }
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)

@@ -107,9 +107,18 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
         s"$s|$op|${txnSeq.getAndIncrement()}".getBytes("UTF-8")).toString
       case None => java.util.UUID.randomUUID().toString
     }
+    // scoped txns replay with the SAME id — clear any staged leftovers of
+    // a previous failed attempt before re-staging, or the committed frame
+    // doubles (append-only ledgers would keep the duplicates)
+    if (txnScope.isDefined) abort(endpoint, txn)
     stage(endpoint, txn, None, df)
     val (c, b) = HttpStore.post(s"$endpoint/txn/$txn/commit?op=$op", df.schema.json.getBytes("UTF-8"))
     if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
+  }
+
+  private def abort(ep: String, txn: String): Unit = {
+    val (c, b) = HttpStore.post(s"$ep/txn/$txn/abort", Array.emptyByteArray)
+    if (c != 200) throw new RuntimeException(s"HttpStore abort: HTTP $c $b")
   }
 
   /** Executor-side JSON-lines staging of one frame under `txn`; with an
@@ -160,6 +169,9 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
       case None => java.util.UUID.randomUUID().toString
     }
     val ep = endpoint
+    // same leftover rule as `send`: a replayed round re-stages under the
+    // same deterministic txn id, so clear any failed attempt's parts first
+    if (txnScope.isDefined) abort(ep, txn)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(frames.size)
     try {
       val staged = frames.map { case (op, df) =>

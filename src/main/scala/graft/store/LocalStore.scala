@@ -368,8 +368,18 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
     * (`file_helpers.py:62-66` `destination_folder + destination_filename`
     * with folder `uri + "/"`, `ingester.py:374-418`). Written through the
     * Hadoop FileSystem API, so the same code targets s3a/HDFS on a
-    * cluster. */
-  def assetRoot: String = s"$base/assets"
+    * cluster.
+    *
+    * DELIBERATELY DISJOINT from the `assets` TABLE's directory (round 15;
+    * was `$base/assets`, shared with the table): a parquet read lists its
+    * root recursively, so byte files under the table path (a) inflate
+    * every table read's file listing by O(copied assets) — at fleet scale
+    * that is millions of stats for a metadata query — and (b) break
+    * schema inference outright in the mid-round crash window where bytes
+    * landed but no table row has (RedeliveryConvergenceSpec observes that
+    * window). Object-store rule of thumb encoded here: data-lake tables
+    * and blob trees never share a listing prefix. */
+  def assetRoot: String = s"$base/asset_files"
 
   /** W5–W8: add asset-copy records. Idempotent on the destination key —
     * the reference overwrites the same S3 keys on redelivery. */

@@ -87,13 +87,13 @@ class PackageIngestSpec extends SparkSpec {
       "image" -> "R-1456368-1295322787.jpeg.jpg"))
 
     // ...and the copies are PERFORMED, not just planned: every asset row's
-    // bytes landed at <store>/assets/<uri>/<dest> and equal the tar
+    // bytes landed at <assetRoot>/<uri>/<dest> and equal the tar
     // member's bytes (tarball row = the whole original archive) —
     // file_helpers.py:36-73, ingester.py:361-418
     val archive = Files.readAllBytes(fixtures.resolve("TDR-2022-DNWR.tar.gz"))
     val members = graft.tar.TarOps.explode(archive)
     store.read("assets").get.collect().foreach { r =>
-      val dest = Paths.get(s"$storeDir/assets/$uri/${r.getAs[String]("dest_filename")}")
+      val dest = Paths.get(s"${store.assetRoot}/$uri/${r.getAs[String]("dest_filename")}")
       assert(Files.exists(dest), s"asset bytes not written: $dest")
       val expected = Option(r.getAs[String]("src_member")) match {
         case None => archive
