@@ -471,6 +471,16 @@ object Scale {
       spark.stop()
       return
     }
+    if (args.headOption.contains("graph100build")) {
+      // replica build only (no timed sweep): the oracle-gate recipe needs
+      // just the directory (verify skill: Verify + check_oracle --subset)
+      val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      buildGraphReplica(spark, "/root/testdata/sf0.1",
+        args.drop(1).headOption.getOrElse("/tmp/graft_graph100"))
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("graph100")) {
       val spark = GraftSession.builder("local[32]", 32).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
