@@ -131,16 +131,23 @@ object IngestBench {
     eventsDir
   }
 
-  /** `concurrent` mode (BASELINE.md's multi-writer row): TWO streaming
-    * queries, each over its own half of the packages, both writing
-    * through the WIRE protocol into ONE [[graft.store.DocStoreServer]] —
-    * the deployment shape where several ingest fleets share a document
-    * store. Reports combined docs/s; `MultiWriterStoreSpec` pins the
-    * correctness half (here the interest is throughput under commit
-    * contention: the server serializes commits behind its write lock). */
-  private def concurrentRun(spark: SparkSession, bucketStr: String, n: Int): Unit = {
+  /** `concurrent` mode (BASELINE.md's multi-writer rows): `streams`
+    * independent streaming queries, each over its own slice of the
+    * packages, all writing through the WIRE protocol into ONE
+    * [[graft.store.DocStoreServer]] — the deployment shape where several
+    * ingest fleets share a document store. Reports combined docs/s;
+    * `MultiWriterStoreSpec` pins the correctness half (here the interest
+    * is throughput under commit contention: the server serializes commits
+    * behind its write lock, so the scaling row 1/2/3 streams locates the
+    * knee where the shared lock starts to bend the curve). */
+  private def concurrentRun(spark: SparkSession, bucketStr: String, n: Int,
+      streams: Int): Unit = {
     val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
-    val dirs = Seq(stage(spark, bucketStr, n / 2, "C"), stage(spark, bucketStr, n - n / 2, "D"))
+    val per = n / streams
+    val dirs = (0 until streams).map { i =>
+      val slice = if (i == streams - 1) n - per * (streams - 1) else per
+      stage(spark, bucketStr, slice, ('C' + i).toChar.toString)
+    }
     val inner = LocalStore(spark,
       Files.createTempDirectory("graft-ingest-bench-wire-store").toString)
     val server = new graft.store.DocStoreServer(inner)
@@ -161,7 +168,7 @@ object IngestBench {
       val docs = inner.documents.count()
       require(docs == n.toLong, s"expected $n documents, got $docs")
       println(f"""{"metric":"ingest_docs_per_sec_concurrent","value":${n / sec}%.1f,""" +
-        f""""docs":$n,"streams":2,"full_sec":$sec%.1f,"store":"wire(DocStoreServer)"}""")
+        f""""docs":$n,"streams":$streams,"full_sec":$sec%.1f,"store":"wire(DocStoreServer)"}""")
     } finally server.stop()
   }
 
@@ -194,7 +201,8 @@ object IngestBench {
     spark.range(1000).write.mode("overwrite").format("noop").save()
 
     if (concurrent) {
-      concurrentRun(spark, bucketStr, n)
+      concurrentRun(spark, bucketStr, n,
+        streams = args.lift(2).map(_.toInt).getOrElse(2))
       spark.stop()
       return
     }

@@ -115,13 +115,17 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val handlerPool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(handlerPool)
   server.start()
 
   /** Base URL clients point [[HttpStore]] at. */
   val endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
-  def stop(): Unit = server.stop(0)
+  /** Stops the listener AND shuts the handler pool down — the pool's
+    * threads are non-daemon, so a standalone process (IngestBench's
+    * concurrent mode) would otherwise never exit after main returns. */
+  def stop(): Unit = { server.stop(0); handlerPool.shutdownNow(); () }
 
   private val TxnId = "[A-Za-z0-9-]{1,64}".r
   private val TableName = "[a-z_]{1,64}".r

@@ -112,7 +112,8 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
     // doubles (append-only ledgers would keep the duplicates)
     if (txnScope.isDefined) abort(endpoint, txn)
     stage(endpoint, txn, None, df)
-    val (c, b) = HttpStore.post(s"$endpoint/txn/$txn/commit?op=$op", df.schema.json.getBytes("UTF-8"))
+    val (c, b) = HttpStore.postCommit(s"$endpoint/txn/$txn/commit?op=$op",
+      df.schema.json.getBytes("UTF-8"))
     if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
   }
 
@@ -185,7 +186,7 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
       }
     } finally pool.shutdownNow()
     val body = frames.map { case (op, df) => s"$op\t${df.schema.json}" }.mkString("\n")
-    val (c, bdy) = HttpStore.post(s"$ep/txn/$txn/commitBatch", body.getBytes("UTF-8"))
+    val (c, bdy) = HttpStore.postCommit(s"$ep/txn/$txn/commitBatch", body.getBytes("UTF-8"))
     if (c != 200) throw new RuntimeException(s"HttpStore applyEffects: HTTP $c $bdy")
   }
 
@@ -209,14 +210,25 @@ object HttpStore {
     * payload): bounds per-task buffering regardless of partition size. */
   private[store] val StageChunkChars = 4 << 20
 
+  /** Commit posts wait for the SERVER-side apply, which queues behind the
+    * store's write lock — with several writers sharing one store a commit
+    * legitimately waits for every round ahead of it (minutes each at
+    * 20k-doc rounds), so commits get an hour where ordinary staging/read
+    * calls keep the tight 5-minute timeout. A timeout here is not
+    * harmless: the server may still APPLY after the client gave up (the
+    * lost-ack window — the ledger dedupes the replay), so cutting a
+    * healthy-but-queued commit just converts progress into a restart. */
+  private[store] val CommitReadTimeoutMs = 3600000
+
   private def request(method: String, url: String,
-      body: Option[Array[Byte]]): (Int, String, Map[String, String]) = {
+      body: Option[Array[Byte]],
+      readTimeoutMs: Int = 300000): (Int, String, Map[String, String]) = {
     val conn = new java.net.URI(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     try {
       conn.setRequestMethod(method)
       conn.setConnectTimeout(10000)
-      conn.setReadTimeout(300000)
+      conn.setReadTimeout(readTimeoutMs)
       body.foreach { bytes =>
         conn.setDoOutput(true)
         conn.setFixedLengthStreamingMode(bytes.length)
@@ -241,5 +253,9 @@ object HttpStore {
     request("GET", url, None)
   private[store] def post(url: String, body: Array[Byte]): (Int, String) = {
     val (c, b, _) = request("POST", url, Some(body)); (c, b)
+  }
+  /** Post with the long commit timeout (see [[CommitReadTimeoutMs]]). */
+  private[store] def postCommit(url: String, body: Array[Byte]): (Int, String) = {
+    val (c, b, _) = request("POST", url, Some(body), CommitReadTimeoutMs); (c, b)
   }
 }
