@@ -69,11 +69,17 @@ object IngestBench {
     def assetRoot: String = inner.assetRoot
   }
 
+  /** Cite must be UNIQUE per ref: rounds after the first resolve NCNs
+    * against the identifiers the earlier rounds wrote, so a colliding
+    * cite correctly lands as an UPDATE of the earlier document (reparse
+    * semantics) and the doc-count invariant breaks. Tag char + digit
+    * suffix is collision-free across streams and batch sizes (the old
+    * `hashCode % 9000` was only safe while every run was one round). */
   private def metadata(ref: String): String =
     s"""{"parameters": {"TRE": {"reference": "TRE-$ref", "payload": {
        |  "filename": "doc.docx", "xml": "doc.xml", "metadata": "TRE-$ref-metadata.json",
        |  "images": [], "log": "parser.log"}},
-       |  "PARSER": {"uri": null, "cite": "[2024] EWHC ${ref.hashCode.abs % 9000 + 1} (KB)",
+       |  "PARSER": {"uri": null, "cite": "[2024] EWHC ${ref.filter(_.isLetterOrDigit).map(_.toInt).mkString} (KB)",
        |    "parser_run_id": "run-$ref"},
        |  "TDR": {"Source-Organization": "MoJ", "Contact-Name": "Jo Doe",
        |    "Contact-Email": "jo@example.com", "Internal-Sender-Identifier": "$ref",
@@ -113,9 +119,15 @@ object IngestBench {
   }
 
   /** Stage `n` tarballs (refs prefixed `REF-$tag`) under the shared
-    * file: bucket and write their SQS messages as one JSON-lines file;
-    * returns the events dir. */
-  private def stage(spark: SparkSession, bucketStr: String, n: Int, tag: String): String = {
+    * file: bucket and write their SQS messages as JSON-lines event
+    * files — `perFile` messages per file (default: all in one), so a
+    * `maxFilesPerTrigger=1` reader turns each file into one micro-batch
+    * ROUND. Round size is the multi-writer scaling lever (BASELINE.md:
+    * the shared store's write lock serializes rounds, so small rounds
+    * overlap one stream's gather with another's in-lock apply). Returns
+    * the events dir. */
+  private def stage(spark: SparkSession, bucketStr: String, n: Int, tag: String,
+      perFile: Int = Int.MaxValue): String = {
     import spark.implicits._
     spark.range(n.toLong).repartition(32).as[Long].foreach { i =>
       val ref = f"REF-$tag$i%06d"
@@ -123,11 +135,13 @@ object IngestBench {
       ()
     }
     val eventsDir = Files.createTempDirectory(s"graft-ingest-bench-events-$tag").toString
-    val sb = new StringBuilder
-    (0 until n).foreach { i =>
-      sb.append(sqsLine(f"msg-$tag$i%06d", f"REF-$tag$i%06d")).append('\n')
+    (0 until n).grouped(math.min(perFile, n)).zipWithIndex.foreach { case (chunk, f) =>
+      val sb = new StringBuilder
+      chunk.foreach { i =>
+        sb.append(sqsLine(f"msg-$tag$i%06d", f"REF-$tag$i%06d")).append('\n')
+      }
+      Files.writeString(Paths.get(f"$eventsDir/events-$f%04d.jsonl"), sb.toString)
     }
-    Files.writeString(Paths.get(s"$eventsDir/events.jsonl"), sb.toString)
     eventsDir
   }
 
@@ -141,12 +155,12 @@ object IngestBench {
     * behind its write lock, so the scaling row 1/2/3 streams locates the
     * knee where the shared lock starts to bend the curve). */
   private def concurrentRun(spark: SparkSession, bucketStr: String, n: Int,
-      streams: Int): Unit = {
+      streams: Int, roundSize: Int): Unit = {
     val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
     val per = n / streams
     val dirs = (0 until streams).map { i =>
       val slice = if (i == streams - 1) n - per * (streams - 1) else per
-      stage(spark, bucketStr, slice, ('C' + i).toChar.toString)
+      stage(spark, bucketStr, slice, ('C' + i).toChar.toString, roundSize)
     }
     val inner = LocalStore(spark,
       Files.createTempDirectory("graft-ingest-bench-wire-store").toString)
@@ -157,7 +171,9 @@ object IngestBench {
         val events = spark.readStream
           .schema(StructType(Seq(StructField("kind", StringType),
             StructField("record_json", StringType))))
-          .option("maxFilesPerTrigger", "1000000")
+          // one staged event file = one micro-batch round (round size is
+          // set at staging time via the 4th CLI arg)
+          .option("maxFilesPerTrigger", "1")
           .json(d)
         IngestStream.start(events, graft.store.HttpStore(spark, server.endpoint),
           Files.createTempDirectory("graft-ingest-bench-wire-ckpt").toString,
@@ -167,8 +183,10 @@ object IngestBench {
       val sec = (System.nanoTime() - t0) / 1e9
       val docs = inner.documents.count()
       require(docs == n.toLong, s"expected $n documents, got $docs")
+      val rs = if (roundSize == Int.MaxValue) "all" else roundSize.toString
       println(f"""{"metric":"ingest_docs_per_sec_concurrent","value":${n / sec}%.1f,""" +
-        f""""docs":$n,"streams":$streams,"full_sec":$sec%.1f,"store":"wire(DocStoreServer)"}""")
+        f""""docs":$n,"streams":$streams,"round_size":"$rs","full_sec":$sec%.1f,""" +
+        f""""store":"wire(DocStoreServer)"}""")
     } finally server.stop()
   }
 
@@ -202,7 +220,8 @@ object IngestBench {
 
     if (concurrent) {
       concurrentRun(spark, bucketStr, n,
-        streams = args.lift(2).map(_.toInt).getOrElse(2))
+        streams = args.lift(2).map(_.toInt).getOrElse(2),
+        roundSize = args.lift(3).map(_.toInt).getOrElse(Int.MaxValue))
       spark.stop()
       return
     }
