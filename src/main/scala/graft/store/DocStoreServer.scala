@@ -143,14 +143,23 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     ex.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-    val s = Files.walk(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-    } finally s.close()
-  }
+  /** Best-effort: two responders can clean the same txn's staging
+    * concurrently (the winner's post-commit delete and an
+    * already-committed replay's), and the loser's walk would otherwise
+    * throw NoSuchFileException mid-traversal and 500 a healthy ack. */
+  private def deleteRecursively(p: Path): Unit =
+    try if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+          if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+    }
 
   /** Materialize a point-in-time snapshot of `t`; returns (token, parts). */
   private def snapshot(t: String, df: org.apache.spark.sql.DataFrame): (String, Int) = {
