@@ -129,18 +129,20 @@ object IngestBench {
   private def stage(spark: SparkSession, bucketStr: String, n: Int, tag: String,
       perFile: Int = Int.MaxValue): String = {
     import spark.implicits._
+    val eventsDir = Files.createTempDirectory(s"graft-ingest-bench-events-$tag").toString
+    if (n <= 0) return eventsDir // a stream can get an empty slice (streams > n)
     spark.range(n.toLong).repartition(32).as[Long].foreach { i =>
       val ref = f"REF-$tag$i%06d"
       Files.write(Paths.get(s"$bucketStr/b/k/$ref.tar.gz"), archive(ref))
       ()
     }
-    val eventsDir = Files.createTempDirectory(s"graft-ingest-bench-events-$tag").toString
-    (0 until n).grouped(math.min(perFile, n)).zipWithIndex.foreach { case (chunk, f) =>
-      val sb = new StringBuilder
-      chunk.foreach { i =>
-        sb.append(sqsLine(f"msg-$tag$i%06d", f"REF-$tag$i%06d")).append('\n')
-      }
-      Files.writeString(Paths.get(f"$eventsDir/events-$f%04d.jsonl"), sb.toString)
+    (0 until n).grouped(math.max(1, math.min(perFile, n))).zipWithIndex.foreach {
+      case (chunk, f) =>
+        val sb = new StringBuilder
+        chunk.foreach { i =>
+          sb.append(sqsLine(f"msg-$tag$i%06d", f"REF-$tag$i%06d")).append('\n')
+        }
+        Files.writeString(Paths.get(f"$eventsDir/events-$f%04d.jsonl"), sb.toString)
     }
     eventsDir
   }
@@ -157,10 +159,16 @@ object IngestBench {
   private def concurrentRun(spark: SparkSession, bucketStr: String, n: Int,
       streams: Int, roundSize: Int): Unit = {
     val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+    // tags must stay ALPHANUMERIC: the fixture's cite derives from the
+    // ref's letter/digit codepoints, so a punctuation tag (the old
+    // 'C'+i past 'Z') vanishes from the cite and two streams' refs
+    // could collide into one NCN — an update instead of an insert,
+    // breaking the doc-count invariant
+    require(streams >= 1 && streams <= 99, s"streams must be 1..99, got $streams")
     val per = n / streams
     val dirs = (0 until streams).map { i =>
       val slice = if (i == streams - 1) n - per * (streams - 1) else per
-      stage(spark, bucketStr, slice, ('C' + i).toChar.toString, roundSize)
+      stage(spark, bucketStr, slice, f"S$i%02d", roundSize)
     }
     val inner = LocalStore(spark,
       Files.createTempDirectory("graft-ingest-bench-wire-store").toString)

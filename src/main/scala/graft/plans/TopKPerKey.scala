@@ -113,6 +113,12 @@ object TopKRuntimeFeedback {
   private val lastFlushed =
     new java.util.concurrent.ConcurrentHashMap[Long, Long]()
   @volatile private var loadedPath: String = null
+  /** Staleness window captured from the SESSION conf at [[ensureLoaded]]
+    * time and reused by [[flush]] — the flush listener only has a
+    * SparkContext, and reading the SparkConf there would ignore a
+    * session-level `spark.conf.set` that the load path honors (entries
+    * inside a user-extended window would be dropped at the next write). */
+  @volatile private var loadedMaxAgeMs: Long = 3600000L * DefaultLedgerMaxAgeHours
   @volatile private var armedCtx: org.apache.spark.SparkContext = null
   @volatile private var armedListener: org.apache.spark.scheduler.SparkListener = null
 
@@ -149,12 +155,26 @@ object TopKRuntimeFeedback {
   /** Loads the warehouse ledger once per path per JVM, dropping entries
     * older than `maxAgeMs`. Called from the rewrite's veto, so it runs
     * before the first planning that could use the evidence. Read
-    * failures degrade to the in-memory-only behavior. */
+    * failures degrade to the in-memory-only behavior.
+    *
+    * WAREHOUSE SWITCH (a JVM that touches two warehouses): fingerprints
+    * are query-shape keyed, not data-keyed, so warehouse A's cardinality
+    * evidence must neither veto the rewrite over B's different data nor
+    * flush into B's ledger. On a path change the pending live records
+    * flush to the OLD warehouse's ledger first, then every map (live,
+    * loaded, watermarks) clears before B's file loads. Alternating
+    * warehouses therefore re-reads the ledger per switch — correct by
+    * construction, and the file is one small tsv. */
   def ensureLoaded(warehouse: String,
       hadoopConf: org.apache.hadoop.conf.Configuration, maxAgeMs: Long): Unit = {
+    loadedMaxAgeMs = maxAgeMs
     if (loadedPath == warehouse) return
     synchronized {
       if (loadedPath == warehouse) return
+      if (loadedPath != null) {
+        flushTo(loadedPath, hadoopConf, maxAgeMs)
+        records.clear(); persisted.clear(); lastFlushed.clear()
+      }
       try {
         val f = ledgerFile(warehouse)
         val fs = f.getFileSystem(hadoopConf)
@@ -182,6 +202,14 @@ object TopKRuntimeFeedback {
   private def flush(sc: org.apache.spark.SparkContext): Unit = synchronized {
     val warehouse = loadedPath
     if (warehouse == null) return
+    // staleness window from the SESSION conf captured at load time — the
+    // same source the load path's drop rule reads (see loadedMaxAgeMs)
+    flushTo(warehouse, sc.hadoopConfiguration, loadedMaxAgeMs)
+  }
+
+  private def flushTo(warehouse: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration, maxAgeMs: Long): Unit =
+    synchronized {
     val now = System.currentTimeMillis()
     var changed = false
     records.forEach { (fp, acc) =>
@@ -192,13 +220,11 @@ object TopKRuntimeFeedback {
     }
     if (!changed) return
     try {
-      val maxAgeMs = 3600000L * sc.getConf.getLong(LedgerMaxAgeHoursKey,
-        DefaultLedgerMaxAgeHours)
       val floor = now - maxAgeMs
       val keep = persisted.asScala.toSeq
         .filter(_._2._2 >= floor).sortBy(-_._2._2).take(MaxLedgerEntries)
       val dest = ledgerFile(warehouse)
-      val fs = dest.getFileSystem(sc.hadoopConfiguration)
+      val fs = dest.getFileSystem(hadoopConf)
       val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
         s".${dest.getName}.tmp")
       val out = fs.create(tmp, true)
@@ -221,6 +247,7 @@ object TopKRuntimeFeedback {
   private[plans] def resetForTest(): Unit = synchronized {
     records.clear(); persisted.clear(); lastFlushed.clear()
     loadedPath = null
+    loadedMaxAgeMs = 3600000L * DefaultLedgerMaxAgeHours
     if (armedCtx != null && armedListener != null)
       try armedCtx.removeSparkListener(armedListener)
       catch { case scala.util.control.NonFatal(_) => }

@@ -84,6 +84,38 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
     s
   }
 
+  /** ATTEMPT EPOCHS — closes the zombie-commit lost-update window of the
+    * abort/re-stage replay protocol. The race: a commit request can
+    * outlive its client's read timeout while queued on the write lock;
+    * the client gives up and replays (abort → re-stage → commit with the
+    * SAME deterministic txn id), and staging POSTs take no lock — so if
+    * the zombie commit then wins the lock AFTER the abort deleted its
+    * staging, it would build frames from whatever staging currently
+    * holds (empty, or the replay's partial re-stage), apply THAT, and
+    * write the ledger marker — the replay's own commit acks
+    * already-committed and the batch's real effects are silently lost
+    * while the checkpoint advances.
+    *
+    * Fix: abort bumps the txn's attempt epoch and returns it; the client
+    * stamps its commit with the epoch its own abort earned, and commit
+    * validates INSIDE the write lock that its epoch is still current —
+    * a commit formed before a later abort (the zombie, by construction)
+    * fails with 409 and, critically, does NOT clear staging (the parts
+    * it would clear belong to the live attempt). In-memory is
+    * sufficient: the zombie this guards against is a queued in-flight
+    * HTTP request, and a server restart kills it with its socket (the
+    * epochs reset to 0 together). Entries are dropped once the txn
+    * commits — from then on the durable ledger marker is authoritative. */
+  private val epochs = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Enforced INSIDE the write lock, after the already-committed check. */
+  private def requireCurrentEpoch(id: String, reqEpoch: Long): Unit = {
+    val cur: Long = epochs.getOrDefault(id, 0L)
+    if (reqEpoch < cur) throw new DocStoreServer.StaleEpochException(
+      s"stale commit attempt for txn $id: epoch $reqEpoch < current $cur " +
+        "(a later abort superseded this attempt; nothing was applied)")
+  }
+
   /** TEST-ONLY fault injection: when set, the next commit APPLIES (and
     * writes its ledger marker) but answers 500 — the ack is lost exactly
     * as if the server died after the apply. Self-clears. */
@@ -229,11 +261,18 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
         // re-stages, so the committed frame never doubles. Never touches
         // the ledger — a committed txn's marker stays authoritative. Takes
         // the write lock so an abort can't yank staging out from under a
-        // concurrent commit's frame build.
+        // concurrent commit's frame build. Bumps and returns the txn's
+        // attempt epoch (response body): the aborting client stamps its
+        // own commit with it, and any OLDER in-flight commit of this txn
+        // — the zombie that outlived its client's timeout queued on the
+        // write lock — fails the epoch check instead of applying whatever
+        // staging holds after this delete (see [[epochs]]).
         txnIsolation.writeLock().lock()
-        try deleteRecursively(staging.resolve(id))
-        finally txnIsolation.writeLock().unlock()
-        respond(ex, 200, "aborted")
+        val epoch: Long = try {
+          deleteRecursively(staging.resolve(id))
+          epochs.merge(id, 1L, (a, b) => a + b)
+        } finally txnIsolation.writeLock().unlock()
+        respond(ex, 200, epoch.toString)
 
       case ("POST", "txn" :: id :: "commitBatch" :: Nil) if TxnId.matches(id) =>
         // ONE wire transaction for a whole act round: body lines are
@@ -272,36 +311,45 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
           val already = try {
             if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
             else {
-              val batch = body.linesIterator.filter(_.nonEmpty).foldLeft(EffectBatch()) {
-                (acc, line) =>
-                  val Array(op, schemaJson) = line.split("\t", 2)
-                  op match {
-                    case "upsertDocuments"     => acc.copy(documents = Some(frame(op, schemaJson)))
-                    case "appendIdentifiers"   => acc.copy(identifiers = Some(frame(op, schemaJson)))
-                    case "appendNotifications" => acc.copy(notifications = Some(frame(op, schemaJson)))
-                    case "upsertProperties"    => acc.copy(properties = Some(frame(op, schemaJson)))
-                    case "appendAssets"        => acc.copy(assets = Some(frame(op, schemaJson)))
-                    case other => throw new IllegalArgumentException(s"unknown batch op: $other")
-                  }
+              // epoch check BEFORE the staging-cleanup catch below: a
+              // stale (zombie) commit must neither apply nor delete the
+              // live attempt's freshly re-staged parts
+              requireCurrentEpoch(id,
+                params.get("epoch").flatMap(_.toLongOption).getOrElse(0L))
+              try {
+                val batch = body.linesIterator.filter(_.nonEmpty).foldLeft(EffectBatch()) {
+                  (acc, line) =>
+                    val Array(op, schemaJson) = line.split("\t", 2)
+                    op match {
+                      case "upsertDocuments"     => acc.copy(documents = Some(frame(op, schemaJson)))
+                      case "appendIdentifiers"   => acc.copy(identifiers = Some(frame(op, schemaJson)))
+                      case "appendNotifications" => acc.copy(notifications = Some(frame(op, schemaJson)))
+                      case "upsertProperties"    => acc.copy(properties = Some(frame(op, schemaJson)))
+                      case "appendAssets"        => acc.copy(assets = Some(frame(op, schemaJson)))
+                      case other => throw new IllegalArgumentException(s"unknown batch op: $other")
+                    }
+                }
+                if (dieAfterDocumentsMerge) {
+                  dieAfterDocumentsMerge = false
+                  batch.documents.foreach(inner.upsertDocuments)
+                  throw new RuntimeException(
+                    "injected crash: died after the documents MERGE, mid effect round")
+                }
+                inner.applyEffects(batch)
+                Files.createFile(ledgerDir.resolve(id))
+                false
+              } catch {
+                // a FAILED commit's staged parts must not survive: the
+                // client replays the whole applyEffects (abort → re-stage
+                // → commit), and leftovers would double every frame —
+                // append-only ledgers (notifications) would keep the
+                // duplicates
+                case e: Throwable => deleteRecursively(dir); throw e
               }
-              if (dieAfterDocumentsMerge) {
-                dieAfterDocumentsMerge = false
-                batch.documents.foreach(inner.upsertDocuments)
-                throw new RuntimeException(
-                  "injected crash: died after the documents MERGE, mid effect round")
-              }
-              inner.applyEffects(batch)
-              Files.createFile(ledgerDir.resolve(id))
-              false
             }
-          } catch {
-            // a FAILED commit's staged parts must not survive: the client
-            // replays the whole applyEffects (abort → re-stage → commit),
-            // and leftovers would double every frame — append-only ledgers
-            // (notifications) would keep the duplicates
-            case e: Throwable => deleteRecursively(dir); throw e
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)
+          epochs.remove(id)
           deleteRecursively(dir)
           if (!already && dropNextCommitAck) {
             dropNextCommitAck = false
@@ -333,7 +381,12 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
           txnIsolation.writeLock().lock()
           val already = try {
             if (committed.contains(id) || Files.exists(ledgerDir.resolve(id))) true
-            else try {
+            else {
+            // same zombie guard as commitBatch: stale attempts neither
+            // apply nor clear the live attempt's staging
+            requireCurrentEpoch(id,
+              params.get("epoch").flatMap(_.toLongOption).getOrElse(0L))
+            try {
               val batch =
                 if (Files.exists(dir)) spark.read.schema(schema).json(dir.toString)
                 else spark.createDataFrame(
@@ -355,8 +408,10 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
             } catch {
               case e: Throwable => deleteRecursively(dir); throw e
             }
+            }
           } finally txnIsolation.writeLock().unlock()
           committed.add(id)
+          epochs.remove(id)
           deleteRecursively(dir)
           if (!already && dropNextCommitAck) {
             dropNextCommitAck = false
@@ -394,8 +449,20 @@ final class DocStoreServer(inner: LocalStore, port: Int = 0,
       case _ => respond(ex, 404, "not found")
     }
   } catch {
+    case e: DocStoreServer.StaleEpochException =>
+      // 409, not 500: the request was well-formed but lost the attempt
+      // race — nothing applied, nothing cleaned (the zombie's nominal
+      // reader is a client that already timed out and moved on)
+      try respond(ex, 409, e.getMessage)
+      catch { case _: Exception => () }
     case e: Exception =>
       try respond(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
       catch { case _: Exception => () }
   }
+}
+
+object DocStoreServer {
+  /** A commit carrying an attempt epoch older than its txn's current one
+    * — superseded by a later abort (see the `epochs` scaladoc). */
+  private final class StaleEpochException(msg: String) extends RuntimeException(msg)
 }

@@ -18,11 +18,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     chunks per partition, so bulk-write bytes flow in parallel from
   *     wherever the rows live — the driver never materializes a batch
   *     (the MarkLogic connector's bulk-write shape).
-  *   - `POST /txn/{id}/commit?op=<op>` — body carries the batch's schema;
-  *     the server parses the staged rows with it and applies the named
-  *     [[DocumentStore]] operation as ONE batch (merge semantics such as
-  *     the per-batch version bump need the whole batch, so the commit —
-  *     not the stage — is the operation boundary).
+  *   - `POST /txn/{id}/commit?op=<op>&epoch=<e>` — body carries the
+  *     batch's schema; the server parses the staged rows with it and
+  *     applies the named [[DocumentStore]] operation as ONE batch (merge
+  *     semantics such as the per-batch version bump need the whole
+  *     batch, so the commit — not the stage — is the operation
+  *     boundary). `epoch` is the attempt epoch the client's own abort
+  *     earned (0 on a first, un-aborted attempt); a stale epoch answers
+  *     409 without applying — the zombie-commit guard.
+  *   - `POST /txn/{id}/abort`          — clear a previous FAILED
+  *     attempt's staged parts before re-staging the same deterministic
+  *     txn id; answers the txn's bumped attempt epoch.
   *   - `GET /tables/{t}/schema`        — the table's schema, 404 until
   *     the table's first write (the `read` → None contract). The server
   *     also materializes a point-in-time snapshot of the table and
@@ -110,16 +116,25 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
     // scoped txns replay with the SAME id — clear any staged leftovers of
     // a previous failed attempt before re-staging, or the committed frame
     // doubles (append-only ledgers would keep the duplicates)
-    if (txnScope.isDefined) abort(endpoint, txn)
+    val epoch = if (txnScope.isDefined) abort(endpoint, txn) else 0L
     stage(endpoint, txn, None, df)
-    val (c, b) = HttpStore.postCommit(s"$endpoint/txn/$txn/commit?op=$op",
+    val (c, b) = HttpStore.postCommit(
+      s"$endpoint/txn/$txn/commit?op=$op&epoch=$epoch",
       df.schema.json.getBytes("UTF-8"))
     if (c != 200) throw new RuntimeException(s"HttpStore $op: HTTP $c $b")
   }
 
-  private def abort(ep: String, txn: String): Unit = {
+  /** Returns the attempt epoch the abort earned: the commit of THIS
+    * attempt carries it, so a zombie commit of the same txn formed before
+    * the abort (queued past its own client timeout on the server's write
+    * lock) fails the server's epoch check instead of applying whatever
+    * staging holds mid-re-stage (the lost-update window the server's
+    * `epochs` scaladoc documents). A pre-epoch server answering a bare
+    * "aborted" body degrades to epoch 0 — the old at-least-once shape. */
+  private def abort(ep: String, txn: String): Long = {
     val (c, b) = HttpStore.post(s"$ep/txn/$txn/abort", Array.emptyByteArray)
     if (c != 200) throw new RuntimeException(s"HttpStore abort: HTTP $c $b")
+    b.trim.toLongOption.getOrElse(0L)
   }
 
   /** Executor-side JSON-lines staging of one frame under `txn`; with an
@@ -172,7 +187,8 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
     val ep = endpoint
     // same leftover rule as `send`: a replayed round re-stages under the
     // same deterministic txn id, so clear any failed attempt's parts first
-    if (txnScope.isDefined) abort(ep, txn)
+    // (and stamp the commit with the epoch the abort earned — zombie guard)
+    val epoch = if (txnScope.isDefined) abort(ep, txn) else 0L
     val pool = java.util.concurrent.Executors.newFixedThreadPool(frames.size)
     try {
       val staged = frames.map { case (op, df) =>
@@ -186,7 +202,8 @@ final case class HttpStore(spark: SparkSession, endpoint: String,
       }
     } finally pool.shutdownNow()
     val body = frames.map { case (op, df) => s"$op\t${df.schema.json}" }.mkString("\n")
-    val (c, bdy) = HttpStore.postCommit(s"$ep/txn/$txn/commitBatch", body.getBytes("UTF-8"))
+    val (c, bdy) = HttpStore.postCommit(s"$ep/txn/$txn/commitBatch?epoch=$epoch",
+      body.getBytes("UTF-8"))
     if (c != 200) throw new RuntimeException(s"HttpStore applyEffects: HTTP $c $bdy")
   }
 

@@ -42,6 +42,7 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
     extends DocumentStore {
 
   Files.createDirectories(Paths.get(base))
+  adoptLegacyAssetBytes()
 
   private def path(t: String) = s"$base/$t"
   private def exists(t: String) = { recover(t); Files.exists(Paths.get(path(t))) }
@@ -378,8 +379,56 @@ final case class LocalStore(spark: SparkSession, base: String, buckets: Int = 64
     * schema inference outright in the mid-round crash window where bytes
     * landed but no table row has (RedeliveryConvergenceSpec observes that
     * window). Object-store rule of thumb encoded here: data-lake tables
-    * and blob trees never share a listing prefix. */
+    * and blob trees never share a listing prefix.
+    *
+    * LAYOUT MIGRATION (round 16): a store written before the split holds
+    * its byte tree under the OLD `$base/assets` root — invisible at the
+    * new root, so redelivery would re-copy everything under `asset_files/`
+    * while the orphans keep inflating the assets TABLE's listing (the
+    * exact problem the split targets). Store open adopts the legacy tree:
+    * see [[adoptLegacyAssetBytes]]. */
   def assetRoot: String = s"$base/asset_files"
+
+  /** Moves any legacy byte tree out of the `assets` TABLE directory into
+    * [[assetRoot]] on store open. A top-level DIRECTORY under the table
+    * dir can only be a legacy `<uri>/…` byte folder — parquet appends
+    * write only files, and Spark's own artifacts (`_temporary`,
+    * `_SUCCESS`, swap markers) start with `_`/`.` and are skipped. The
+    * merge is per-FILE: a file already present at the new root wins (the
+    * reference overwrites the same keys on redelivery, so the re-copied
+    * byte is current) and the legacy copy is dropped. Idempotent — a
+    * second open finds no legacy dirs — and one listing when there is
+    * nothing to do. */
+  private def adoptLegacyAssetBytes(): Unit = {
+    val oldRoot = Paths.get(path("assets"))
+    if (!Files.isDirectory(oldRoot)) return
+    val legacyDirs = {
+      val s = Files.list(oldRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_))
+          .filterNot { d =>
+            val n = d.getFileName.toString
+            n.startsWith("_") || n.startsWith(".") || n.startsWith("bucket=")
+          }.toList
+      } finally s.close()
+    }
+    def mergeMove(src: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+      if (Files.isDirectory(src)) {
+        Files.createDirectories(dst)
+        val kids = {
+          val s = Files.list(src)
+          try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+          finally s.close()
+        }
+        kids.foreach(c => mergeMove(c, dst.resolve(c.getFileName.toString)))
+        Files.delete(src)
+      } else if (!Files.exists(dst)) Files.move(src, dst)
+      else Files.delete(src)
+    legacyDirs.foreach { d =>
+      mergeMove(d, Paths.get(assetRoot).resolve(d.getFileName.toString))
+    }
+  }
 
   /** W5–W8: add asset-copy records. Idempotent on the destination key —
     * the reference overwrites the same S3 keys on redelivery. */

@@ -235,6 +235,62 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("warehouse switch flushes pending evidence to the OLD ledger and clears the veto maps") {
+    // fingerprints are query-shape keyed, not data-keyed: a JVM that
+    // touches two warehouses must not let A's cardinality evidence veto
+    // the rewrite over B's different data, nor flush into B's ledger
+    TopKRuntimeFeedback.resetForTest()
+    val whA = java.nio.file.Files.createTempDirectory("graft-topk-whA").toString
+    val whB = java.nio.file.Files.createTempDirectory("graft-topk-whB").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val weekMs = 3600000L * 168
+    try {
+      TopKRuntimeFeedback.ensureLoaded(whA, hc, weekMs)
+      TopKRuntimeFeedback.tracker(spark.sparkContext, 42L).add(1234L)
+      assert(TopKRuntimeFeedback.observedKeys(42L).contains(1234L))
+      TopKRuntimeFeedback.ensureLoaded(whB, hc, weekMs)
+      assert(TopKRuntimeFeedback.observedKeys(42L).isEmpty,
+        "warehouse A's evidence must not survive into warehouse B's veto")
+      val ledgerA = java.nio.file.Paths.get(whA, "_graft_meta", "topk_feedback.tsv")
+      assert(java.nio.file.Files.exists(ledgerA),
+        "pending evidence must flush to the OLD warehouse's ledger on switch")
+      assert(java.nio.file.Files.readString(ledgerA).startsWith("42\t1234\t"))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(whB, "_graft_meta", "topk_feedback.tsv")),
+        "nothing of A's may land in B's ledger")
+      // switching back re-reads A's ledger: the evidence returns
+      TopKRuntimeFeedback.ensureLoaded(whA, hc, weekMs)
+      assert(TopKRuntimeFeedback.observedKeys(42L).contains(1234L),
+        "returning to warehouse A must reload its own ledger")
+    } finally TopKRuntimeFeedback.resetForTest()
+  }
+
+  test("flush honors the session-supplied staleness window captured at load") {
+    // the load path gets maxAge from the SESSION conf; the flush path used
+    // to read the SparkConf — a session-level extension of the window was
+    // honored when loading but the entry was dropped at the next write
+    TopKRuntimeFeedback.resetForTest()
+    val wh = java.nio.file.Files.createTempDirectory("graft-topk-whC").toString
+    val meta = java.nio.file.Paths.get(wh, "_graft_meta")
+    java.nio.file.Files.createDirectories(meta)
+    val oldStamp = System.currentTimeMillis() - 200L * 3600000L // 200 h old
+    java.nio.file.Files.writeString(meta.resolve("topk_feedback.tsv"),
+      s"7\t999\t$oldStamp\n")
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      // user-extended 400 h window, as the rewrite supplies from SQLConf
+      TopKRuntimeFeedback.ensureLoaded(wh, hc, 400L * 3600000L)
+      assert(TopKRuntimeFeedback.observedKeys(7L).contains(999L),
+        "a 200 h entry is live inside a 400 h window")
+      TopKRuntimeFeedback.tracker(spark.sparkContext, 8L).add(11L)
+      TopKRuntimeFeedback.flushNow(spark.sparkContext)
+      val txt = java.nio.file.Files.readString(meta.resolve("topk_feedback.tsv"))
+      assert(txt.contains("7\t999\t"),
+        s"an entry inside the user-extended window must survive the flush: $txt")
+      assert(txt.contains("8\t11\t"), s"the fresh observation must land too: $txt")
+    } finally TopKRuntimeFeedback.resetForTest()
+  }
+
   test("a surviving rank column blocks the rewrite (operator cannot emit it)") {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
