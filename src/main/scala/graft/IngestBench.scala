@@ -198,9 +198,56 @@ object IngestBench {
     } finally server.stop()
   }
 
+  /** `sharded` mode — the 100 TB shape the r15 scaling table selected
+    * (writer count can't scale ONE store's write lock; sharding the
+    * store can): `streams` writer fleets × `shards` independent
+    * [[graft.store.DocStoreServer]]s, every row routed to its shard by
+    * uri hash through [[graft.store.ShardedStore]]. Against the
+    * `concurrent` rows (one shared server) the lock contention drops
+    * ~1/shards per shard AND each in-lock apply is ~shards× smaller —
+    * this mode measures how much of that shows up as combined docs/s on
+    * one machine (the cluster win is larger: shards live on separate
+    * hosts). */
+  private def shardedRun(spark: SparkSession, bucketStr: String, n: Int,
+      streams: Int, shards: Int, roundSize: Int): Unit = {
+    val resolver = (b: String, key: String) => s"file:$bucketStr/$b/$key"
+    require(streams >= 1 && streams <= 99, s"streams must be 1..99, got $streams")
+    val per = n / streams
+    val dirs = (0 until streams).map { i =>
+      val slice = if (i == streams - 1) n - per * (streams - 1) else per
+      stage(spark, bucketStr, slice, f"S$i%02d", roundSize)
+    }
+    val inners = (0 until shards).map(i => LocalStore(spark,
+      Files.createTempDirectory(s"graft-ingest-bench-shard$i").toString))
+    val servers = inners.map(new graft.store.DocStoreServer(_))
+    try {
+      val t0 = System.nanoTime()
+      val qs = dirs.map { d =>
+        val events = spark.readStream
+          .schema(StructType(Seq(StructField("kind", StringType),
+            StructField("record_json", StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .json(d)
+        val store = graft.store.ShardedWireStore(spark, servers.map(_.endpoint))
+        IngestStream.start(events, store,
+          Files.createTempDirectory("graft-ingest-bench-shard-ckpt").toString,
+          packageUri = resolver)
+      }
+      qs.foreach(_.awaitTermination())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val docs = inners.map(_.documents.count()).sum
+      require(docs == n.toLong, s"expected $n documents, got $docs")
+      val rs = if (roundSize == Int.MaxValue) "all" else roundSize.toString
+      println(f"""{"metric":"ingest_docs_per_sec_sharded","value":${n / sec}%.1f,""" +
+        f""""docs":$n,"streams":$streams,"shards":$shards,"round_size":"$rs",""" +
+        f""""full_sec":$sec%.1f,"store":"wire(ShardedStore x$shards)"}""")
+    } finally servers.foreach(_.stop())
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(2000)
     val concurrent = args.lift(1).contains("concurrent")
+    val sharded = args.lift(1).contains("sharded")
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -230,6 +277,14 @@ object IngestBench {
       concurrentRun(spark, bucketStr, n,
         streams = args.lift(2).map(_.toInt).getOrElse(2),
         roundSize = args.lift(3).map(_.toInt).getOrElse(Int.MaxValue))
+      spark.stop()
+      return
+    }
+    if (sharded) {
+      shardedRun(spark, bucketStr, n,
+        streams = args.lift(2).map(_.toInt).getOrElse(2),
+        shards = args.lift(3).map(_.toInt).getOrElse(2),
+        roundSize = args.lift(4).map(_.toInt).getOrElse(Int.MaxValue))
       spark.stop()
       return
     }

@@ -109,4 +109,52 @@ class MultiWriterStoreSpec extends SparkSpec {
       assert(fails == 0, s"$fails records fell into the DLQ under concurrency")
     } finally server.stop()
   }
+
+  test("two concurrent ingest streams through a 2-shard wire store commit the exact union") {
+    // the 100 TB deployment shape (BASELINE.md round 15: writer count
+    // doesn't scale one store; sharding the store does): S writer fleets
+    // × N shard servers, rows routed by uri hash. This pins the
+    // correctness half end-to-end — resolution joins read the UNION of
+    // shards, effects land exactly once on exactly one shard each.
+    implicit val sqlCtx = spark.sqlContext
+    val inners = (0 until 2).map(i =>
+      LocalStore(spark, Files.createTempDirectory(s"graft-mws-shard$i").toString))
+    val servers = inners.map(new DocStoreServer(_))
+    try {
+      def shardedClient() = ShardedWireStore(spark, servers.map(_.endpoint))
+      val refsA = (1 to 4).map(i => s"REF-SHA$i")
+      val refsB = (1 to 4).map(i => s"REF-SHB$i")
+      val resolver = stage((refsA ++ refsB).zipWithIndex.map { case (r, i) =>
+        r -> tdrArchive(r, s"[2024] EWHC ${700 + i} (KB)")
+      })
+      val srcA = MemoryStream[(String, String)]
+      val srcB = MemoryStream[(String, String)]
+      refsA.zipWithIndex.foreach { case (r, i) => srcA.addData(sqs(s"sha-$i", v2Inner(r))) }
+      refsB.zipWithIndex.foreach { case (r, i) => srcB.addData(sqs(s"shb-$i", v2Inner(r))) }
+      val qA = IngestStream.start(srcA.toDS().toDF("kind", "record_json"), shardedClient(),
+        Files.createTempDirectory("graft-mws-ckptA").toString, packageUri = resolver)
+      val qB = IngestStream.start(srcB.toDS().toDF("kind", "record_json"), shardedClient(),
+        Files.createTempDirectory("graft-mws-ckptB").toString, packageUri = resolver)
+      qA.awaitTermination(); qB.awaitTermination()
+      assert(qA.exception.isEmpty, s"writer A failed: ${qA.exception}")
+      assert(qB.exception.isEmpty, s"writer B failed: ${qB.exception}")
+
+      val reader = shardedClient()
+      val docs = reader.documents.collect()
+      assert(docs.length == refsA.size + refsB.size,
+        s"expected ${refsA.size + refsB.size} documents, got ${docs.length}")
+      assert(docs.map(_.getAs[Int]("version")).forall(_ == 1),
+        "a doubled or cross-shard-duplicated commit would bump a version past 1")
+      // every document on exactly one shard
+      val perShard = inners.map(s =>
+        s.read("documents").map(_.select("uri").as[String].collect().toSet)
+          .getOrElse(Set.empty[String]))
+      assert(perShard(0).intersect(perShard(1)).isEmpty,
+        s"documents duplicated across shards: ${perShard(0).intersect(perShard(1))}")
+      assert(perShard.forall(_.nonEmpty),
+        "8 uris should hash onto both shards")
+      val fails = reader.read("failures").map(_.collect().length).getOrElse(0)
+      assert(fails == 0, s"$fails records fell into the DLQ under sharding")
+    } finally servers.foreach(_.stop())
+  }
 }
