@@ -511,7 +511,15 @@ object GraphQueries {
   def hits(e0: DataFrame, rounds: Int = HitsRounds): DataFrame = {
     val e = e0.select(col("c"), col("s")).distinct().localCheckpoint(true)
     val d6 = DecimalType(18, 6)
-    def l1norm(raw: DataFrame, key: String, out: String): DataFrame = {
+    def l1norm(raw0: DataFrame, key: String, out: String): DataFrame = {
+      // materialize the raw scores: l1norm references them TWICE (the
+      // normalizer fold and the per-node division), so left lazy the
+      // subtree doubles per half-round — 4 half-rounds made a 16×-
+      // duplicated 158 KB plan (r16 plan audit, plans/r16/
+      // q130_hits_before.txt) that re-ran every upstream join per
+      // reference. The frame is node-cardinality, the same class the
+      // BroadcastNodes knob already bounds.
+      val raw = raw0.localCheckpoint(true)
       val tot = raw.agg(sum(col("raw")).as("tot"))
       raw.crossJoin(broadcast(tot))
         .select(col(key),

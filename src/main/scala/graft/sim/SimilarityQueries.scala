@@ -776,31 +776,66 @@ object SimilarityQueries {
   private val PqTopK = 10
   private val PqShortlist = 100 // ADC candidates fetched for exact rerank
 
-  /** (vec_id, sub, ld, x, q): the subspace-exploded corpus frame. */
-  private def pqExploded(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, xs: array<double>) — the PQ family's array-form corpus
+    * frame. Distance passes (assignment, ADC tables, the exact-L2 gate)
+    * run directly on these arrays via the codegen'd [[graft.expr.QuantL2]]
+    * fold instead of exploding to one row per dimension: the exploded
+    * spelling pays a 64× row blow-up plus an exchange + hash-aggregate
+    * per distance pass, all to compute sums that are order-free exact
+    * longs either way (r16; measured q198 6.9 → and q199 7.9 → see
+    * OPTIMIZATION_r16.md). The exploded frame survives only where it is
+    * the right shape: the ≤1024-key codebook-averaging folds. */
+  private def pqVecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("xs"))
+
+  /** (vec_id, sub, ld, x, q): the subspace-exploded frame DERIVED from an
+    * array-form (vec_id, xs) frame — feeds the fixed-point codebook
+    * folds. Same values as the historical direct explode: posexplode
+    * position IS the dimension. */
+  private def pqExplodedOf(va: DataFrame): DataFrame =
+    va.select(col("vec_id"), posexplode(col("xs")).as(Seq("dim", "x")))
       .select(col("vec_id"),
         floor(col("dim") / lit(PqSubDim.toDouble)).cast("int").as("sub"),
         pmod(col("dim"), lit(PqSubDim)).as("ld"),
-        col("xf").cast(DoubleType).as("x"),
-        floor(col("xf").cast(DoubleType) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+        col("x"),
+        floor(col("x") * lit(FpScale)).cast("decimal(38,0)").as("q"))
+
+  /** Per-subspace slices of an array-form frame: every column of `df`
+    * except `xs`, plus (sub, sv: array<double>[PqSubDim]). */
+  private def pqSubVecs(df: DataFrame): DataFrame =
+    df.select(col("*"),
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+        s => slice(col("xs"), s * lit(PqSubDim) + lit(1), lit(PqSubDim))))
+        .as(Seq("sub", "sv")))
+      .drop("xs")
 
   /** Squared-diff term as integer 1e-12 units (order-free long sums). */
   private def pqTerm(a: Column, b: Column): Column =
     floor((a - b) * (a - b) * lit(1.0e12) + lit(0.5))
 
-  /** Nearest-codeword assignment of every (vec, sub) under a
-    * (sub, code, ld, cent) codebook — tie-break on smaller code. */
-  private def pqAssign(ex: DataFrame, cb: DataFrame): DataFrame =
-    ex.join(broadcast(cb), Seq("sub", "ld"))
-      .select(col("vec_id"), col("sub"), col("code"), pqTerm(col("x"), col("cent")).as("tp"))
-      .groupBy(col("vec_id"), col("sub"), col("code"))
-      .agg(sum(col("tp")).as("dp"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("sub")).orderBy(col("dp"), col("code"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+  /** (sub, code, ld, cent) codebook → (sub, code, cv: array<double>) with
+    * cv ordered by ld. A populated (sub, code) cell always carries ALL
+    * [[PqSubDim]] lds (every assigned vector contributes every ld), so
+    * empty cells vanish whole — the same contract as the join-based
+    * spelling. ld is unique per (sub, code), so the struct sort is a
+    * total order and the collect order cannot leak in. */
+  private def pqCbArr(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("ld"), col("cent")))),
+        s => s.getField("cent")).as("cv"))
+
+  /** Nearest-codeword assignment, array-native: per (vec, sub) argmin of
+    * the quantized distance over the broadcast ≤[[PqK]]-codeword
+    * codebook. min_by on struct(dp, code) is the row_number(dp, code)
+    * tie-break — total because codes are unique within a group. */
+  private def pqAssignArr(sub8: DataFrame, cbArr: DataFrame): DataFrame =
+    sub8.join(broadcast(cbArr), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        graft.expr.QuantL2.of(col("sv"), col("cv")).as("dp"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dp"), col("code"))).as("code"))
 
   /** (sub, code, ld, cent) centroids of an assignment (exact fixed-point). */
   private def pqCodebook(ex: DataFrame, assign: DataFrame): DataFrame =
@@ -811,7 +846,9 @@ object SimilarityQueries {
         (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
 
   def q198PqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val ex = pqExploded(spark, dir).localCheckpoint(true) // read 6 ways
+    val va = pqVecs(spark, dir).localCheckpoint(true) // read by every pass
+    val ex = pqExplodedOf(va)       // codebook-averaging folds only
+    val sub8 = pqSubVecs(va)        // assignment/encode slices
     val init = ex.withColumn("code",
       (graft.text.TextOps.hex60(concat(lit("pq:"), col("vec_id").cast("string"))) % PqK)
         .cast("int"))
@@ -819,14 +856,17 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
       .select(col("sub"), col("code"), col("ld"),
         (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
-    val cb1 = pqCodebook(ex, pqAssign(ex, cb0)).localCheckpoint(true) // encode + ADC
-    val codes = pqAssign(ex, cb1)
-    val qs = ex.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qx"))
-    val adc = qs.join(broadcast(cb1), Seq("sub", "ld"))
-      .select(col("qid"), col("sub"), col("code"), pqTerm(col("qx"), col("cent")).as("tp"))
-      .groupBy(col("qid"), col("sub"), col("code"))
-      .agg(sum(col("tp")).as("adp"))
+    val cb1 = pqCodebook(ex, pqAssignArr(sub8, pqCbArr(cb0)))
+      .localCheckpoint(true) // encode + ADC
+    val cb1Arr = pqCbArr(cb1)
+    val codes = pqAssignArr(sub8, cb1Arr)
+    val qsub8 = pqSubVecs(va.filter(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "qid"))
+    // per-query ADC lookup table: one quantized distance per (sub, code),
+    // computed directly on the 8-dim slices (no per-ld fold needed)
+    val adc = qsub8.join(broadcast(cb1Arr), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        graft.expr.QuantL2.of(col("sv"), col("cv")).as("adp"))
     val approxAll = codes.join(broadcast(adc), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id")).agg(sum(col("adp")).as("ap"))
@@ -835,10 +875,13 @@ object SimilarityQueries {
       .localCheckpoint(true) // read twice: raw ADC top-k + rerank shortlist
     val atop = approxAll.filter(col("rank") <= PqTopK)
     val short = approxAll.filter(col("rank") <= PqShortlist)
-    val exactAll = ex.join(broadcast(qs), Seq("sub", "ld"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), pqTerm(col("x"), col("qx")).as("tp"))
-      .groupBy(col("qid"), col("vec_id")).agg(sum(col("tp")).as("dp"))
+    // exact ground truth: corpus arrays × broadcast query arrays, one
+    // codegen'd fold per pair — the corpus never explodes or shuffles
+    val qv = va.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("xs").as("qxs"))
+    val exactAll = va.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.expr.QuantL2.of(col("xs"), col("qxs")).as("dp"))
       .localCheckpoint(true) // read twice: ground-truth top-k + rerank
     val etop = exactAll
       .withColumn("rank", row_number().over(
@@ -854,7 +897,7 @@ object SimilarityQueries {
     def hitsOf(df: DataFrame, as: String): DataFrame =
       df.join(etop, Seq("qid", "vec_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
-    val base = qs.select(col("qid")).distinct()
+    val base = qv.select(col("qid"))
     val perQ = base
       .join(hitsOf(atop, "h_adc"), Seq("qid"), "left")
       .join(hitsOf(rerank, "h_rr"), Seq("qid"), "left")
@@ -966,9 +1009,15 @@ object SimilarityQueries {
 
   def q199IvfPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val ex = pqExploded(spark, dir).localCheckpoint(true)
-    // coarse per-label centroids over (sub, ld) — q68's fixed-point device
-    val coarse = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+    val va = pqVecs(spark, dir).localCheckpoint(true) // read by every pass
+    // coarse per-label centroids over (sub, ld) — q68's fixed-point
+    // device — folded once, then pivoted to dim-ordered arrays (the
+    // pqCbArr device: (sub, ld) is unique within a label, every label
+    // carries all dims, so the struct sort is total and cells can't
+    // reorder). Checkpointed: assign, residuals, and the probe tables
+    // all read it, and it is ≤ #labels rows.
+    val coarseArr = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("label").as("clabel"),
         floor(col("dim") / lit(PqSubDim.toDouble)).cast("int").as("sub"),
         pmod(col("dim"), lit(PqSubDim)).as("ld"),
@@ -977,24 +1026,26 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
       .select(col("clabel"), col("sub"), col("ld"),
         (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("ccent"))
-      .localCheckpoint(true) // assign + residuals + probe tables all read it
-    // nearest coarse list per vector (quantized-term L2, label tie-break)
-    val coarseD = ex.join(broadcast(coarse), Seq("sub", "ld"))
-      .select(col("vec_id"), col("clabel"), pqTerm(col("x"), col("ccent")).as("tp"))
-      .groupBy(col("vec_id"), col("clabel")).agg(sum(col("tp")).as("dp"))
-      .localCheckpoint(true) // vectors assign (rn=1); queries probe (rn<=2)
-    val assign = coarseD
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("dp"), col("clabel"))))
-      .filter(col("rn") === 1).select(col("vec_id"), col("clabel"))
-    // residual frame: r = x − ccent of the OWN list, refixed for sums
-    val res = ex.join(assign, Seq("vec_id"))
-      .join(broadcast(coarse), Seq("clabel", "sub", "ld"))
-      .select(col("vec_id"), col("clabel"), col("sub"), col("ld"),
-        (col("x") - col("ccent")).as("x"),
-        floor((col("x") - col("ccent")) * lit(FpScale)).cast("decimal(38,0)").as("q"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ld"), col("ccent")))),
+        s => s.getField("ccent")).as("cs"))
       .localCheckpoint(true)
-    val rex = res.select(col("vec_id"), col("sub"), col("ld"), col("x"), col("q"))
+    // nearest coarse list per vector: corpus arrays × broadcast centroid
+    // arrays, one codegen'd quantized fold per (vector, list)
+    val coarseD = va.crossJoin(broadcast(coarseArr))
+      .select(col("vec_id"), col("clabel"),
+        graft.expr.QuantL2.of(col("xs"), col("cs")).as("dp"))
+      .localCheckpoint(true) // vectors assign (argmin); queries probe (rn<=2)
+    val assign = coarseD.groupBy(col("vec_id"))
+      .agg(min_by(col("clabel"), struct(col("dp"), col("clabel"))).as("clabel"))
+    // residual frame: r = x − ccent of the OWN list (array form)
+    val res = va.join(assign, Seq("vec_id"))
+      .join(broadcast(coarseArr), Seq("clabel"))
+      .select(col("vec_id"), col("clabel"),
+        zip_with(col("xs"), col("cs"), (a, b) => a - b).as("xs"))
+      .localCheckpoint(true)
+    val rex = pqExplodedOf(res.select(col("vec_id"), col("xs")))
+    val rsub8 = pqSubVecs(res.select(col("vec_id"), col("xs")))
     val init = rex.withColumn("code",
       (graft.text.TextOps.hex60(concat(lit("pq:"), col("vec_id").cast("string"))) % PqK)
         .cast("int"))
@@ -1002,25 +1053,26 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"))
       .select(col("sub"), col("code"), col("ld"),
         (col("s").cast(DoubleType) / (col("n").cast(DoubleType) * lit(FpScale))).as("cent"))
-    val cb1 = pqCodebook(rex, pqAssign(rex, cb0)).localCheckpoint(true)
-    val codes = pqAssign(rex, cb1).join(assign, Seq("vec_id"))
-    // query side: probe the 2 nearest lists, table per (qid, list)
+    val cb1 = pqCodebook(rex, pqAssignArr(rsub8, pqCbArr(cb0))).localCheckpoint(true)
+    val cb1Arr = pqCbArr(cb1)
+    val codes = pqAssignArr(rsub8, cb1Arr).join(assign, Seq("vec_id"))
+    // query side: probe the 2 nearest lists, table per (qid, list) —
+    // the query's residual against THAT list's centroid, sliced to
+    // subspaces, one quantized fold per (sub, code)
     val probes = coarseD.filter(col("vec_id") < NumQueries)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("dp"), col("clabel"))))
       .filter(col("rn") <= IvfPqProbes)
       .select(col("vec_id").as("qid"), col("clabel"))
-    val qx = ex.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qraw"))
-    val adc = probes.join(qx, Seq("qid"))
-      .join(broadcast(coarse), Seq("clabel", "sub", "ld"))
-      .select(col("qid"), col("clabel"), col("sub"), col("ld"),
-        (col("qraw") - col("ccent")).as("qr"))
-      .join(broadcast(cb1), Seq("sub", "ld"))
+    val qv = va.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("xs"))
+    val qres = probes.join(qv, Seq("qid"))
+      .join(broadcast(coarseArr), Seq("clabel"))
+      .select(col("qid"), col("clabel"),
+        zip_with(col("xs"), col("cs"), (a, b) => a - b).as("xs"))
+    val adc = pqSubVecs(qres).join(broadcast(cb1Arr), Seq("sub"))
       .select(col("qid"), col("clabel"), col("sub"), col("code"),
-        pqTerm(col("qr"), col("cent")).as("tp"))
-      .groupBy(col("qid"), col("clabel"), col("sub"), col("code"))
-      .agg(sum(col("tp")).as("adp"))
+        graft.expr.QuantL2.of(col("sv"), col("cv")).as("adp"))
     // candidates = members of probed lists; ADC over their codes
     val approxAll = codes.join(broadcast(adc), Seq("clabel", "sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -1031,12 +1083,11 @@ object SimilarityQueries {
     val nCand = approxAll.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
     val atop = approxAll.filter(col("rank") <= PqTopK)
     val short = approxAll.filter(col("rank") <= PqShortlist)
-    val qs = ex.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("sub"), col("ld"), col("x").as("qx"))
-    val exactAll = ex.join(broadcast(qs), Seq("sub", "ld"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), pqTerm(col("x"), col("qx")).as("tp"))
-      .groupBy(col("qid"), col("vec_id")).agg(sum(col("tp")).as("dp"))
+    // exact ground truth on the arrays (the q198 device)
+    val qvx = qv.withColumnRenamed("xs", "qxs")
+    val exactAll = va.join(broadcast(qvx), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.expr.QuantL2.of(col("xs"), col("qxs")).as("dp"))
       .localCheckpoint(true)
     val etop = exactAll
       .withColumn("rank", row_number().over(
@@ -1051,7 +1102,7 @@ object SimilarityQueries {
     def hitsOf(df: DataFrame, as: String): DataFrame =
       df.join(etop, Seq("qid", "vec_id"), "left_semi")
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
-    val base = qs.select(col("qid")).distinct()
+    val base = qv.select(col("qid"))
     val perQ = base
       .join(nCand, Seq("qid"), "left")
       .join(hitsOf(atop, "h_adc"), Seq("qid"), "left")
