@@ -1105,9 +1105,15 @@ object DedupQueries {
 
   /** The CDC chunk frame (doc_id, chunk digest, token length) shared by
     * q187 and q210 — the token kernel runs once per call. */
-  private def cdcChunkEx(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val toks = tokens(normText(col("text")))
-    val uh = graft.expr.WordGrams.hashedOf(toks, 1, 1)
+  private def cdcChunkEx(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    cdcChunkExOf(Tables(spark, dir).documents
+      .select(col("doc_id"), tokens(normText(col("text"))).as("t")))
+
+  /** As [[cdcChunkEx]] but over an existing (doc_id, t) token frame —
+    * q210 feeds its shared tokenized base in so the treatment matrix
+    * pays ONE corpus tokenization for all four treatments (r16). */
+  private def cdcChunkExOf(tok: DataFrame): (DataFrame, DataFrame) = {
+    val uh = graft.expr.WordGrams.hashedOf(col("t"), 1, 1)
     val n = size(col("uh"))
     val bpos = filter(sequence(lit(1), n), i => element_at(col("uh"), i) % CdcMod === 0)
     val starts = concat(array(lit(0)), col("bpos"))
@@ -1120,7 +1126,7 @@ object DedupQueries {
         (b - a).cast(LongType).as("len"))),
       c => c.getField("len") > 0)
     // digests only — the token kernel runs once (q69's rationale)
-    val ch = Tables(spark, dir).documents
+    val ch = tok
       .select(col("doc_id"), uh.as("uh"))
       .filter(size(col("uh")) > 0)
       .withColumn("bpos", bpos)
@@ -1436,11 +1442,16 @@ object DedupQueries {
 
     // exact_doc: q19's keeper rule over the content hash; digests
     // materialized — referenced by the keeper fold AND the join back
-    // (q69's device; review caught the double kernel run)
-    val h = Tables(spark, dir).documents
-      .select(col("doc_id"), md5(normText(col("text"))).as("ch"))
-      .join(base.select(col("doc_id"), size(col("t")).cast(LongType).as("n")),
-        Seq("doc_id"))
+    // (q69's device; review caught the double kernel run).
+    // r16: the digest derives from the ALREADY-TOKENIZED base frame —
+    // normText emits single-space-joined trimmed tokens, so
+    // concat_ws(" ", t) reproduces the normalized string byte-for-byte
+    // and md5 of it equals md5(normText(text)). That turns a fourth
+    // corpus text scan + regex-normalization pass + doc-keyed join into
+    // one projection over the checkpointed token frame.
+    val h = base
+      .select(col("doc_id"), md5(concat_ws(" ", col("t"))).as("ch"),
+        size(col("t")).cast(LongType).as("n"))
       .localCheckpoint(true)
     val keeper = h.groupBy(col("ch")).agg(min(col("doc_id")).as("kid"))
     val exactRow = h.join(keeper, Seq("ch")).filter(col("doc_id") =!= col("kid"))
@@ -1449,10 +1460,12 @@ object DedupQueries {
         coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
         coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
 
-    // chunk_fixed: q69's duplicated 10-token windows, all occurrences
-    val segs = graft.expr.WordGrams.hashedOf(tokens(normText(col("text"))), ChunkW, ChunkW)
-    val cex = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(segs).as("h"))
+    // chunk_fixed: q69's duplicated 10-token windows, all occurrences —
+    // the window hashes run over base's token arrays (r16: no third
+    // corpus tokenization pass; identical input array, identical grams)
+    val cex = base
+      .select(col("doc_id"),
+        explode(graft.expr.WordGrams.hashedOf(col("t"), ChunkW, ChunkW)).as("h"))
       .localCheckpoint(true)
     val cdc69 = cex.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val chunkRow = cex.join(cdc69, Seq("h")).filter(col("nd") >= 2)
@@ -1463,8 +1476,9 @@ object DedupQueries {
         coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
         coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"))
 
-    // chunk_cdc: q187's duplicated content-defined chunks
-    val (_, cdcEx) = cdcChunkEx(spark, dir)
+    // chunk_cdc: q187's duplicated content-defined chunks, fed from the
+    // shared token frame (r16: one corpus tokenization for the matrix)
+    val (_, cdcEx) = cdcChunkExOf(base.select(col("doc_id"), col("t")))
     val cdcDf = cdcEx.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val cdcRow = cdcEx.join(cdcDf, Seq("h")).filter(col("nd") >= 2)
       .groupBy(col("doc_id")).agg(sum(col("len")).as("tokdup"))
