@@ -280,16 +280,16 @@ object DedupQueries {
     * the two span folds. All-integer — no float anywhere. */
   def q175ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.text.TextOps.tokens(graft.text.TextOps.normText(col("text")))
-    // ordered trigram sequence, duplicates preserved (1-based positions);
-    // the size guard matters: Spark's sequence(1, 0) steps BACKWARD
-    val seqSh = when(size(col("t")) >= 3,
-      transform(sequence(lit(1), size(col("t")) - 2),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // ordered trigram sequence, duplicates preserved (1-based positions) —
+    // r16: the codegen'd [[graft.expr.WordGrams]] kernel (step 1, string
+    // mode); the HOF spelling (`transform(sequence…, concat_ws(
+    // element_at…))`) was CodegenFallback with three interpreted
+    // element_ats per position, and its `when(size ≥ 3)` guard is the
+    // kernel's own n < k → empty rule
     val px = Tables(spark, dir).documents
       .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), posexplode(seqSh).as(Seq("p0", "s")))
+      .select(col("doc_id"),
+        posexplode(graft.expr.WordGrams.of(col("t"), 3, 1)).as(Seq("p0", "s")))
       .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("s"))
     val bench = px.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
     val flagged = px.filter(col("doc_id") % BenchMod =!= 0)
@@ -440,17 +440,23 @@ object DedupQueries {
   private val BandRows = 3 // 32 bands × 3 rows
 
   /** (doc_id, band, sig) LSH bucket rows from hashed shingle sets — the
-    * q21 signature pipeline, shared with q76's incremental variant. */
+    * q21 signature pipeline, shared with q76's incremental variant.
+    *
+    * r16: the signature fold is the codegen'd [[graft.expr.MinHashSigs]]
+    * kernel — all 96 minima computed in-row on the shingle array (base
+    * hash = top 32 bits of the shared 60-bit md5 hash, zero extra md5
+    * work), bit-identical to the former explode + 96-column min
+    * aggregate but with NO Generate row blow-up and NO doc-keyed
+    * exchange: at 100 TB the old shape shuffled 96 longs per document
+    * and multiplied the scan by the average shingle count before the
+    * aggregate could fold it back down. */
   private[graft] def lshBuckets(shh: DataFrame): DataFrame = {
-    // base hash = top 32 bits of the shared 60-bit md5 hash (the first 8
-    // hex chars of the same digest) — zero extra md5 work
-    val ex = shh.select(col("doc_id"), explode(col("shh")).as("h"))
-      .withColumn("bh", shiftright(col("h"), 28) % MinHashPrime)
-    val hs = minhashFamily(NumHashes, col("bh"))
-    val minAggs = hs.zipWithIndex.map { case (h, i) => min(h).as(s"h$i") }
-    val sigs = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val as = (0 until NumHashes).map(minhashCoeff("a", _))
+    val bs = (0 until NumHashes).map(minhashCoeff("b", _))
+    val sigs = shh.select(col("doc_id"),
+      graft.expr.MinHashSigs.of(col("shh"), as, bs, MinHashPrime).as("mh"))
     val bandCols = (0 until NumHashes / BandRows).map { b =>
-      val rows = (0 until BandRows).map(r => col(s"h${b * BandRows + r}"))
+      val rows = (0 until BandRows).map(r => element_at(col("mh"), b * BandRows + r + 1))
       struct(lit(b).as("band"), md5(concat_ws(",", rows: _*)).as("sig"))
     }
     sigs

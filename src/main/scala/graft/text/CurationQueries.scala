@@ -62,12 +62,15 @@ object CurationQueries {
     val base = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), toks.as("t"))
       .localCheckpoint(true)
-    val seqG = when(size(col("t")) >= k,
-      transform(sequence(lit(1), size(col("t")) - (k - 1)),
-        i => hex60(concat_ws(" ", slice(col("t"), i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
+    // r16: the positional gram hashes come from the codegen'd
+    // [[graft.expr.WordGrams]] kernel (step 1 = sliding windows) — the
+    // former HOF spelling (`transform(sequence…, i → hex60(concat_ws(
+    // slice…)))`) is CodegenFallback and re-slices k tokens per
+    // position with interpreted lambdas (the q71 lesson, measured 7×
+    // there); values are identical by the ExprHash contract
     val px = base
-      .select(col("doc_id"), posexplode(seqG).as(Seq("p0", "h")))
+      .select(col("doc_id"),
+        posexplode(graft.expr.WordGrams.hashedOf(col("t"), k, 1)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("h"))
     val dirty = px.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -241,14 +244,20 @@ object CurationQueries {
     // n) — doc×bucket cardinality, ≤ 64 rows/doc — and materialize;
     // training counts, totals, AND the scoring frame all derive from it
     // (the bigramNllScored multi-reference rule; review caught tb
-    // evaluated twice)
+    // evaluated twice).
+    // r16: the fold is the codegen'd [[graft.expr.HashBucketCounts]]
+    // kernel — bucket counts computed in-row on the token array,
+    // bit-identical to the former explode + (doc, bucket) hash aggregate
+    // (same hex60 per token, same mod) but with NO Generate blow-up of
+    // the corpus scan, NO per-occurrence exchange, and repeated tokens
+    // hashed once per doc instead of once per occurrence
     val dbl = docs
       .select(col("doc_id"), col("lang"), splitCol.as("split"),
-        explode(tokens(normText(col("text")))).as("w"))
+        posexplode(graft.expr.HashBucketCounts.of(
+          tokens(normText(col("text"))), NbBuckets)).as(Seq("b0", "n_b")))
+      .filter(col("n_b") > 0)
       .select(col("doc_id"), col("lang"), col("split"),
-        (hex60(col("w")) % NbBuckets).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("split"), col("b"))
-      .agg(count(lit(1)).as("n_b"))
+        col("b0").cast(LongType).as("b"), col("n_b"))
       .localCheckpoint(true)
     val labeled = docs.select(col("doc_id"), col("lang"), splitCol.as("split"))
     val counts = dbl.filter(col("split") === "train")
@@ -550,16 +559,15 @@ object CurationQueries {
             j => element_at(col("t"), j))).as("ct"),
         col("dl").isNotNull.as("touched"))
       .localCheckpoint(true)
-    // re-run the detector over the CLEANED corpus
-    val seqG2 = when(size(col("ct")) >= k,
-      transform(sequence(lit(1), size(col("ct")) - (k - 1)),
-        i => hex60(concat_ws(" ", slice(col("ct"), i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
+    // re-run the detector over the CLEANED corpus (r16: the same
+    // codegen'd WordGrams kernel as spanDirty — the HOF spelling was
+    // CodegenFallback, re-slicing k tokens per position)
     // NOT checkpointed: px2 is gram-position cardinality, and writing it
     // out at the 100× decade costs more than re-hashing the (already
     // materialized) cleaned arrays for its two consumers
     val px2 = cleaned
-      .select(col("doc_id"), col("source"), explode(seqG2).as("h"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.expr.WordGrams.hashedOf(col("ct"), k, 1)).as("h"))
     val dirty2 = px2.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))

@@ -2050,12 +2050,21 @@ object TextQueries {
 
   def q176DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r16: in-row bucket-count kernel (q201's device — see
+    // [[graft.expr.HashBucketCounts]]): same hex60-mod fold per token,
+    // but the corpus scan is never multiplied by tokens-per-doc and the
+    // three consumers below aggregate ≤64 rows/doc instead of one row
+    // per token OCCURRENCE; sums over in-row counts are bit-identical
+    // to counts over the explode
     val tok = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(tokens(normText(col("text")))).as("w"))
-      .select(col("doc_id"), (TextOps.hex60(col("w")) % DsirBuckets).as("b"))
+      .select(col("doc_id"), posexplode(graft.expr.HashBucketCounts.of(
+        tokens(normText(col("text"))), DsirBuckets)).as(Seq("b0", "n_b")))
+      .filter(col("n_b") > 0)
+      .select(col("doc_id"), col("b0").cast(LongType).as("b"), col("n_b"))
+      .localCheckpoint(true) // referenced three times (tc, rc, per-doc)
     val isTarget = col("doc_id") % DsirTargetMod === 0
-    val tc = tok.filter(isTarget).groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val rc = tok.filter(!isTarget).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tc = tok.filter(isTarget).groupBy(col("b")).agg(sum(col("n_b")).as("ct"))
+    val rc = tok.filter(!isTarget).groupBy(col("b")).agg(sum(col("n_b")).as("cr"))
     // complete the fixed bucket grid so smoothing covers empty buckets
     val grid = spark.range(DsirBuckets).toDF("b")
     val dims = grid.join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
@@ -2068,7 +2077,6 @@ object TextQueries {
             ((col("cr") + 1).cast(DoubleType) * (col("nt") + DsirBuckets)))
         .cast(DecimalType(18, 9)).as("lr"))
     tok.filter(!isTarget)
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n_b"))
       .join(broadcast(lrDim), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_b").cast(DecimalType(10, 0)) * col("lr")).as("llr_dec"),
