@@ -57,7 +57,10 @@ object DedupQueries {
     * The checkpoint blocks are freed by the ContextCleaner once the query
     * result is dropped. */
   private[graft] def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    // r16: spread the (single-row-group, hence single-split) gate-scale
+    // scan so the shingle+hash kernel runs on every core — Tables.spread
+    // is a no-op on a many-split production scan (guide §2.5)
+    Tables.spread(Tables(spark, dir).documents)
       // sorted ONCE per document so every candidate pair's intersection is
       // an allocation-free two-pointer merge (SortedIntersectCount below)
       .select(col("doc_id"), array_sort(shingleHashes(tokens(normText(col("text"))))).as("shh"))
@@ -1044,6 +1047,8 @@ object DedupQueries {
   private val ChunkW = 10
 
   def q69SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    // r16: Tables.spread tried and reverted (0.49 → 0.94 s): the chunk
+    // kernel is sub-half-second of CPU at gate scale — the q178 verdict
     val d = Tables(spark, dir).documents
     val toks = tokens(normText(col("text")))
     // one codegen'd kernel pass (see [[graft.expr.WordGrams]] — the HOF
@@ -1112,6 +1117,8 @@ object DedupQueries {
   /** The CDC chunk frame (doc_id, chunk digest, token length) shared by
     * q187 and q210 — the token kernel runs once per call. */
   private def cdcChunkEx(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    // r16: Tables.spread tried and reverted (q187 0.74 → 1.06 s): the
+    // in-row chunk pipeline is cheap at gate scale — the q178 verdict
     cdcChunkExOf(Tables(spark, dir).documents
       .select(col("doc_id"), tokens(normText(col("text"))).as("t")))
 

@@ -633,9 +633,19 @@ object GraphQueries {
         sequence(i + 1, size(col("ss"))),
         j => shiftleft(element_at(col("ss"), i), 32)
           .bitwiseOR(element_at(col("ss"), j)))))
-    val edges = cs.groupBy(col("c"))
+    // r16: the bucket frame materializes first and is SPREAD before the
+    // pair explode — AQE rightly coalesces the small groupBy output
+    // (3.4 MB → 3 partitions) but cannot see the ~64× Generate behind
+    // it, so the 5.5 M-row explode+distinct ran on 3 of 32 cores
+    // (profiled: 2.36 s in one 3-task stage). Tables.spread is a no-op
+    // once the bucket frame has ≥ cores partitions, i.e. at any real
+    // scale; the checkpoint costs one job over the (pre-explosion,
+    // CoCap-bounded) bucket arrays.
+    val buckets = cs.groupBy(col("c"))
       .agg(array_sort(collect_list(col("s"))).as("ss"))
       .filter(size(col("ss")).between(2, CoCap))
+      .localCheckpoint(true)
+    val edges = graft.sql.Tables.spread(buckets)
       .select(explode(pairs).as("ab"))
       .distinct()
       .select(shiftright(col("ab"), 32).as("a"),

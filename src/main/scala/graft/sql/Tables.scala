@@ -45,3 +45,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
+
+object Tables {
+  /** Guide §2.5 (input skew — unsplittable input): the gate-scale tables
+    * are single-file, single-ROW-GROUP parquet, so a scan is as
+    * unsplittable as a gzip file — one task runs the whole file AND
+    * every in-row kernel fused onto it (normText/tokenize/shingle/
+    * minhash/gram digests) while the other cores idle. Repartition right
+    * after the read ONLY when the source's own partitioning is below the
+    * machine's parallelism; a many-split production scan pays no shuffle
+    * at all. This is `MediaQueries.spreadIds` (q179's measured 4.4 s →
+    * sub-second device) generalized to any frame; values are unaffected
+    * — every consumer aggregates/joins/windows on explicit keys.
+    *
+    * Also correct on MATERIALIZED (localCheckpoint'd) frames, whose
+    * partition count is the actual one: an AQE-coalesced tiny exchange
+    * feeding a row-multiplying explode (q108's pair generator: 3 tasks
+    * for a 64× Generate) spreads the same way, and a production-scale
+    * frame with ≥ cores partitions is again untouched. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+}

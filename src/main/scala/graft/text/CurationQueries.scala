@@ -59,7 +59,10 @@ object CurationQueries {
   private[graft] def spanDirty(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val k = SpanK
     val toks = tokens(normText(col("text")))
-    val base = Tables(spark, dir).documents
+    // r16: spread the single-split gate-scale scan so the tokenize kernel
+    // (and the gram explode over the checkpoint's partitions) runs on
+    // every core — no-op on a many-split production scan (guide §2.5)
+    val base = graft.sql.Tables.spread(Tables(spark, dir).documents)
       .select(col("doc_id"), col("source"), toks.as("t"))
       .localCheckpoint(true)
     // r16: the positional gram hashes come from the codegen'd
@@ -251,7 +254,7 @@ object CurationQueries {
     // (same hex60 per token, same mod) but with NO Generate blow-up of
     // the corpus scan, NO per-occurrence exchange, and repeated tokens
     // hashed once per doc instead of once per occurrence
-    val dbl = docs
+    val dbl = graft.sql.Tables.spread(docs)
       .select(col("doc_id"), col("lang"), splitCol.as("split"),
         posexplode(graft.expr.HashBucketCounts.of(
           tokens(normText(col("text"))), NbBuckets)).as(Seq("b0", "n_b")))

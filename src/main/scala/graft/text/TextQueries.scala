@@ -848,7 +848,11 @@ object TextQueries {
   private[text] def bigramNllScored(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(normText(col("text")))
     // referenced three times (V, model training, scoring) — materialize
-    // the gram kernel once (see docShingleHashes rationale in dedup)
+    // the gram kernel once (see docShingleHashes rationale in dedup).
+    // r16: Tables.spread TRIED here and reverted — the gram kernel is
+    // ~0.3 s of CPU at gate scale, and the added exchange+stage cost
+    // more than the parallelism bought (q74 1.22 → 1.62 s measured;
+    // same verdict as q178's no-spread note in media)
     val base = Tables(spark, dir).documents
       .select(col("doc_id"),
         graft.expr.WordGrams.hashedOf(toks, 1, 1).as("uh"),
