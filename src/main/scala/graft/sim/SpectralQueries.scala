@@ -258,8 +258,13 @@ object SpectralQueries {
   def q188EffectiveRank(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     // referenced three times (pair join both sides + per-dim sums):
-    // materialize the 8-byte-quantized frame once
-    val ex = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    // materialize the 8-byte-quantized frame once.
+    // r16: spread the single-split gate-scale scan first — the in-row
+    // dim² pair join below otherwise runs on the checkpoint's ONE
+    // partition (profiled 1.0 s single-task); no-op on a many-split
+    // production scan (guide §2.5)
+    val ex = graft.sql.Tables.spread(e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim"),
         floor(col("x").cast(DoubleType) * lit(Fp15)).cast(Dec18).as("q"))
       .localCheckpoint(true)

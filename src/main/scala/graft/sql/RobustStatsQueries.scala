@@ -190,8 +190,14 @@ object RobustStatsQueries {
   def q149BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps.{hex32Mod, minhashCoeff, MinHashPrime}
     val d6 = DecimalType(18, 6)
-    val x = Tables(spark, dir).events
-      .filter(col("value").isNotNull)
+    // r16: spread the single-split gate-scale scan — the 64-column
+    // replicate aggregate below fuses one md5 + 32 affine transforms +
+    // popcounts PER ROW onto the scan stage, which ran as ONE task
+    // (profiled 1.73 s of the query's 2.7 s); Tables.spread is a no-op
+    // on a many-split production scan (guide §2.5)
+    val x = Tables.spread(Tables(spark, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value")))
       .select(col("event_id"), col("event_type"), col("value").cast(d6).as("x"))
       .withColumn("h0", hex32Mod(concat(lit("bs:"), col("event_id").cast("string"))))
     // 32 in-row multiplicities: affine replicate hash, 8 disjoint 3-bit
