@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's stdout for ONE JSON line. sbt's default
+// LoggedOutput prefixes every forked-process line with "[info] ", which is
+// why every archived BENCH_rNN.json since round 1 carries `parsed: null`
+// (r01's full JSON line sat entirely inside the captured tail and still
+// failed). Pass program output through raw instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
